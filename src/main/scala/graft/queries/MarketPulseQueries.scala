@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.marketpulse.EventTicker
+
+/**
+ * Oracle-backed checks for the MarketPulse pipeline analogue
+ * ([[graft.marketpulse.EventTicker]]). The shared `bars` CTE mirrors
+ * `EventTicker.dailyBars` (arg_min/arg_max ≡ min_by/max_by on the unique
+ * event_id).
+ */
+object MarketPulseQueries {
+
+  private val barsCte =
+    """bars AS (
+      |  SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+      |    arg_min(value, event_id) AS open,
+      |    MAX(value) AS high,
+      |    MIN(value) AS low,
+      |    arg_max(value, event_id) AS close,
+      |    COUNT(*) AS volume
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private val dimCte =
+    """dim AS (
+      |  SELECT event_type,
+      |    CASE event_type WHEN 'purchase' THEN 'Purchase Checkout'
+      |                    WHEN 'click' THEN 'Click'
+      |                    WHEN 'view' THEN 'Page View'
+      |                    WHEN 'signup' THEN 'Signup'
+      |                    WHEN 'refund' THEN 'Refund'
+      |                    ELSE 'Unknown Event' END AS display_name,
+      |    CASE WHEN event_type IN ('purchase','refund') THEN 'commerce'
+      |         WHEN event_type IN ('click','view') THEN 'engagement'
+      |         ELSE 'Other' END AS category
+      |  FROM (SELECT DISTINCT event_type FROM events) t)""".stripMargin
+
+  private val mp01Oracle = s"WITH $barsCte SELECT * FROM bars"
+
+  private val mp02Oracle = s"WITH $dimCte SELECT * FROM dim"
+
+  private val mp03Oracle =
+    s"""WITH $barsCte, $dimCte
+       |SELECT b.event_type, d.display_name, d.category, b.day,
+       |  b.open, b.high, b.low, b.close, b.volume,
+       |  b.close - b.open AS daily_change,
+       |  (b.close - b.open) / NULLIF(b.open, 0) * 100.0 AS percent_change
+       |FROM bars b LEFT JOIN dim d ON b.event_type = d.event_type""".stripMargin
+
+  private val mp04Oracle =
+    s"""WITH $barsCte
+       |SELECT event_type, CAST(CAST(date_trunc('week', CAST(day AS DATE)) AS DATE) AS VARCHAR) AS week_start,
+       |  COUNT(*) AS n_days,
+       |  CAST(ROUND(SUM(CAST(close AS DECIMAL(12,2))), 2) AS DOUBLE) / COUNT(close) AS avg_close,
+       |  SUM(volume) AS volume,
+       |  arg_min(open, day) AS week_open,
+       |  arg_max(close, day) AS week_close,
+       |  (arg_max(close, day) - arg_min(open, day)) / NULLIF(arg_min(open, day), 0) * 100.0 AS weekly_pct
+       |FROM bars GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("mp01_daily_bars", EventTicker.dailyBars, Some(mp01Oracle), headline = true),
+    GraftQuery("mp02_dim_event", EventTicker.dim, Some(mp02Oracle)),
+    GraftQuery("mp03_fact_bars", EventTicker.fact, Some(mp03Oracle), headline = true),
+    GraftQuery("mp04_weekly_bars", EventTicker.weekly, Some(mp04Oracle), headline = true))
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * One engine capability exposed through the driver contract
+ * (`SparkEntry.queries` / `SparkEntry.oracleSql`).
+ *
+ * @param name     stable query id; also the output directory name
+ * @param run      DataFrame program over the tables in `sfDir`
+ * @param oracle   equivalent ANSI SQL for DuckDB over the same parquet
+ *                 tables; None for ops not expressible in portable SQL
+ *                 (the driver then records a weaker rows-only check)
+ * @param headline included in the Bench timing set
+ */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+  /** Full inventory, in SURVEY §2 order: core relational parity, the
+    * MarketPulse pipeline re-expressed on the event stream, then the
+    * large-scale training-data extensions (text, dedup, similarity). */
+  lazy val all: Seq[GraftQuery] =
+    CoreQueries.all ++ MarketPulseQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+
+  lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors). Query set = vec_id < 10 (fixed, so results are stable
+  * across scale factors for the same ids). */
+object SimilarityQueries {
+
+  private val Dim = 64
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("id") < 10)
+
+  // ---- sim01: exact brute-force cosine top-5 ----
+  private def sim01(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, dir), queriesDf(spark, dir), k = 5)
+      .select("query_id", "cand_id", "cosine", "rank")
+
+  private val sim01Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      |  GROUP BY query_id, cand_id),
+      |scored AS (
+      |  SELECT p.query_id, p.cand_id,
+      |    ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      |  FROM pairs p
+      |  JOIN norms nq ON nq.vec_id = p.query_id
+      |  JOIN norms nc ON nc.vec_id = p.cand_id)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT query_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
+  // ---- sim02: LSH-bucketed approximate top-3 (rows-only: recall is
+  //      defined by the bucketing, not expressible in portable SQL) ----
+  private def sim02(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(spark, dir), queriesDf(spark, dir), k = 3, dim = Dim,
+      bits = 6)
+      .select("query_id", "cand_id", "cosine", "rank")
+
+  // ---- sim03: per-label vector statistics ----
+  private def sim03(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        Similarity.l2Norm(Similarity.toDoubleVec(col("embedding"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+
+  private val sim03Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, label, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(AVG(nrm), 4) AS avg_norm,
+      |  ROUND(MIN(nrm), 4) AS min_norm,
+      |  ROUND(MAX(nrm), 4) AS max_norm
+      |FROM norms GROUP BY label""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
+    GraftQuery("sim02_lsh_ann", sim02, None, headline = true),
+    GraftQuery("sim03_label_stats", sim03, Some(sim03Oracle)))
+}

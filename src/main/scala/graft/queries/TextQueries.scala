@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis and deduplication queries over the `documents` table. */
+object TextQueries {
+
+  // ---- tx01: token counting ----
+  private def tx01(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    d.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      nTok.as("n_tokens"),
+      ((col("n_chars") - (nTok - lit(1))).cast(DoubleType) / nTok).as("avg_token_len"))
+  }
+
+  private val tx01Oracle =
+    """SELECT doc_id, lang, n_chars,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  // ---- tx02: quality scoring (stopword/diversity ratios) ----
+  private def tx02(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.uniqueRatio(col("text")).as("uniq_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+
+  private val tx02Oracle =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(str_split(text, ' ')) AS stop_ratio,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS uniq_ratio,
+      |  (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')))
+      |    * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality_score
+      |FROM documents""".stripMargin
+
+  // ---- tx03: content fingerprint ----
+  private def tx03(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  private val tx03Oracle =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---- tx04: exact dedup groups ----
+  private def tx04(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val tx04Oracle =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- tx05: heuristic language-ID (not SQL-expressible → rows-only) ----
+  private def tx05(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("predicted_lang"),
+      TextAnalysis.langIdScored(col("text")).getField("score").as("marker_hits"))
+
+  // ---- tx06: MinHash-LSH near-duplicate pairs (rows-only) ----
+  private def tx06(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      minJaccard = 0.7)
+
+  // ---- tx07: SimHash fingerprints (rows-only) ----
+  private def tx07(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Dedup.simHash64(col("text")).as("simhash"))
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
+    GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
+    GraftQuery("tx03_fingerprint", tx03, Some(tx03Oracle)),
+    GraftQuery("tx04_dedup_exact", tx04, Some(tx04Oracle)),
+    GraftQuery("tx05_langid", tx05, None),
+    GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true),
+    GraftQuery("tx07_simhash", tx07, None))
+}

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Relational
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * The baseline is brute-force cosine top-k: broadcast the (small) query
+ * set, one scan over the candidates, per-row O(q·d) arithmetic inside
+ * codegen (zip_with + sequential aggregate fold — deterministic
+ * summation order), then a per-query top-k window. No shuffle of the
+ * candidate vectors at all; only the (query, candidate, score) triples
+ * — 24 bytes each — shuffle for the final rank. At 100 TB of vectors
+ * this is scan-bound, which is the best possible shape for exact kNN.
+ *
+ * The scale path is random-hyperplane LSH: a signature/bucket per
+ * vector (map-only), candidates restricted to same-bucket pairs, so
+ * the search cost drops from O(N·Q) to O(Σ bucket_q) at a recall cost
+ * controlled by the number of signature bits.
+ */
+object Similarity {
+
+  /** Element-wise float→double promotion (all scoring in double). */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** Sequential-fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /**
+   * Exact brute-force cosine top-k of `queries` against `candidates`
+   * (both (id, array<float>) shaped). Scores are rounded to `scale`
+   * decimals before ranking so the ordering is reproducible across
+   * engines/partitionings; ties break on candidate id.
+   */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
+          .as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+  }
+
+  /**
+   * Deterministic random-hyperplane signatures: `bits` hyperplanes with
+   * ±1 components derived from a fixed-seed generator, compiled into the
+   * plan as literal arrays. sig bit i = [dot(v, h_i) > 0].
+   */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val bitExprs = planes.zipWithIndex.map { case (h, i) =>
+      val hl = array(h.map(lit): _*)
+      when(dot(vec, hl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitExprs.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: queries join candidates only within
+   * their signature bucket. Returns the same schema as bruteForceTopK;
+   * recall < 1 by construction (bucket boundaries), cost ~ bucket sizes.
+   */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 8, scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .withColumn("bucket", hyperplaneSignature(col("cvec"), dim, bits))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .withColumn("bucket", hyperplaneSignature(col("qvec"), dim, bits))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
+          .as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+  }
+}
