@@ -1,0 +1,57 @@
+package graft.marketpulse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.quality.DataQuality
+import graft.quality.DataQuality.CheckResult
+
+/**
+ * The reference's 4-stage DAG (`stock_pipeline_dag.py:141`:
+ * fetch → load → transform → publish) collapsed into one SparkSession:
+ * stage boundaries become plain dataframe dependencies in `ref()` order
+ * (stg → {dim, fact(dim)} → weekly), and the publish stage — a BI
+ * cache sync in the reference — is a no-op because the Spark catalog is
+ * self-describing.
+ *
+ * Every model can optionally be materialized (the reference
+ * materializes all models as tables, `dbt_project.yml:6`); by default
+ * the run returns live DataFrames and lets the caller decide, since at
+ * scale re-materializing every intermediate doubles the I/O bill.
+ */
+object Pipeline {
+
+  final case class Run(
+      raw: DataFrame,
+      staging: DataFrame,
+      dim: DataFrame,
+      fact: DataFrame,
+      weekly: DataFrame) {
+    def qualityReport: Seq[CheckResult] =
+      DataQuality.referenceSuite(staging, dim, fact, weekly)
+  }
+
+  /** Run the full pipeline from landed documents (a directory of
+    * per-symbol JSON files). */
+  def fromDocuments(spark: SparkSession, docsPath: String): Run =
+    fromRaw(Ingest.readDocuments(spark, docsPath))
+
+  /** Run from an already-landed raw table (rawTable-shaped; multiple
+    * versions per symbol are merged U2-style first). */
+  def fromRaw(raw: DataFrame): Run = {
+    val merged = DocumentMerge.mergeIncremental(raw)
+    val stg = Staging.stgAlphavantage(merged)
+    val dim = Marts.dimStock(stg)
+    val fact = Marts.factStockPrices(stg, dim)
+    val weekly = Marts.aggWeeklyPrices(fact)
+    Run(merged, stg, dim, fact, weekly)
+  }
+
+  /** Materialize every model as a table, mirroring the reference's
+    * all-tables policy (`dbt_project.yml:6`). */
+  def materialize(run: Run, prefix: String = "marketpulse"): Unit = {
+    run.staging.write.mode("overwrite").saveAsTable(s"${prefix}_stg_alphavantage")
+    run.dim.write.mode("overwrite").saveAsTable(s"${prefix}_dim_stock")
+    run.fact.write.mode("overwrite").saveAsTable(s"${prefix}_fact_stock_prices")
+    run.weekly.write.mode("overwrite").saveAsTable(s"${prefix}_agg_weekly_prices")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dedupeKeepFirst keeps exactly the first row per key under the order") {
+    val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 9, "w"))
+      .toDF("k", "v", "payload")
+    val out = Relational.dedupeKeepFirst(df, Seq("k"), Seq(col("v").desc))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 3, "y"), ("b", 9, "w")))
+  }
+
+  test("upsert: source wins on matched keys, both sides' unmatched rows survive") {
+    val target = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val source = Seq(("b", 20), ("c", 30)).toDF("k", "v")
+    val out = Relational.upsert(target, source, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 1), ("b", 20), ("c", 30)))
+  }
+
+  test("flattenMap explodes inner-style: empty maps produce no rows") {
+    val df = Seq(
+      ("a", Map("x" -> 1, "y" -> 2)),
+      ("b", Map.empty[String, Int])).toDF("k", "m")
+    val out = Relational.flattenMap(df, col("m"), "mk", "mv", Seq(col("k")))
+    assert(out.count() == 2)
+    assert(out.filter(col("k") === "b").count() == 0)
+  }
+
+  test("topKPerGroup returns k rows per group in rank order with tiebreak") {
+    val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
+      .toDF("g", "v")
+    val out = Relational.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+    assert(out.filter(col("g") === "g1").count() == 2)
+    assert(out.filter(col("g") === "g2").count() == 1)
+    val top = out.filter(col("g") === "g1" && col("rn") === 1).collect().head
+    assert(top.getAs[Int]("v") == 9)
+  }
+}

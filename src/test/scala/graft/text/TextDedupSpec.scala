@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+class TextDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / normalize / fingerprint") {
+    val df = Seq((1L, "The  Fast   fox"), (2L, "the fast fox"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L)) // same after normalization
+    assert(fps(1L) != fps(3L))
+    val counts = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts.contains(3))
+  }
+
+  test("quality score favors diverse, low-stopword text") {
+    val df = Seq(
+      (1L, "the the the the"),           // all stopwords, repetitive
+      (2L, "quick brown fox jumps"))     // diverse, no stopwords
+      .toDF("doc_id", "text")
+    val scores = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(2L) == 1.0)
+    assert(scores(1L) < 0.3)
+  }
+
+  test("langId picks the language with most marker hits, deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "el perro y la casa de que y"))
+      .toDF("doc_id", "text")
+    val langs = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs(2L) == "es")
+  }
+
+  test("shingles: w-token windows; short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val df = Seq((1L, "same text here"), (2L, "SAME  text here"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("MinHash-LSH finds planted near-duplicates, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("SimHash: near-identical docs have small Hamming distance, unrelated large") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val hs = df.select(col("doc_id"), Dedup.simHash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) < 12)
+    assert(hamming(hs(1L), hs(3L)) > 16)
+  }
+}
