@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Exact._
+
+/**
+ * Structured Streaming ingest path (SURVEY §2.11 — a design addition:
+ * the reference is daily batch, so the constraint is that streaming
+ * results must equal the batch semantics on the same data).
+ *
+ * The file source streams the same parquet the batch path reads;
+ * downstream transforms are shared Column expressions, so batch/stream
+ * parity is by construction. Aggregations use the exact-decimal path —
+ * bit-identical totals regardless of micro-batch boundaries.
+ */
+object EventStream {
+
+  /** Read schema for the raw events parquet: `ts` arrives as INT64
+    * nanos (see [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet path. The file stream source
+    * requires a directory; a bare parquet file is exposed through a
+    * symlink in a temp directory. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(path)
+    val streamPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toString
+      } else path
+    spark.readStream.schema(rawSchema).parquet(streamPath)
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value", "props")
+  }
+
+  /** The shared (batch ≡ stream) hourly aggregation: tumbling 1-hour
+    * windows per event type with exact-decimal value sums. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("sum_value"))
+
+  /**
+   * Run the hourly aggregation as a real streaming query over the
+   * events parquet and return the final result: complete output mode
+   * into a memory sink, drained synchronously. Complete mode makes the
+   * final state equal to the batch aggregation — the oracle for this
+   * query is plain SQL.
+   */
+  def hourlyStats(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hourly"
+    spark.catalog.dropTempView(name)
+    val q = hourlyAgg(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // materialize: the memory sink table is mutable; copy out rows
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
+  /**
+   * Watermarked append-mode variant (the late-data contract): events
+   * later than `delay` behind the max seen timestamp are dropped;
+   * windows emit once finalized. The grouping key must be the window
+   * struct itself (not `.start` pre-extracted) so event-time tracking
+   * survives into append mode.
+   */
+  def hourlyAggWatermarked(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("sum_value"))
+      .select(col("window").getField("start").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

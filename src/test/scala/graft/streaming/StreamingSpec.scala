@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.marketpulse.{DocumentMerge, Fixtures, Ingest, Staging}
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly aggregation equals the batch aggregation") {
+    val streamed = EventStream.hourlyStats(spark, sf)
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val batch = EventStream.hourlyAgg(graft.sources.Tables.events(spark, sf))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermark drops events later than the allowed delay") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(ts: Timestamp, event_type: String, value: Double)
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDS().toDF("ts", "event_type", "value")
+    val name = "graft_wm_test"
+    spark.catalog.dropTempView(name)
+    val q = EventStream.hourlyAggWatermarked(events, "1 hour")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // hour-0 events, then an hour-4 event pushing the watermark to 03:00
+      ms.addData((t("2024-01-01 00:10:00"), "click", 1.0),
+        (t("2024-01-01 00:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 04:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      // hour-0 window is finalized (emitted); a late hour-0 event must be dropped
+      ms.addData((t("2024-01-01 00:30:00"), "click", 100.0))
+      q.processAllAvailable()
+      // force one more batch so any (incorrect) re-emission would surface
+      ms.addData((t("2024-01-01 06:00:00"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table(name)
+      .filter(col("hour_start") === t("2024-01-01 00:00:00")).collect()
+    assert(hour0.length == 1)
+    assert(hour0.head.getAs[Long]("n_events") == 2L) // late 100.0 event dropped
+    assert(hour0.head.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("stateful streaming U2 merge replay equals the batch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val oldV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapOld))
+      .withColumn("load_date", to_timestamp(lit("2025-10-02 00:00:00")))
+    val newV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapNew))
+      .withColumn("load_date", to_timestamp(lit("2025-10-03 00:00:00")))
+
+    val ms = MemoryStream[DocumentMergeStream.DocVersion]
+    ms.addData(DocumentMergeStream.toVersions(oldV).collect().toSeq)
+    ms.addData(DocumentMergeStream.toVersions(newV).collect().toSeq)
+    val merged = DocumentMergeStream.runToCompletion(spark, ms.toDS())
+
+    val batchMerged = DocumentMerge.mergeIncremental(oldV.unionByName(newV))
+    val batchSeries = Staging.stgAlphavantage(batchMerged)
+      .orderBy("trading_date")
+      .collect().map(r => (r.get(1).toString, r.getAs[Double]("open"))).toSeq
+
+    val streamSeries = merged.selectExpr("explode(series) AS (d, bar)")
+      .orderBy("d")
+      .collect().map(r => (r.getString(0), r.getStruct(1).getString(0).toDouble)).toSeq
+    assert(streamSeries == batchSeries)
+    assert(streamSeries.map(_._1) == Seq("2025-10-01", "2025-10-02", "2025-10-03"))
+    assert(streamSeries(1)._2 == 99.0) // restated by the newer version
+  }
+}
