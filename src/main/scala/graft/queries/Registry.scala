@@ -25,7 +25,7 @@ object Registry {
     * large-scale training-data extensions (text, dedup, similarity). */
   lazy val all: Seq[GraftQuery] =
     CoreQueries.all ++ MarketPulseQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
