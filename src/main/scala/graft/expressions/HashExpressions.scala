@@ -124,7 +124,35 @@ object HashExpressions {
     }
   }
 
+  /** Dot product of two array<double> columns in one fused loop.
+    * The `aggregate(zip_with(...))` formulation allocates a zipped
+    * array and interprets two lambdas per element; this is the hot
+    * inner op of every similarity-search pair evaluation. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
   def tokenShingles(tokens: Column, w: Int, distinct: Boolean): Column =
     toCol(TokenShingles(toExpr(tokens), w, distinct))

@@ -27,9 +27,10 @@ object Similarity {
   /** Element-wise float→double promotion (all scoring in double). */
   def toDoubleVec(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Sequential-fold dot product — deterministic summation order. */
+  /** Dot product — native expression, sequential summation order
+    * (deterministic bits; see [[graft.expressions.HashExpressions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.HashExpressions.dotProduct(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
