@@ -25,7 +25,8 @@ object Registry {
     * large-scale training-data extensions (text, dedup, similarity). */
   lazy val all: Seq[GraftQuery] =
     CoreQueries.all ++ MarketPulseQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
+      StorageQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
