@@ -62,6 +62,58 @@ object Relational {
     df.select(keep :+ explode(mapCol).as(Seq(keyName, valueName)): _*)
 
   /**
+   * As-of join: for each left row, attach the right row with the
+   * greatest order value ≤ the left row's order value, per key
+   * (inclusive match — the standard financial "latest tick at or
+   * before" semantics).
+   *
+   * Spark lacks the operator; rather than a custom SparkPlan, it
+   * composes optimally from built-ins: tag and union both sides, one
+   * hash shuffle + per-partition sort on (key, order), then
+   * last(ignoreNulls) carries each right value forward into subsequent
+   * left rows. Cost is the same single Exchange+Sort a native as-of
+   * merge join would need; no broadcast, no range explosion, and skew
+   * handling falls out of AQE because it's a plain window shape.
+   *
+   * (key, order) pairs must be unique on the right side for
+   * deterministic results (ties take the later row in sort order).
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftOrder: String, rightOrder: String,
+               rightValues: Seq[String]): DataFrame = {
+    val l = left.withColumn("__ord", col(leftOrder)).withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightOrder).as("__ord"), lit(0).as("__side")) ++
+        rightValues.map(col): _*)
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal __ord → inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightValues.foldLeft(combined) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ord", "__side")
+  }
+
+  /**
+   * Skew-resistant equi-join: the (skewed) left side is spread across
+   * `salt` sub-keys deterministically; the right side is replicated
+   * `salt` times. Semantically identical to a plain inner equi-join —
+   * the point is that one hot key becomes `salt` shuffle partitions
+   * instead of one straggler. Use when a key's row count ≫ the rest
+   * and AQE's skew split isn't available (e.g. non-AQE sinks).
+   */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     salt: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
    * Top-k rows per group under a total order. One shuffle on the group
    * keys; the rank filter is evaluated streaming inside the sorted
    * partition, so memory is O(partition), not O(k·groups) on the

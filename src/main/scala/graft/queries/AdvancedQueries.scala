@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact._
+import graft.ops.Relational
+import graft.sources.Tables
+
+/** Operators beyond the reference surface that a market/behavioral data
+  * engine needs at scale: as-of joins, skew-salted joins, gap-based
+  * sessionization. All oracle-backed. */
+object AdvancedQueries {
+
+  // ---- q19: as-of join — each purchase matched to the user's latest
+  //      click at or before it (ordered by the unique event_id) ----
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    Relational.asOfJoin(purchases, clicks,
+      keys = Seq("user_id"), leftOrder = "event_id", rightOrder = "click_event_id",
+      rightValues = Seq("click_event_id", "click_value"))
+      .select("user_id", "event_id", "purchase_value", "click_event_id", "click_value")
+  }
+
+  private val q19Oracle =
+    """SELECT p.user_id, p.event_id, p.value AS purchase_value,
+      |  c.event_id AS click_event_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.event_id >= c.event_id""".stripMargin
+
+  // ---- q20: salted skew join ≡ plain equi-join (the oracle IS the
+  //      plain join — salting must not change semantics) ----
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Relational.saltedEquiJoin(li, o, "l_orderkey", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumExact(dec(col("l_extendedprice"))).as("revenue"))
+  }
+
+  private val q20Oracle =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin
+
+  // ---- q21: gap-based sessionization (30-minute inactivity) ----
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n")).as("longest_session"),
+        sum(col("n")).as("total_events"))
+  }
+
+  private val q21Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |per AS (SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session, SUM(n) AS total_events
+      |FROM per GROUP BY user_id""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
+    GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
+    GraftQuery("q21_sessionize", q21, Some(q21Oracle), headline = true))
+}

@@ -24,9 +24,9 @@ object Registry {
     * MarketPulse pipeline re-expressed on the event stream, then the
     * large-scale training-data extensions (text, dedup, similarity). */
   lazy val all: Seq[GraftQuery] =
-    CoreQueries.all ++ MarketPulseQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
-      StorageQueries.all
+    CoreQueries.all ++ AdvancedQueries.all ++ MarketPulseQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
+      MultimodalQueries.all ++ StorageQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -33,6 +33,34 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("k") === "b").count() == 0)
   }
 
+  test("asOfJoin attaches the latest right row at or before each left row") {
+    val trades = Seq(("u1", 10, 100.0), ("u1", 20, 200.0), ("u2", 5, 50.0))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(("u1", 8, 1.0), ("u1", 15, 2.0), ("u1", 20, 3.0), ("u2", 9, 9.0))
+      .toDF("k", "qt", "quote")
+    val out = Relational.asOfJoin(trades, quotes, Seq("k"), "t", "qt", Seq("qt", "quote"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("t"),
+        Option(r.getAs[Any]("qt")), Option(r.getAs[Any]("quote"))))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("u1", 10, Some(8), Some(1.0)),   // latest quote ≤ 10
+      ("u1", 20, Some(20), Some(3.0)),  // inclusive: equal time matches
+      ("u2", 5, None, None)))           // no quote yet → left join nulls
+  }
+
+  test("saltedEquiJoin result equals the plain equi-join") {
+    val left = Seq.tabulate(100)(i => ("hot", i)) ++ Seq(("cold", 1), ("cold", 2))
+    val l = left.toDF("k", "v")
+    val r = Seq(("hot", "H"), ("cold", "C")).toDF("k", "tag")
+    val salted = Relational.saltedEquiJoin(l, r, "k", salt = 4)
+      .groupBy("k", "tag").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    val plain = l.join(r, Seq("k"))
+      .groupBy("k", "tag").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")
