@@ -44,6 +44,35 @@ object DataQuality {
     CheckResult("relationships", table, childCol, orphans.count())
   }
 
+  // ---- Lazy single-row report variants: each check as an aggregation
+  //      DataFrame, unioned into one report — nothing collects to the
+  //      driver, so a report over N checks is one job with N scans
+  //      (or fewer once the cache/scan-reuse kicks in). ----
+
+  def notNullDf(df: DataFrame, table: String, column: String): DataFrame =
+    df.agg(count(when(col(column).isNull, 1)).as("violations"))
+      .select(lit("not_null").as("check_name"), lit(table).as("tbl"),
+        lit(column).as("col"), col("violations"))
+
+  def uniqueDf(df: DataFrame, table: String, columns: Seq[String]): DataFrame =
+    df.groupBy(columns.map(col): _*).count().filter(col("count") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("unique").as("check_name"), lit(table).as("tbl"),
+        lit(columns.mkString("+")).as("col"), col("violations"))
+
+  def foreignKeyDf(child: DataFrame, childCol: String,
+                   parent: DataFrame, parentCol: String,
+                   table: String): DataFrame =
+    child.select(col(childCol)).filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol)), child(childCol) === parent(parentCol),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("relationships").as("check_name"), lit(table).as("tbl"),
+        lit(childCol).as("col"), col("violations"))
+
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+
   /** The reference's 8 declared tests over the four models, plus the
     * corrected composite check. Faithful per-column `unique` on
     * stg.trading_date is included and EXPECTED to fail on multi-symbol

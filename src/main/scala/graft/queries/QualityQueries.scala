@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quality.DataQuality
+import graft.sources.Tables
+
+/** The declarative data-quality surface run against the star schema —
+  * the engine's dbt-schema-test equivalent as one lazy report query. */
+object QualityQueries {
+
+  private def dq01(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    DataQuality.report(Seq(
+      DataQuality.notNullDf(orders, "orders", "o_custkey"),
+      DataQuality.notNullDf(lineitem, "lineitem", "l_quantity"),
+      DataQuality.uniqueDf(orders, "orders", Seq("o_orderkey")),
+      DataQuality.uniqueDf(lineitem, "lineitem", Seq("l_orderkey", "l_linenumber")),
+      DataQuality.foreignKeyDf(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+      DataQuality.foreignKeyDf(orders, "o_custkey", customer, "c_custkey", "orders")))
+  }
+
+  private val dq01Oracle =
+    """SELECT 'not_null' AS check_name, 'orders' AS tbl, 'o_custkey' AS col,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations
+      |UNION ALL SELECT 'not_null', 'lineitem', 'l_quantity',
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+      |UNION ALL SELECT 'unique', 'orders', 'o_orderkey',
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) t)
+      |UNION ALL SELECT 'unique', 'lineitem', 'l_orderkey+l_linenumber',
+      |  (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1) t)
+      |UNION ALL SELECT 'relationships', 'lineitem', 'l_orderkey',
+      |  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'relationships', 'orders', 'o_custkey',
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin
+
+  // ---- dq02: sketch-based profiling (rows-only: HLL/quantile sketches
+  //      are engine-specific by construction) ----
+  private def dq02(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
+    GraftQuery("dq02_sketch_profile", dq02, None))
+}

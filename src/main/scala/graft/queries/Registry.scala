@@ -26,7 +26,7 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     CoreQueries.all ++ AdvancedQueries.all ++ MarketPulseQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all ++ StorageQueries.all
+      MultimodalQueries.all ++ StorageQueries.all ++ QualityQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -56,6 +56,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(hour0.head.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("foreachBatch keyed upsert sink: staged overwrite, batch rows win") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft-upsert-").toString + "/t"
+    val ms = MemoryStream[(String, Int)]
+    val q = UpsertSink.keyedUpsertStream(ms.toDS().toDF("k", "v"), Seq("k"), target)
+    try {
+      ms.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      ms.addData(("b", 20), ("c", 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(target).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 1), ("b", 20), ("c", 30)))
+  }
+
   test("stateful streaming U2 merge replay equals the batch merge") {
     implicit val sqlCtx = spark.sqlContext
     val oldV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapOld))
