@@ -80,8 +80,32 @@ object SimilarityQueries {
       |  ROUND(MAX(nrm), 4) AS max_norm
       |FROM norms GROUP BY label""".stripMargin
 
+  // ---- sim04: embedding-cosine near-duplicate pairs (exact mode —
+  //      oracle-checkable; the LSH-bucketed mode is sim02's machinery) ----
+  private def sim04(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, dir), threshold = 0.3, dim = Dim)
+
+  private val sim04Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT id_a, id_b, SUM(xa * xb) AS dot FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      CAST(UNNEST(a.embedding) AS DOUBLE) AS xa,
+      |      CAST(UNNEST(b.embedding) AS DOUBLE) AS xb
+      |    FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) z
+      |  GROUP BY id_a, id_b)
+      |SELECT p.id_a, p.id_b, ROUND(p.dot / (na.nrm * nb.nrm), 4) AS cosine
+      |FROM pairs p
+      |JOIN norms na ON na.vec_id = p.id_a
+      |JOIN norms nb ON nb.vec_id = p.id_b
+      |WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, None, headline = true),
-    GraftQuery("sim03_label_stats", sim03, Some(sim03Oracle)))
+    GraftQuery("sim03_label_stats", sim03, Some(sim03Oracle)),
+    GraftQuery("sim04_embedding_near_dup", sim04, Some(sim04Oracle)))
 }

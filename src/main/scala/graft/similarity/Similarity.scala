@@ -76,6 +76,32 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs. Exact mode: all pairs with
+   * id_a < id_b and rounded cosine ≥ threshold — O(n²) scoring, right
+   * up to ~10⁵ vectors per partition-side. Bucketed mode (`bits` > 0):
+   * pairs restricted to a shared LSH bucket first — the sub-quadratic
+   * scale path, with recall governed by the bit count.
+   */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
+                   bits: Int = 0, scale: Int = 4): DataFrame = {
+    def side(n: String) = {
+      val s = vectors.select(col("id").as(s"id_$n"), toDoubleVec(col("vec")).as(s"vec_$n"))
+        .withColumn(s"norm_$n", l2Norm(col(s"vec_$n")))
+      if (bits > 0) s.withColumn("bucket", hyperplaneSignature(col(s"vec_$n"), dim, bits))
+      else s
+    }
+    val joined =
+      if (bits > 0) side("a").join(side("b"), Seq("bucket"))
+      else side("a").crossJoin(side("b"))
+    joined
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")), scale)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: queries join candidates only within
    * their signature bucket. Returns the same schema as bruteForceTopK;
    * recall < 1 by construction (bucket boundaries), cost ~ bucket sizes.
