@@ -91,8 +91,25 @@ object AdvancedQueries {
       |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session, SUM(n) AS total_events
       |FROM per GROUP BY user_id""".stripMargin
 
+  // ---- q22: the SQL surface — ONE query text executed verbatim by
+  //      both spark.sql (over temp views) and the DuckDB oracle ----
+  private val q22Sql =
+    """SELECT o.o_orderpriority, c.c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderstatus = 'O'
+      |GROUP BY o.o_orderpriority, c.c_mktsegment""".stripMargin
+
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(q22Sql)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
-    GraftQuery("q21_sessionize", q21, Some(q21Oracle), headline = true))
+    GraftQuery("q21_sessionize", q21, Some(q21Oracle), headline = true),
+    GraftQuery("q22_sql_surface", q22, Some(q22Sql)))
 }

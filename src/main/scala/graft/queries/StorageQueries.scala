@@ -34,6 +34,40 @@ object StorageQueries {
       |  concat('docs/', lang) AS storage_key
       |FROM documents WHERE lang IN ('en','de') GROUP BY lang""".stripMargin
 
+  /** Write both join sides bucketed+sorted on the join key and return
+    * the co-located join — at scale this is THE way to make a repeated
+    * fact-fact join shuffle-free (bucket pruning + no Exchange).
+    * Exposed for the spec, which asserts the plan has no shuffle. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    Tables.orders(spark, dir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    Tables.customer(spark, dir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_customer")
+    val o = spark.table("graft_bkt_orders")
+    val c = spark.table("graft_bkt_customer")
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+  }
+
+  // ---- io02: bucketed co-located join (no exchange on either side) ----
+  private def io02(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    bucketedJoin(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(dec(col("o_totalprice"))).as("revenue"))
+  }
+
+  private val io02Oracle =
+    """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)))
+    GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
+    GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)))
 }

@@ -80,6 +80,34 @@ object TextQueries {
       col("doc_id"),
       Dedup.simHash64(col("text")).as("simhash"))
 
+  // ---- tx08: n-gram Jaccard between consecutive doc ids — validates
+  //      the shingle/Jaccard machinery against an independent
+  //      implementation (DuckDB list functions). Exact: int sizes →
+  //      one double division, bit-identical on both engines. ----
+  private def tx08(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val a = d.select(col("doc_id").as("id_a"),
+      Dedup.shingleSet(col("text")).as("sh_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      Dedup.shingleSet(col("text")).as("sh_b"))
+    a.join(b, Seq("id_a"))
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  private val tx08Oracle =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |WHERE len(a.s) > 0 AND len(b.s) > 0""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -87,5 +115,6 @@ object TextQueries {
     GraftQuery("tx04_dedup_exact", tx04, Some(tx04Oracle)),
     GraftQuery("tx05_langid", tx05, None),
     GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true),
-    GraftQuery("tx07_simhash", tx07, None))
+    GraftQuery("tx07_simhash", tx07, None),
+    GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)))
 }
