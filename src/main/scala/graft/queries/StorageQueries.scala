@@ -39,8 +39,15 @@ object StorageQueries {
     * fact-fact join shuffle-free (bucket pruning + no Exchange).
     * Exposed for the spec, which asserts the plan has no shuffle. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    // DROP TABLE clears only this session's in-memory catalog; a table
+    // directory left by an earlier session must be removed physically
+    // or saveAsTable refuses the location
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     Tables.orders(spark, dir)
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("graft_bkt_orders")
