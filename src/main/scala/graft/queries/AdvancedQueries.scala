@@ -107,9 +107,72 @@ object AdvancedQueries {
     spark.sql(q22Sql)
   }
 
+  // ---- q23: native session_window operator (gap-merged sessions per
+  //      user); oracle recomputes sessions with the windowed-cumsum
+  //      formulation over the same microsecond timeline ----
+  private def q23(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
+  private val q23Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, tus,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  // ---- q24: pivot (conditional aggregation in oracle terms) ----
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
+  private val q24Oracle =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---- q25: INTERSECT / EXCEPT set operators ----
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val high = o.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+    urgent.intersect(open).except(high)
+  }
+
+  private val q25Oracle =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
     GraftQuery("q21_sessionize", q21, Some(q21Oracle), headline = true),
-    GraftQuery("q22_sql_surface", q22, Some(q22Sql)))
+    GraftQuery("q22_sql_surface", q22, Some(q22Sql)),
+    GraftQuery("q23_session_window", q23, Some(q23Oracle)),
+    GraftQuery("q24_pivot", q24, Some(q24Oracle)),
+    GraftQuery("q25_setops", q25, Some(q25Oracle)))
 }
