@@ -107,5 +107,9 @@ object SimilarityQueries {
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, None, headline = true),
     GraftQuery("sim03_label_stats", sim03, Some(sim03Oracle)),
-    GraftQuery("sim04_embedding_near_dup", sim04, Some(sim04Oracle)))
+    GraftQuery("sim04_embedding_near_dup", sim04, Some(sim04Oracle)),
+    GraftQuery("sim05_ivf_ann",
+      (s, d) => Similarity.ivfTopK(emb(s, d), queriesDf(s, d), k = 5)
+        .select("query_id", "cand_id", "cosine", "rank"),
+      None, headline = true))
 }

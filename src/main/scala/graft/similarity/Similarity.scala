@@ -102,6 +102,63 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * (seeded, deterministic) partitions candidates into `nCells` cells;
+   * each query probes only its `nProbe` nearest cells. The classic
+   * trade: cost drops from O(N) to O(N·nProbe/nCells) per query,
+   * recall grows with nProbe. Cells are materialized as a plain
+   * (cell, id, vec) table, so at scale the probe is a partition-pruned
+   * scan — the same layout trick as io01, applied to vector search.
+   */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, scale: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val train = cand.select(array_to_vector(col("cvec")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+
+    // assign candidates to their nearest cell (euclidean, like the model)
+    def nearestCells(vecCol: Column, n: Int, out: String): DataFrame => DataFrame = df => {
+      val withDist = df.crossJoin(broadcast(centDf))
+        .withColumn("dist",
+          aggregate(zip_with(vecCol, col("centroid"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+      graft.ops.Relational.topKPerGroup(withDist,
+        Seq(out), Seq(col("dist"), col("cell")), n, rankName = "__cr")
+        .drop("__cr", "dist", "centroid")
+    }
+
+    val celledCand = nearestCells(col("cvec"), 1, "cand_id")(cand)
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val probedQ = nearestCells(col("qvec"), nProbe, "query_id")(q)
+
+    val scored = celledCand.join(broadcast(probedQ), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
+          .as("cosine"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("cosine")).as("cosine")) // a pair may meet in several probed cells
+    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: queries join candidates only within
    * their signature bucket. Returns the same schema as bruteForceTopK;
    * recall < 1 by construction (bucket boundaries), cost ~ bucket sizes.

@@ -35,6 +35,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!out.map(_.getAs[Long]("cand_id")).contains(0L))
   }
 
+  test("IVF top-k on real embeddings: valid scores, measured recall vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ivf.size <= 50 && ivf.nonEmpty)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // unclustered random vectors are LSH/IVF's worst case; still expect
+    // a sane fraction of the exact set from probing half the cells
+    assert(recall > 0.2, s"recall $recall")
+  }
+
   test("LSH top-k returns a subset of the exact ranking with true cosines") {
     val df = vecs.toDF("id", "vec")
     val q = df.filter(col("id") === 0L)
