@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.marketpulse.{Ingest, Marts, Pipeline, Schemas, Staging}
+
+/**
+ * The reference's whole DAG as a continuous pipeline: a stream of raw
+ * provider documents (e.g. landed JSON payloads) flows through the U1
+ * upsert into a keyed raw store, and every micro-batch refreshes the
+ * downstream models (staging → dim → fact → weekly) from the updated
+ * store — the streaming counterpart of `marketpulse.Pipeline`, built
+ * from the SAME transform functions, so batch/stream parity is by
+ * construction.
+ *
+ * foreachBatch (not a chained streaming agg) is the right shape here:
+ * the models re-derive from the whole upserted store, exactly like the
+ * reference's full CTAS rebuild per run (`dbt_project.yml:6`) — except
+ * incremental per micro-batch instead of daily. At scale the rebuild
+ * narrows to the touched symbols' partitions because the store is
+ * keyed (partitioned) by symbol.
+ */
+object StreamingPipeline {
+
+  /** Parse a stream of raw JSON document strings (column `json`) into
+    * rawTable shape. */
+  def parseDocStream(docs: DataFrame): DataFrame = {
+    val parsed = docs.select(from_json(col("json"), Schemas.rawDocument).as("data"))
+      .filter(col("data").getField(Schemas.SeriesKey).isNotNull)
+    val metaSymbol = col("data").getField(Schemas.MetaKey).getItem(Schemas.MetaSymbolKey)
+    val canonical = Schemas.canonicalSymbols.foldLeft(metaSymbol) {
+      case (expr, (provider, canon)) => when(metaSymbol === provider, canon).otherwise(expr)
+    }
+    parsed.select(canonical.as("symbol"), col("data"),
+      current_timestamp().as("load_date"))
+  }
+
+  /**
+   * Run the continuous pipeline: upsert each micro-batch of documents
+   * into `storePath` (staged overwrite), then materialize the model
+   * outputs as temp views (`prefix`_stg/_dim/_fact/_weekly) for
+   * downstream consumers. Returns the started query.
+   */
+  def run(docStream: DataFrame, storePath: String,
+          prefix: String = "mp_live"): StreamingQuery = {
+    val raw = parseDocStream(docStream)
+    // foreachBatch hands over a CLONED session; temp views must go on
+    // the original session for consumers to see them
+    val owner = docStream.sparkSession
+    raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+          val target = spark.read.schema(Schemas.rawTable).parquet(storePath)
+          graft.ops.Relational.upsert(target, batch, Seq("symbol"))
+        } else batch
+      UpsertSink.stagedOverwrite(merged, storePath)
+
+      val store = owner.read.schema(Schemas.rawTable).parquet(storePath)
+      val run = Pipeline.fromRaw(store)
+      run.staging.createOrReplaceTempView(s"${prefix}_stg")
+      run.dim.createOrReplaceTempView(s"${prefix}_dim")
+      run.fact.createOrReplaceTempView(s"${prefix}_fact")
+      run.weekly.createOrReplaceTempView(s"${prefix}_weekly")
+    }.start()
+  }
+}

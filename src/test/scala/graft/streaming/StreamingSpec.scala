@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(("a", 1), ("b", 20), ("c", 30)))
   }
 
+  test("continuous pipeline: streamed documents refresh the full model DAG") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-pipe-").toString + "/raw"
+    val ms = MemoryStream[String]
+    val q = StreamingPipeline.run(ms.toDS().toDF("json"), store, prefix = "sp_test")
+    try {
+      ms.addData(Fixtures.aapl)
+      q.processAllAvailable()
+      assert(spark.table("sp_test_stg").count() == 10)
+      assert(spark.table("sp_test_dim").count() == 1)
+      // second batch: another symbol arrives; whole DAG refreshes
+      ms.addData(Fixtures.v)
+      q.processAllAvailable()
+      assert(spark.table("sp_test_stg").count() == 12)
+      val dim = spark.table("sp_test_dim").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(dim.keySet == Set("AAPL", "V"))
+      assert(dim("V") == "Unknown Company") // quirks survive streaming too
+      assert(spark.table("sp_test_weekly").count() > 0)
+    } finally q.stop()
+  }
+
   test("stateful streaming U2 merge replay equals the batch merge") {
     implicit val sqlCtx = spark.sqlContext
     val oldV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapOld))
