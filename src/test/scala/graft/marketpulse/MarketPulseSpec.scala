@@ -67,6 +67,20 @@ class MarketPulseSpec extends AnyFunSuite with SparkSpec {
     assert(rows("2025-10-06") == 108.0) // avg(106..110)
   }
 
+  test("quirk §2.13.5: percent_change is rounded to 2dp BEFORE weekly averaging") {
+    // one week, two days: raw pcts 1/3% and 2/3% round to 0.33/0.67 →
+    // avg 0.5 exactly; avg-then-round of the raw ratios would give
+    // 0.5000000000000001-ish — the quantized average is the contract
+    val doc = Fixtures.doc("AAPL", "2025-10-07", Seq(
+      "2025-10-06" -> Fixtures.bar("300.0", "302.0", "299.0", "301.0", "100"),
+      "2025-10-07" -> Fixtures.bar("300.0", "303.0", "299.0", "302.0", "100")))
+    val weekly = run(doc).weekly.collect().head
+    val fact = run(doc).fact.orderBy("trading_date").collect()
+    assert(fact(0).getAs[Double]("percent_change") == 0.33)
+    assert(fact(1).getAs[Double]("percent_change") == 0.67)
+    assert(weekly.getAs[Double]("avg_percent_change") == 0.5)
+  }
+
   test("U2 merge: last writer wins per date; union of dates; meta clobber") {
     // order versions by explicit load_date (old first)
     val old = ingest(Fixtures.overlapOld).withColumn("load_date",
