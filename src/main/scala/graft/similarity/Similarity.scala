@@ -120,8 +120,10 @@ object Similarity {
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
     val train = cand.select(array_to_vector(col("cvec")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .fit(train)
+    // a coarse quantizer only needs rough cells, not convergence —
+    // a handful of Lloyd iterations; recall comes from nProbe
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").fit(train)
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
