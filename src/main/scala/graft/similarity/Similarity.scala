@@ -55,9 +55,20 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
           .as("cosine"))
-    Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregator: partial top-k
+    * happens map-side, so only k rows per partition per query reach the
+    * shuffle — the scale-correct shape for ANN (a rank window would
+    * shuffle every scored pair). Ordering matches topKPerGroup:
+    * (cosine desc, cand_id asc), rank 1-based. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("cosine"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair._2").as("cand_id"),
+        col("pair._1").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /**
    * Deterministic random-hyperplane signatures: `bits` hyperplanes with
@@ -180,7 +191,6 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
           .as("cosine"))
-    Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+    rankTopK(scored, k)
   }
 }
