@@ -167,6 +167,59 @@ object AdvancedQueries {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin
 
+  // ---- q26: TPC-H Q3-shaped shipping priority (selective multi-join +
+  //      agg + deterministic top-10) ----
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumExact(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q26Oracle =
+    """SELECT l.l_orderkey,
+      |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+      |  o.o_orderpriority,
+      |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  // ---- q27: CUBE over two dimensions with coalesced labels ----
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+
+  private val q27Oracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -174,5 +227,7 @@ object AdvancedQueries {
     GraftQuery("q22_sql_surface", q22, Some(q22Sql)),
     GraftQuery("q23_session_window", q23, Some(q23Oracle)),
     GraftQuery("q24_pivot", q24, Some(q24Oracle)),
-    GraftQuery("q25_setops", q25, Some(q25Oracle)))
+    GraftQuery("q25_setops", q25, Some(q25Oracle)),
+    GraftQuery("q26_shipping_priority", q26, Some(q26Oracle), headline = true),
+    GraftQuery("q27_cube", q27, Some(q27Oracle)))
 }
