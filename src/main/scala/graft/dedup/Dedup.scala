@@ -129,4 +129,40 @@ object Dedup {
    */
   def simHash64(text: Column): Column =
     graft.expressions.HashExpressions.simhash64(TextAnalysis.tokens(text))
+
+  /**
+   * SimHash near-duplicate pairs via bit-band LSH: the 64-bit
+   * fingerprint splits into `bands` contiguous chunks; a pair whose
+   * Hamming distance is d < bands must agree exactly on at least one
+   * band (pigeonhole), so banding finds ALL pairs with d < bands and
+   * the Hamming filter then applies the real threshold. Same
+   * narrow-join shape as MinHash LSH: only (id, band, chunk) rows
+   * shuffle; fingerprints re-join per candidate.
+   */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val width = 64 / bands
+    val base = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val banded = base.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.HashExpressions.hamming64(col("sh_a"), col("sh_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

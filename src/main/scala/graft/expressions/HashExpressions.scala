@@ -124,6 +124,19 @@ object HashExpressions {
     }
   }
 
+  /** Hamming distance between two 64-bit fingerprints (popcount of
+    * XOR) — the SimHash near-dup comparator. */
+  case class HammingDistance64(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hamming64"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance64 =
+      copy(left = l, right = r)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Integer.valueOf(
+        java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]))
+  }
+
   /** Dot product of two array<double> columns in one fused loop.
     * The `aggregate(zip_with(...))` formulation allocates a zipped
     * array and interprets two lambdas per element; this is the hot
@@ -153,6 +166,9 @@ object HashExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  def hamming64(a: Column, b: Column): Column =
+    toCol(HammingDistance64(toExpr(a), toExpr(b)))
 
   def tokenShingles(tokens: Column, w: Int, distinct: Boolean): Column =
     toCol(TokenShingles(toExpr(tokens), w, distinct))

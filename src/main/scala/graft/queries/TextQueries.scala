@@ -116,5 +116,9 @@ object TextQueries {
     GraftQuery("tx05_langid", tx05, None),
     GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true),
     GraftQuery("tx07_simhash", tx07, None),
-    GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)))
+    GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)),
+    GraftQuery("tx09_simhash_near_dup",
+      (s, d) => Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 6, bands = 8),
+      None))
 }

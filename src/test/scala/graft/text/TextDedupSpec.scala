@@ -69,6 +69,16 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("SimHash LSH finds planted near-duplicates via bit-band candidates") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(df, "doc_id", "text", maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("SimHash: near-identical docs have small Hamming distance, unrelated large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
