@@ -80,7 +80,7 @@ object Similarity {
     val planes: Seq[Array[Double]] =
       Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val bitExprs = planes.zipWithIndex.map { case (h, i) =>
-      val hl = array(h.map(lit): _*)
+      val hl = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(h.map(lit)): _*)
       when(dot(vec, hl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitExprs.reduce(_ bitwiseOR _)
