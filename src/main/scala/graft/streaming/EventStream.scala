@@ -75,6 +75,24 @@ object EventStream {
   }
 
   /**
+   * Streaming sessionization: gap-merged session windows per user with
+   * a watermark bounding state. Update mode emits the session's current
+   * aggregate every trigger; consumers keep the newest row per
+   * (user_id, session_start). Batch-running the same expression equals
+   * the batch sessionization (asserted by the spec).
+   */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /**
    * Watermarked append-mode variant (the late-data contract): events
    * later than `delay` behind the max seen timestamp are dropped;
    * windows emit once finalized. The grouping key must be the window

@@ -72,6 +72,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(("a", 1), ("b", 20), ("c", 30)))
   }
 
+  test("streaming session windows: update-mode replay equals batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1.0),
+      (1L, t("2024-01-01 00:10:00"), 2.0),  // same session (10 min gap)
+      (1L, t("2024-01-01 01:00:00"), 3.0),  // new session (50 min gap)
+      (2L, t("2024-01-01 00:05:00"), 4.0))
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val name = "graft_sess_test"
+    spark.catalog.dropTempView(name)
+    val stream = ms.toDS().toDF("user_id", "ts", "value")
+    // session-window streaming aggregations support APPEND only:
+    // sessions emit once the watermark passes them. A far-future
+    // sentinel event advances the watermark so every real session
+    // finalizes before we read the sink.
+    val q = EventStream.sessionAgg(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    try {
+      rows.grouped(2).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData((99L, t("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      ms.addData((99L, t("2024-01-02 12:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).filter(col("user_id") < 99)
+      .orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventStream.sessionAgg(rows.toDF("user_id", "ts", "value"))
+      .orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3) // u1 two sessions + u2 one
+    assert(streamed(0)._3 == 2L && streamed(0)._4 == 3.0) // merged session
+  }
+
   test("continuous pipeline: streamed documents refresh the full model DAG") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft-pipe-").toString + "/raw"
