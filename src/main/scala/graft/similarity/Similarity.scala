@@ -130,9 +130,13 @@ object Similarity {
     val cand = candidates
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
+    // a coarse quantizer only needs rough cells from a sample, not a
+    // converged clustering of the full set — recall comes from nProbe.
+    // The seeded sample keeps centroid training O(sample), independent
+    // of corpus size.
     val train = cand.select(array_to_vector(col("cvec")).as("features"))
-    // a coarse quantizer only needs rough cells, not convergence —
-    // a handful of Lloyd iterations; recall comes from nProbe
+      .sample(withReplacement = false, 0.5, seed)
+      .limit(4096)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
 
