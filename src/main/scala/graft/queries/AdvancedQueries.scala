@@ -88,7 +88,8 @@ object AdvancedQueries {
       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM marked),
       |per AS (SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
-      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session, SUM(n) AS total_events
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session,
+      |  CAST(SUM(n) AS BIGINT) AS total_events
       |FROM per GROUP BY user_id""".stripMargin
 
   // ---- q22: the SQL surface — ONE query text executed verbatim by

@@ -51,7 +51,7 @@ object MarketPulseQueries {
        |SELECT event_type, CAST(CAST(date_trunc('week', CAST(day AS DATE)) AS DATE) AS VARCHAR) AS week_start,
        |  COUNT(*) AS n_days,
        |  CAST(ROUND(SUM(CAST(close AS DECIMAL(12,2))), 2) AS DOUBLE) / COUNT(close) AS avg_close,
-       |  SUM(volume) AS volume,
+       |  CAST(SUM(volume) AS BIGINT) AS volume,
        |  arg_min(open, day) AS week_open,
        |  arg_max(close, day) AS week_close,
        |  (arg_max(close, day) - arg_min(open, day)) / NULLIF(arg_min(open, day), 0) * 100.0 AS weekly_pct

@@ -30,7 +30,7 @@ object StorageQueries {
   }
 
   private val io01Oracle =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  concat('docs/', lang) AS storage_key
       |FROM documents WHERE lang IN ('en','de') GROUP BY lang""".stripMargin
 

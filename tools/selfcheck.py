@@ -66,6 +66,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             failures += 1
             continue
+        # dtype-kind strictness: the driver hashes values, and an int64
+        # column vs a float64 column (e.g. DuckDB SUM(int) -> HUGEINT ->
+        # float64) hash-mismatches even when == holds cell-by-cell.
+        kind_bad = [
+            (c, s[c].dtype, d[c].dtype)
+            for c in s.columns
+            if s[c].dtype.kind != d[c].dtype.kind
+        ]
+        if kind_bad:
+            c, sk, dk = kind_bad[0]
+            print(f"FAIL {name}: dtype mismatch col={c} spark={sk} duck={dk}")
+            failures += 1
+            continue
         bad = None
         for ci, c in enumerate(s.columns):
             sv, dv = s[c].tolist(), d[c].tolist()
