@@ -39,16 +39,23 @@ object Bench {
         try q.run(spark, warmDir).count()
         catch { case _: Throwable => () })
     }
+    // Median of 3 samples per query: a single sample can't distinguish
+    // a real regression from machine jitter (round-over-round deltas up
+    // to 1.37× were observed on identical code).
+    val samples = 3
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ts = Seq.fill(samples) {
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> ts(samples / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.marketpulse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,17 +22,17 @@ object Ingest {
   private def valid(df: DataFrame): DataFrame =
     df.filter(col("data").getField(Schemas.SeriesKey).isNotNull)
 
-  private def withSymbolAndLoadDate(parsed: DataFrame): DataFrame = {
+  private def withSymbolAndLoadDate(parsed: DataFrame, loadDate: Column): DataFrame = {
     // merge key = document's own metadata symbol (minio_to_snowflake.py:62),
     // mapped back through the provider-alias table to its canonical form
     val metaSymbol = col("data").getField(Schemas.MetaKey).getItem(Schemas.MetaSymbolKey)
     val canonical = Schemas.canonicalSymbols.foldLeft(metaSymbol) {
       case (expr, (provider, canon)) => when(metaSymbol === provider, canon).otherwise(expr)
     }
-    valid(parsed).select(
+    valid(parsed.withColumn("__load_date", loadDate)).select(
       canonical.as("symbol"),
       col("data"),
-      current_timestamp().as("load_date"))
+      col("__load_date").as("load_date"))
   }
 
   /** Read landed documents from a directory of whole-file JSON docs
@@ -42,12 +42,21 @@ object Ingest {
   def readDocuments(spark: SparkSession, path: String): DataFrame =
     withSymbolAndLoadDate(
       spark.read.option("multiLine", true).schema(Schemas.rawDocument).json(path)
-        .select(struct(col(s"`${Schemas.MetaKey}`"), col(s"`${Schemas.SeriesKey}`")).as("data")))
+        .select(struct(col(s"`${Schemas.MetaKey}`"), col(s"`${Schemas.SeriesKey}`")).as("data")),
+      current_timestamp())
+
+  /** Parse a frame holding raw document strings in `jsonCol` into the
+    * rawTable shape. `loadDate` may reference other columns of `docs`
+    * (e.g. a per-version fetch timestamp) — this is the shared seam for
+    * the batch, streaming, and test ingest paths. */
+  def parseDocumentFrame(docs: DataFrame, jsonCol: Column,
+                         loadDate: Column = current_timestamp()): DataFrame =
+    withSymbolAndLoadDate(
+      docs.withColumn("data", from_json(jsonCol, Schemas.rawDocument)), loadDate)
 
   /** Parse documents already in memory (tests, streaming payloads). */
   def parseDocuments(spark: SparkSession, docs: Seq[String]): DataFrame = {
     import spark.implicits._
-    withSymbolAndLoadDate(
-      docs.toDF("json").select(from_json(col("json"), Schemas.rawDocument).as("data")))
+    parseDocumentFrame(docs.toDF("json"), col("json"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.marketpulse.{Ingest, Marts, Pipeline, Schemas, Staging}
+import graft.marketpulse.{Ingest, Pipeline, Schemas}
 
 /**
  * The reference's whole DAG as a continuous pipeline: a stream of raw
@@ -25,17 +25,10 @@ import graft.marketpulse.{Ingest, Marts, Pipeline, Schemas, Staging}
 object StreamingPipeline {
 
   /** Parse a stream of raw JSON document strings (column `json`) into
-    * rawTable shape. */
-  def parseDocStream(docs: DataFrame): DataFrame = {
-    val parsed = docs.select(from_json(col("json"), Schemas.rawDocument).as("data"))
-      .filter(col("data").getField(Schemas.SeriesKey).isNotNull)
-    val metaSymbol = col("data").getField(Schemas.MetaKey).getItem(Schemas.MetaSymbolKey)
-    val canonical = Schemas.canonicalSymbols.foldLeft(metaSymbol) {
-      case (expr, (provider, canon)) => when(metaSymbol === provider, canon).otherwise(expr)
-    }
-    parsed.select(canonical.as("symbol"), col("data"),
-      current_timestamp().as("load_date"))
-  }
+    * rawTable shape — same validity/alias/load-date semantics as the
+    * batch path, by construction. */
+  def parseDocStream(docs: DataFrame): DataFrame =
+    Ingest.parseDocumentFrame(docs, col("json"))
 
   /**
    * Run the continuous pipeline: upsert each micro-batch of documents

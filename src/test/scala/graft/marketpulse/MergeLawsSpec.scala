@@ -1,7 +1,6 @@
 package graft.marketpulse
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -33,12 +32,16 @@ class MergeLawsSpec extends AnyFunSuite with SparkSpec {
   private def sampleDocs(seed: Long, n: Int): Seq[String] =
     Gen.listOfN(n, docGen).pureApply(Gen.Parameters.default, Seed(seed))
 
-  /** Parse docs and attach distinct, order-preserving load_dates. */
-  private def versions(docs: Seq[String]): DataFrame =
-    Ingest.parseDocuments(spark, docs).withColumn("load_date",
+  /** Parse docs and attach distinct, order-preserving load_dates —
+    * derived from the driver-side index, so no global window is needed. */
+  private def versions(docs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Ingest.parseDocumentFrame(
+      docs.zipWithIndex.toDF("json", "idx"),
+      col("json"),
       to_timestamp(concat(lit("2025-10-01 00:00:"),
-        lpad((row_number().over(Window.orderBy(monotonically_increasing_id())) % 60)
-          .cast("string"), 2, "0"))))
+        lpad((col("idx") % 60).cast("string"), 2, "0"))))
+  }
 
   test("merge conservation: one row per symbol, union of dates preserved") {
     for (seed <- 1L to 15L) {
