@@ -50,12 +50,61 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
-  // ---- sim02: LSH-bucketed approximate top-3 (rows-only: recall is
-  //      defined by the bucketing, not expressible in portable SQL) ----
+  /**
+   * DuckDB SQL computing the same seeded hyperplane bucket as
+   * [[Similarity.hyperplaneSignature]]: each ±1 plane renders as an
+   * explicit +/- term chain over the double-cast elements, so the
+   * addition order matches the native DotProduct's sequential fold
+   * bit-for-bit (x·(+1.0)=x and a+(−x)=a−x are exact in IEEE).
+   */
+  private def sigCte(bits: Int): String = {
+    val bitSql = Similarity.hyperplanes(Dim, bits).zipWithIndex.map { case (h, i) =>
+      val dot = h.zipWithIndex.map { case (w, j) =>
+        val sign = if (w > 0) "+" else "-"
+        s" $sign CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString
+      s"CASE WHEN (0.0$dot) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"sig AS (SELECT vec_id, ($bitSql) AS bucket FROM embeddings)"
+  }
+
+  private val normsCte =
+    """norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id)""".stripMargin
+
+  // ---- sim02: LSH-bucketed approximate top-3; the oracle recomputes
+  //      the identical seeded signatures from generated plane literals ----
   private def sim02(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(emb(spark, dir), queriesDf(spark, dir), k = 3, dim = Dim,
       bits = 6)
       .select("query_id", "cand_id", "cosine", "rank")
+
+  private val sim02Oracle =
+    s"""WITH ${sigCte(6)},
+       |$normsCte,
+       |pairs AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM embeddings q
+       |    JOIN sig sq ON sq.vec_id = q.vec_id
+       |    JOIN sig sc ON sc.bucket = sq.bucket
+       |    JOIN embeddings c ON c.vec_id = sc.vec_id
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+       |  GROUP BY query_id, cand_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id, ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+       |  FROM pairs p
+       |  JOIN norms nq ON nq.vec_id = p.query_id
+       |  JOIN norms nc ON nc.vec_id = p.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
 
   // ---- sim03: per-label vector statistics ----
   private def sim03(spark: SparkSession, dir: String): DataFrame =
@@ -103,13 +152,42 @@ object SimilarityQueries {
       |JOIN norms nb ON nb.vec_id = p.id_b
       |WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin
 
+  // ---- sim06: the sub-quadratic near-dup SCALE path (bucketed mode of
+  //      the same function behind sim04): pairs restricted to a shared
+  //      4-bit hyperplane bucket before scoring — O(Σ bucket²) instead
+  //      of O(n²). The oracle recomputes the identical buckets, so this
+  //      entry is exact, not rows-only. ----
+  private def sim06(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, dir), threshold = 0.3, dim = Dim, bits = 4)
+
+  private val sim06Oracle =
+    s"""WITH ${sigCte(4)},
+       |$normsCte,
+       |pairs AS (
+       |  SELECT id_a, id_b, SUM(xa * xb) AS dot FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      CAST(UNNEST(a.embedding) AS DOUBLE) AS xa,
+       |      CAST(UNNEST(b.embedding) AS DOUBLE) AS xb
+       |    FROM embeddings a
+       |    JOIN sig sa ON sa.vec_id = a.vec_id
+       |    JOIN sig sb ON sb.bucket = sa.bucket
+       |    JOIN embeddings b ON b.vec_id = sb.vec_id
+       |    WHERE a.vec_id < b.vec_id) z
+       |  GROUP BY id_a, id_b)
+       |SELECT p.id_a, p.id_b, ROUND(p.dot / (na.nrm * nb.nrm), 4) AS cosine
+       |FROM pairs p
+       |JOIN norms na ON na.vec_id = p.id_a
+       |JOIN norms nb ON nb.vec_id = p.id_b
+       |WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
-    GraftQuery("sim02_lsh_ann", sim02, None, headline = true),
+    GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
     GraftQuery("sim03_label_stats", sim03, Some(sim03Oracle)),
     GraftQuery("sim04_embedding_near_dup", sim04, Some(sim04Oracle)),
     GraftQuery("sim05_ivf_ann",
       (s, d) => Similarity.ivfTopK(emb(s, d), queriesDf(s, d), k = 5)
         .select("query_id", "cand_id", "cosine", "rank"),
-      None, headline = true))
+      None, headline = true),
+    GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)))
 }

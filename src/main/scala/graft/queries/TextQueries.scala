@@ -62,12 +62,35 @@ object TextQueries {
       |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper
       |FROM documents GROUP BY 1""".stripMargin
 
-  // ---- tx05: heuristic language-ID (not SQL-expressible → rows-only) ----
+  // ---- tx05: heuristic language-ID. The oracle is generated from the
+  //      SAME marker lists as the Spark expression; the (score, lang)
+  //      lexicographic-max tie-break becomes a CASE that tests languages
+  //      in descending name order. ----
   private def tx05(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("predicted_lang"),
       TextAnalysis.langIdScored(col("text")).getField("score").as("marker_hits"))
+
+  private val tx05Oracle: String = {
+    val markers = TextAnalysis.LangMarkers
+    val scoreCols = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(str_split(text, ' '), t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val greatest = markers.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+    // ties resolve to the lexicographically largest language name —
+    // mirroring array_max over struct(score, lang)
+    val byNameDesc = markers.map(_._1).sorted(Ordering[String].reverse)
+    val winner = byNameDesc.init.map(l => s"WHEN s_$l = m THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${byNameDesc.last}' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, lang, $winner AS predicted_lang, m AS marker_hits
+       |FROM (SELECT *, $greatest AS m FROM s) t""".stripMargin
+  }
 
   // ---- tx06: MinHash-LSH near-duplicate pairs (rows-only) ----
   private def tx06(spark: SparkSession, dir: String): DataFrame =
@@ -113,7 +136,7 @@ object TextQueries {
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
     GraftQuery("tx03_fingerprint", tx03, Some(tx03Oracle)),
     GraftQuery("tx04_dedup_exact", tx04, Some(tx04Oracle)),
-    GraftQuery("tx05_langid", tx05, None),
+    GraftQuery("tx05_langid", tx05, Some(tx05Oracle)),
     GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true),
     GraftQuery("tx07_simhash", tx07, None),
     GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)),

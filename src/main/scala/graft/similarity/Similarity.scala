@@ -76,14 +76,19 @@ object Similarity {
    * plan as literal arrays. sig bit i = [dot(v, h_i) > 0].
    */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    val bitExprs = planes.zipWithIndex.map { case (h, i) =>
+    val bitExprs = hyperplanes(dim, bits, seed).zipWithIndex.map { case (h, i) =>
       val hl = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(h.map(lit)): _*)
       when(dot(vec, hl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitExprs.reduce(_ bitwiseOR _)
+  }
+
+  /** The seeded ±1 plane family behind [[hyperplaneSignature]] —
+    * exposed so an independent engine (the DuckDB oracle) can compute
+    * the identical signatures from the same literals. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
   /**

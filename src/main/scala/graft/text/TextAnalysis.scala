@@ -54,7 +54,7 @@ object TextAnalysis {
   /** Per-language marker-token profiles for the n-gram-free language-ID
     * heuristic. Tiny on purpose: the profiles broadcast as literals into
     * codegen, so language-ID is a pure map-side operation. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

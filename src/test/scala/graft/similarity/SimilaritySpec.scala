@@ -51,6 +51,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.2, s"recall $recall")
   }
 
+  test("bucketed near-dup pairs ⊆ exact pairs, identical cosines, recall floor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.3, dim = 64).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val bucketed = Similarity.nearDupPairs(emb, threshold = 0.3, dim = 64, bits = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"pair $pair not in exact set")
+      assert(cos == exact(pair), s"pair $pair cosine drifted") // scores exact, recall is not
+    }
+    // seeded data + seeded planes → recall is a fixed number; 4-bit
+    // bucketing of unclustered vectors keeps a modest but stable slice
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.05, s"recall $recall below seeded floor")
+  }
+
   test("LSH top-k returns a subset of the exact ranking with true cosines") {
     val df = vecs.toDF("id", "vec")
     val q = df.filter(col("id") === 0L)
