@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
  */
 object Marts {
 
-  private val companies = Seq(
+  private[graft] val companies = Seq(
     "AAPL" -> "Apple Inc.",
     "MSFT" -> "Microsoft Corporation",
     "GOOGL" -> "Alphabet Inc.",
@@ -33,8 +33,8 @@ object Marts {
     "BRK.B" -> "Berkshire Hathaway Inc.",
     "JPM" -> "JPMorgan Chase & Co.")
 
-  private val techSymbols = Seq("AAPL", "MSFT", "GOOGL", "META", "NVDA", "TSLA", "NFLX")
-  private val finSymbols = Seq("BRK.B", "JPM")
+  private[graft] val techSymbols = Seq("AAPL", "MSFT", "GOOGL", "META", "NVDA", "TSLA", "NFLX")
+  private[graft] val finSymbols = Seq("BRK.B", "JPM")
 
   def dimStock(staging: DataFrame): DataFrame = {
     val companyCase = companies

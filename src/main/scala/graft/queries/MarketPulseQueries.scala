@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.marketpulse.EventTicker
+import graft.marketpulse.{AvRoundTrip, EventTicker, Marts}
 
 /**
  * Oracle-backed checks for the MarketPulse pipeline analogue
@@ -57,9 +57,49 @@ object MarketPulseQueries {
        |  (arg_max(close, day) - arg_min(open, day)) / NULLIF(arg_min(open, day), 0) * 100.0 AS weekly_pct
        |FROM bars GROUP BY 1, 2""".stripMargin
 
+  // ---- mp05: the REAL document pipeline (map-shaped provider JSON →
+  //      parse → U2 merge → staging flatten → dim enrichment) under the
+  //      oracle gate. The overlapping-fetch construction makes the
+  //      merged result equal complete daily bars, so the oracle is the
+  //      relational computation — fully independent of the JSON path
+  //      ([[graft.marketpulse.AvRoundTrip]]). ----
+  private val mp05Oracle: String = {
+    val companyCase = Marts.companies
+      .map { case (sym, name) => s"WHEN '$sym' THEN '$name'" }
+      .mkString("CASE symbol ", " ", " ELSE 'Unknown Company' END")
+    val techIn = Marts.techSymbols.map(s => s"'$s'").mkString(", ")
+    val finIn = Marts.finSymbols.map(s => s"'$s'").mkString(", ")
+    s"""WITH bars AS (
+       |  SELECT CASE event_type WHEN 'purchase' THEN 'BRK.B' ELSE UPPER(event_type) END AS symbol,
+       |    CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS trading_date,
+       |    arg_min(value, event_id) AS open,
+       |    MAX(value) AS high,
+       |    MIN(value) AS low,
+       |    arg_max(value, event_id) AS close,
+       |    COUNT(*) AS volume
+       |  FROM events GROUP BY 1, 2),
+       |meta AS (SELECT symbol, MAX(trading_date) AS last_refreshed FROM bars GROUP BY 1),
+       |dim AS (
+       |  SELECT symbol, $companyCase AS company_name,
+       |    CASE WHEN symbol IN ($techIn) THEN 'Technology'
+       |         WHEN symbol IN ($finIn) THEN 'Financials'
+       |         WHEN symbol = 'AMZN' THEN 'Consumer Discretionary'
+       |         ELSE 'Other' END AS sector
+       |  FROM (SELECT DISTINCT symbol FROM bars) t)
+       |SELECT b.symbol, d.company_name, d.sector, b.trading_date,
+       |  b.open, b.high, b.low, b.close, b.volume,
+       |  ROUND(b.close - b.open, 2) AS daily_change,
+       |  (b.close - b.open) / NULLIF(b.open, 0) * 100.0 AS percent_change,
+       |  m.last_refreshed
+       |FROM bars b
+       |LEFT JOIN dim d ON b.symbol = d.symbol
+       |JOIN meta m ON b.symbol = m.symbol""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mp01_daily_bars", EventTicker.dailyBars, Some(mp01Oracle), headline = true),
     GraftQuery("mp02_dim_event", EventTicker.dim, Some(mp02Oracle)),
     GraftQuery("mp03_fact_bars", EventTicker.fact, Some(mp03Oracle), headline = true),
-    GraftQuery("mp04_weekly_bars", EventTicker.weekly, Some(mp04Oracle), headline = true))
+    GraftQuery("mp04_weekly_bars", EventTicker.weekly, Some(mp04Oracle), headline = true),
+    GraftQuery("mp05_av_documents", AvRoundTrip.query, Some(mp05Oracle), headline = true))
 }
