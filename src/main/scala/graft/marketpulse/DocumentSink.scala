@@ -1,0 +1,52 @@
+package graft.marketpulse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * JSON document write-back (S5's second half): the reference
+ * pretty-prints each symbol's merged document back to object storage
+ * as `alphavantage/{symbol}.json` (`dags/get_stock.py:86,99-104`),
+ * making the landed store itself the durable merge state.
+ *
+ * One row = one document = one file is the contract, so the sink runs
+ * `foreachPartition` over the (symbol, pretty-json) projection and
+ * writes through the Hadoop FileSystem API: the work distributes with
+ * the partitioning (no driver-side loop, no collect), and each file is
+ * written atomically via a temp-file + rename so a concurrent
+ * `Ingest.readDocuments` never sees a torn document. On a real
+ * deployment the same code addresses an object store through its
+ * Hadoop connector; the filesystem semantics are identical.
+ */
+object DocumentSink {
+
+  /** Write each rawTable-shaped row as `<root>/<symbol>.json`
+    * (pretty-printed, one object per file — the exact shape
+    * [[Ingest.readDocuments]] consumes). */
+  def writeDocuments(raw: DataFrame, root: String): Unit = {
+    val docs = raw.select(
+      col("symbol"),
+      to_json(col("data"), Map("pretty" -> "true")).as("doc"))
+    docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        // per-partition handle, reused across the partition's documents
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(conf)
+        fs.setWriteChecksum(false) // no .crc sidecars next to the documents
+        fs.mkdirs(rootPath)
+        rows.foreach { r =>
+          val symbol = r.getString(0)
+          val target = new Path(rootPath, s"$symbol.json")
+          val tmp = new Path(rootPath, s".$symbol.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          fs.delete(target, false)
+          fs.rename(tmp, target)
+        }
+      }
+    }
+  }
+}
