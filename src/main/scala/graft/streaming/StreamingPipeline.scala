@@ -16,11 +16,15 @@ import graft.marketpulse.{Ingest, Pipeline, Schemas}
  * construction.
  *
  * foreachBatch (not a chained streaming agg) is the right shape here:
- * the models re-derive from the whole upserted store, exactly like the
- * reference's full CTAS rebuild per run (`dbt_project.yml:6`) — except
- * incremental per micro-batch instead of daily. At scale the rebuild
- * narrows to the touched symbols' partitions because the store is
- * keyed (partitioned) by symbol.
+ * the models derive from the upserted store, like the reference's full
+ * CTAS rebuild per run (`dbt_project.yml:6`) — except incremental per
+ * micro-batch instead of daily. The store is `partitionBy(symbol)`
+ * parquet and a micro-batch rewrites only its own symbols' partitions
+ * ([[UpsertSink.upsertPartitioned]]); the full model views stay lazy
+ * over the partitioned store (symbol predicates prune to partition
+ * directories), and per-batch `_delta` views expose just the touched
+ * symbols' slice so incremental consumers re-derive exactly the work
+ * the batch created.
  */
 object StreamingPipeline {
 
@@ -43,22 +47,21 @@ object StreamingPipeline {
     // the original session for consumers to see them
     val owner = docStream.sparkSession
     raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged =
-        if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
-          val target = spark.read.schema(Schemas.rawTable).parquet(storePath)
-          graft.ops.Relational.upsert(target, batch, Seq("symbol"))
-        } else batch
-      UpsertSink.stagedOverwrite(merged, storePath)
-
-      val store = owner.read.schema(Schemas.rawTable).parquet(storePath)
-      val run = Pipeline.fromRaw(store)
-      run.staging.createOrReplaceTempView(s"${prefix}_stg")
-      run.dim.createOrReplaceTempView(s"${prefix}_dim")
-      run.fact.createOrReplaceTempView(s"${prefix}_fact")
-      run.weekly.createOrReplaceTempView(s"${prefix}_weekly")
+      val touched = UpsertSink.upsertPartitioned(batch, storePath)
+      if (touched.nonEmpty) {
+        val store = owner.read.schema(Schemas.rawTable).parquet(storePath)
+        val run = Pipeline.fromRaw(store)
+        run.staging.createOrReplaceTempView(s"${prefix}_stg")
+        run.dim.createOrReplaceTempView(s"${prefix}_dim")
+        run.fact.createOrReplaceTempView(s"${prefix}_fact")
+        run.weekly.createOrReplaceTempView(s"${prefix}_weekly")
+        // this batch's slice: symbol is the partition column, so these
+        // views read only the touched partition directories
+        run.staging.filter(col("symbol").isin(touched: _*))
+          .createOrReplaceTempView(s"${prefix}_stg_delta")
+        run.fact.filter(col("symbol").isin(touched: _*))
+          .createOrReplaceTempView(s"${prefix}_fact_delta")
+      }
     }.start()
   }
 }

@@ -37,6 +37,59 @@ object UpsertSink {
     fs.delete(retired, true)
   }
 
+  /**
+   * Partitioned incremental upsert: the store is laid out as
+   * `<store>/<key>=<value>/` parquet partitions, and a micro-batch
+   * rewrites ONLY the partitions of the keys it carries — every other
+   * partition's files are left byte-identical. This is what makes the
+   * continuous pipeline incremental at scale: a batch touching 3 of
+   * 10 000 symbols does 3 partitions of I/O, not a full-store rewrite.
+   *
+   * Plan shape: one distinct() on the (tiny) key set, a pruned read of
+   * just the touched partition directories, one upsert shuffle, one
+   * partitionBy write into a staging dir, then a per-partition rename
+   * swap (readers see each partition's old or new snapshot, never a
+   * torn one — the same contract as [[stagedOverwrite]], narrowed to
+   * the touched keys). Key values must be filesystem-safe (tickers
+   * are); a general deployment would escape them.
+   *
+   * Returns the touched key values (sorted).
+   */
+  def upsertPartitioned(batch: DataFrame, storePath: String,
+                        key: String = "symbol"): Seq[String] = {
+    val spark = batch.sparkSession
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the distinct key list is partition metadata, not data — collecting
+    // it is how any table format plans a partition-level commit
+    val touched = batch.select(key).distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+
+    val existingDirs = touched.map(s => new Path(root, s"$key=$s"))
+      .filter(fs.exists(_)).map(_.toString)
+    val merged =
+      if (existingDirs.nonEmpty) {
+        val target = spark.read.option("basePath", storePath)
+          .schema(batch.schema).parquet(existingDirs: _*)
+        Relational.upsert(target, batch, Seq(key))
+      } else batch
+
+    val staging = new Path(storePath + ".staging")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").partitionBy(key).parquet(staging.toString)
+    fs.mkdirs(root)
+    touched.foreach { s =>
+      val src = new Path(staging, s"$key=$s")
+      if (fs.exists(src)) {
+        val dst = new Path(root, s"$key=$s")
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(staging, true)
+    touched
+  }
+
   /** Run a streaming frame into a keyed parquet target: each
     * micro-batch upserts on `keys` (batch rows win), via staged
     * overwrite. Returns the started query. */

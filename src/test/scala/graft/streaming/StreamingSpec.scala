@@ -131,6 +131,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned store: unrelated micro-batch leaves other partitions byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/raw"
+    val ms = MemoryStream[String]
+    val q = StreamingPipeline.run(ms.toDS().toDF("json"), store, prefix = "pp_test")
+
+    def partBytes(sym: String): Map[String, Seq[Byte]] = {
+      val dir = new java.io.File(s"$store/symbol=$sym")
+      dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+
+    try {
+      ms.addData(Fixtures.aapl, Fixtures.v)
+      q.processAllAvailable()
+      val aaplBefore = partBytes("AAPL")
+      val vBefore = partBytes("V")
+      assert(aaplBefore.nonEmpty && vBefore.nonEmpty)
+
+      // an unrelated symbol arrives: only its partition may change
+      ms.addData(Fixtures.overlapOld)
+      q.processAllAvailable()
+      assert(partBytes("AAPL") == aaplBefore)
+      assert(partBytes("V") == vBefore)
+      assert(new java.io.File(s"$store/symbol=GOOGL").isDirectory)
+
+      // full views see the merged store; delta views only the batch's slice
+      assert(spark.table("pp_test_dim").count() == 3)
+      assert(spark.table("pp_test_stg_delta").select("symbol").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("GOOGL"))
+      assert(spark.table("pp_test_fact_delta").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful streaming U2 merge replay equals the batch merge") {
     implicit val sqlCtx = spark.sqlContext
     val oldV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapOld))
