@@ -91,6 +91,11 @@ object AdvancedQueries {
       |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session,
       |  CAST(SUM(n) AS BIGINT) AS total_events
       |FROM per GROUP BY user_id""".stripMargin
+  // ^ CAST(SUM AS BIGINT) assumes per-user event counts fit int64
+  //   (DuckDB HUGEINT->BIGINT raises on overflow; Spark's long sum
+  //   wraps). Counts would overflow int64 only past ~9e18 events per
+  //   user — impossible before storage does — so the semantics gap is
+  //   declared, not handled.
 
   // ---- q22: the SQL surface — ONE query text executed verbatim by
   //      both spark.sql (over temp views) and the DuckDB oracle ----

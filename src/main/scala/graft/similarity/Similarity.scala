@@ -132,9 +132,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // persisted: the quantizer training sample and the cell assignment
+    // both scan the candidate projection — cache it once instead of
+    // re-deriving the casts/norms per consumer
     val cand = candidates
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a coarse quantizer only needs rough cells from a sample, not a
     // converged clustering of the full set — recall comes from nProbe.
     // The seeded sample keeps centroid training O(sample), independent

@@ -69,6 +69,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         # dtype-kind strictness: the driver hashes values, and an int64
         # column vs a float64 column (e.g. DuckDB SUM(int) -> HUGEINT ->
         # float64) hash-mismatches even when == holds cell-by-cell.
+        # Kind-level (not full-width) comparison is INTENTIONAL: the
+        # driver compare tolerates int32-vs-int64 / float32-vs-float64
+        # (verified: tx01's size()->int32 vs len()->int64 hash-matches),
+        # so width differences are not a local failure.
         kind_bad = [
             (c, s[c].dtype, d[c].dtype)
             for c in s.columns
