@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.ops.Exact._
 import graft.quality.DataQuality
 import graft.sources.Tables
 
@@ -50,7 +52,45 @@ object QualityQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
 
+  // ---- dq03: exact numeric column profile. ONE scan computes every
+  //      column's stats as a single wide aggregation row, then an
+  //      explode unpivots it — the profiling shape that still works
+  //      when the table is 100 TB (no per-column scans, no driver
+  //      loop; the only heavy part is the exact distinct counts, which
+  //      dq02 trades away via sketches). ----
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def dq03(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast(DoubleType).as(s"${c}__min"),
+      max(col(c)).cast(DoubleType).as(s"${c}__max"),
+      sumExact(dec(col(c))).as(s"${c}__sum")))
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"),
+        col(s"${c}__sum").as("sum_val"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  private val dq03Oracle: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($c) AS n_nulls,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS DOUBLE) AS min_val,
+       |  CAST(MAX($c) AS DOUBLE) AS max_val,
+       |  CAST(ROUND(SUM(CAST($c AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_val
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
-    GraftQuery("dq02_sketch_profile", dq02, None))
+    GraftQuery("dq02_sketch_profile", dq02, None),
+    GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)))
 }

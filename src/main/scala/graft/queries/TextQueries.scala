@@ -131,6 +131,59 @@ object TextQueries {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       |WHERE len(a.s) > 0 AND len(b.s) > 0""".stripMargin
 
+  // ---- tx10: BPE-style token accounting. Whitespace counts undercount
+  //      punctuation-heavy text; the regex pre-tokenizer measures the
+  //      budget a subword tokenizer would actually see. ----
+  private def tx10(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.bpeTokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+      size(toks).as("n_bpe_tokens"),
+      size(filter(toks, t => t.rlike("^[^A-Za-z0-9]"))).as("n_punct_tokens"),
+      (length(array_join(toks, "")).cast(DoubleType) /
+        nullif(size(toks), lit(0)).cast(DoubleType)).as("avg_bpe_len"))
+  }
+
+  private val tx10Oracle = {
+    // the pattern embeds verbatim: backslash is not an escape character
+    // in a standard SQL single-quoted literal
+    val re = s"'${TextAnalysis.BpePattern}'"
+    s"""SELECT doc_id,
+       |  len(str_split(text, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, $re)) AS n_bpe_tokens,
+       |  len(list_filter(regexp_extract_all(text, $re),
+       |      t -> regexp_matches(t, '^[^A-Za-z0-9]'))) AS n_punct_tokens,
+       |  CAST(length(array_to_string(regexp_extract_all(text, $re), '')) AS DOUBLE)
+       |    / CAST(NULLIF(len(regexp_extract_all(text, $re)), 0) AS DOUBLE) AS avg_bpe_len
+       |FROM documents""".stripMargin
+  }
+
+  // ---- tx11: bigram repetition ratio (the Gopher/RefinedWeb-style
+  //      boilerplate signal: high duplicate-n-gram mass → low quality) ----
+  private def tx11(spark: SparkSession, dir: String): DataFrame = {
+    val all2 = Dedup.shingles(col("text"), 2)
+    val uniq2 = Dedup.shingleSet(col("text"), 2)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(all2).as("n_bigrams"),
+      size(uniq2).as("n_distinct_bigrams"),
+      (lit(1.0) - size(uniq2).cast(DoubleType) /
+        nullif(size(all2), lit(0)).cast(DoubleType)).as("dup_bigram_ratio"))
+  }
+
+  private val tx11Oracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(str_split(text, ' '))),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]) AS bigrams
+      |  FROM documents)
+      |SELECT doc_id, len(bigrams) AS n_bigrams,
+      |  len(list_distinct(bigrams)) AS n_distinct_bigrams,
+      |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+      |    / CAST(NULLIF(len(bigrams), 0) AS DOUBLE) AS dup_bigram_ratio
+      |FROM g""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -143,5 +196,7 @@ object TextQueries {
     GraftQuery("tx09_simhash_near_dup",
       (s, d) => Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 6, bands = 8),
-      None))
+      None),
+    GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
+    GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)))
 }

@@ -25,6 +25,19 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** BPE-style pre-tokenizer classes: letter runs, digit runs,
+    * punctuation runs (the GPT-2 pre-tokenizer's shape, ASCII classes
+    * so the Java and RE2 regex dialects agree). The classes are
+    * disjoint, so the split is deterministic under any alternation
+    * semantics. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Sub-word-ish token stream for token-count accounting (a corpus
+    * budget measured in whitespace tokens undercounts punctuation-heavy
+    * text badly). Codegen'd native regexp — no UDF. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** 128-bit content fingerprint of the normalized text — the exact-dedup
     * key. Hash-based, so dedup is a hash aggregation on a short fixed-width
     * key instead of a shuffle of full document bodies. */
