@@ -40,7 +40,26 @@ object MultimodalQueries {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  // ---- mm03: the decode boundary's METADATA contract under the oracle
+  //      gate. Frame counts and byte sizes are deterministic functions
+  //      of (kind, payload), so DuckDB recomputes them independently —
+  //      the `features` vector stays decoder-specific (mm01/mm02). ----
+  private def mm03(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).toDF()
+      .select(col("media_id"), col("kind"), col("n_frames"), col("n_bytes"))
+
+  private val mm03Oracle =
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |  CASE (doc_id % 3) + 1
+      |    WHEN 1 THEN 1
+      |    WHEN 2 THEN GREATEST(1, strlen(text) // 64)
+      |    ELSE GREATEST(1, strlen(text) // 256) END AS n_frames,
+      |  strlen(text) AS n_bytes
+      |FROM documents""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None),
-    GraftQuery("mm02_media_ann", mm02, None, headline = true))
+    GraftQuery("mm02_media_ann", mm02, None, headline = true),
+    GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)))
 }
