@@ -1,6 +1,8 @@
 package graft.marketpulse
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.quality.DataQuality
 import graft.quality.DataQuality.CheckResult
@@ -44,6 +46,39 @@ object Pipeline {
     val fact = Marts.factStockPrices(stg, dim)
     val weekly = Marts.aggWeeklyPrices(fact)
     Run(merged, stg, dim, fact, weekly)
+  }
+
+  /**
+   * The reference's whole Airflow DAG as one call
+   * (`stock_pipeline_dag.py:141`: fetch → load → transform → publish):
+   * fetch documents through the pluggable transport, U2-merge them
+   * with the already-landed per-symbol JSON store, write the merged
+   * documents back (`get_stock.py:99-104` — the landed store IS the
+   * durable merge state), then derive the model DAG from the merged
+   * raw. Because U2 is idempotent and last-writer-wins, re-running
+   * with the same fetch changes nothing, and a refetch restating old
+   * dates wins exactly where it should.
+   */
+  def referenceDag(spark: SparkSession, symbols: Seq[String],
+                   fetcher: Fetch.DocumentFetcher, docsRoot: String,
+                   rateLimitMillis: Long = 0L): Run = {
+    val fetched = Fetch.fetchDocuments(spark, symbols, fetcher, rateLimitMillis)
+    val root = new Path(docsRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(root) && fs.listStatus(root).nonEmpty
+    // the landed store is by definition OLDER than this cycle's fetch:
+    // stamp it epoch-zero so last-writer-wins resolves ties toward the
+    // incoming documents (current_timestamp is per-query constant, so
+    // both frames would otherwise carry the same load_date)
+    val versions =
+      if (hasStore)
+        Ingest.readDocuments(spark, docsRoot)
+          .withColumn("load_date", to_timestamp(lit("1970-01-01 00:00:00")))
+          .unionByName(fetched)
+      else fetched
+    val merged = DocumentMerge.mergeIncremental(versions)
+    DocumentSink.writeDocuments(merged, docsRoot)
+    fromRaw(merged)
   }
 
   /** Materialize every model as a table, mirroring the reference's

@@ -35,6 +35,30 @@ class FetchSinkSpec extends AnyFunSuite with SparkSpec {
     assert(staged(reread) == staged(parsed))
   }
 
+  test("reference DAG: fetch → merge with landed state → write-back → models, idempotent") {
+    val root = Files.createTempDirectory("graft-dag-").toString + "/alphavantage"
+
+    // cycle 1: first fetch lands and models derive from it
+    val run1 = Pipeline.referenceDag(spark, Seq("GOOGL"),
+      new Fetch.StubFetcher(Map("GOOGL" -> Fixtures.overlapOld)), root)
+    assert(run1.staging.count() == 2)
+    assert(new java.io.File(s"$root/GOOGL.json").isFile)
+
+    // cycle 2: refetch restates 10-02 and adds 10-03; the landed state
+    // supplies 10-01 and loses the restated date to the newer fetch
+    val run2 = Pipeline.referenceDag(spark, Seq("GOOGL"),
+      new Fetch.StubFetcher(Map("GOOGL" -> Fixtures.overlapNew)), root)
+    val stg2 = run2.staging.orderBy("trading_date").collect()
+    assert(stg2.map(_.get(1).toString).toSeq ==
+      Seq("2025-10-01", "2025-10-02", "2025-10-03"))
+    assert(stg2(1).getAs[Double]("open") == 99.0) // restated by the refetch
+
+    // cycle 3: the SAME fetch again — a no-op by U2 idempotence
+    val run3 = Pipeline.referenceDag(spark, Seq("GOOGL"),
+      new Fetch.StubFetcher(Map("GOOGL" -> Fixtures.overlapNew)), root)
+    assert(run3.staging.orderBy("trading_date").collect().toSeq == stg2.toSeq)
+  }
+
   test("fetch stage: provider aliases cross the boundary, invalid documents drop") {
     val invalid = """{"Error Message": "rate limit exceeded"}"""
     val stub = new Fetch.StubFetcher(Map(
