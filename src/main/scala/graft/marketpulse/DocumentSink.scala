@@ -28,10 +28,16 @@ object DocumentSink {
     val docs = raw.select(
       col("symbol"),
       to_json(col("data"), Map("pretty" -> "true")).as("doc"))
+    // ship the session's Hadoop conf (filesystem credentials, object
+    // store endpoints) to the executors — a bare Configuration() would
+    // silently drop them outside local mode
+    val confThunk = org.apache.spark.util.GraftConfBridge.broadcastConf(
+      raw.sparkSession.sparkContext,
+      raw.sparkSession.sessionState.newHadoopConf())
     docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         // per-partition handle, reused across the partition's documents
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confThunk()
         val rootPath = new Path(root)
         val fs = rootPath.getFileSystem(conf)
         fs.setWriteChecksum(false) // no .crc sidecars next to the documents
