@@ -46,15 +46,18 @@ object Bench {
     val results = headline.map { q =>
       val ts = Seq.fill(samples) {
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      q.name -> ts(samples / 2)
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name}: $e"); Double.NaN }
+      }
+      // a failed sample must not masquerade as a fast run: any failure
+      // marks the query -1 instead of feeding its time-to-exception in
+      val med = if (ts.exists(_.isNaN)) -1.0 else ts.sorted.apply(samples / 2)
+      q.name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }

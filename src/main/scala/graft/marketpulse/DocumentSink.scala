@@ -36,22 +36,33 @@ object DocumentSink {
       raw.sparkSession.sessionState.newHadoopConf())
     docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
-        // per-partition handle, reused across the partition's documents
         val conf = confThunk()
         val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(conf)
-        fs.setWriteChecksum(false) // no .crc sidecars next to the documents
-        fs.mkdirs(rootPath)
-        rows.foreach { r =>
-          val symbol = r.getString(0)
-          val target = new Path(rootPath, s"$symbol.json")
-          val tmp = new Path(rootPath, s".$symbol.json.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          fs.delete(target, false)
-          fs.rename(tmp, target)
-        }
+        // per-partition PRIVATE handle (newInstance, not the JVM-shared
+        // cache): setWriteChecksum on the cached instance would disable
+        // .crc sidecars for every other writer in this executor
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(rootPath.toUri, conf)
+        try {
+          fs.setWriteChecksum(false) // no .crc sidecars next to the documents
+          fs.mkdirs(rootPath)
+          // tmp names carry the task attempt id so a speculative or
+          // retried attempt can't publish another attempt's half-written
+          // file; the publish itself is a single atomic overwrite-rename
+          // (FileContext), so a concurrent reader always sees a complete
+          // old or new document — never a missing or torn one
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+          rows.foreach { r =>
+            val symbol = r.getString(0)
+            val target = new Path(rootPath, s"$symbol.json")
+            val tmp = new Path(rootPath, s".$symbol.json.$attempt.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
+        } finally fs.close()
       }
     }
   }

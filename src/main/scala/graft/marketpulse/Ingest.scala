@@ -33,6 +33,10 @@ object Ingest {
       canonical.as("symbol"),
       col("data"),
       col("__load_date").as("load_date"))
+      // a document without a metadata symbol has no storage/merge key —
+      // malformed by the reference's contract (minio_to_snowflake.py:62
+      // keys every row by it); dropped like the series-less case
+      .filter(col("symbol").isNotNull)
   }
 
   /** Read landed documents from a directory of whole-file JSON docs

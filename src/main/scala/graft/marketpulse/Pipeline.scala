@@ -39,8 +39,12 @@ object Pipeline {
 
   /** Run from an already-landed raw table (rawTable-shaped; multiple
     * versions per symbol are merged U2-style first). */
-  def fromRaw(raw: DataFrame): Run = {
-    val merged = DocumentMerge.mergeIncremental(raw)
+  def fromRaw(raw: DataFrame): Run =
+    fromMerged(DocumentMerge.mergeIncremental(raw))
+
+  /** Build the model DAG from an ALREADY-merged raw frame (one row per
+    * symbol) without paying the merge again. */
+  def fromMerged(merged: DataFrame): Run = {
     val stg = Staging.stgAlphavantage(merged)
     val dim = Marts.dimStock(stg)
     val fact = Marts.factStockPrices(stg, dim)
@@ -76,9 +80,14 @@ object Pipeline {
           .withColumn("load_date", to_timestamp(lit("1970-01-01 00:00:00")))
           .unionByName(fetched)
       else fetched
+    // persist + materialize BEFORE the write-back: the merge plan reads
+    // the very files writeDocuments is about to overwrite, and every
+    // later action on the Run would otherwise re-pay the whole merge
     val merged = DocumentMerge.mergeIncremental(versions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count()
     DocumentSink.writeDocuments(merged, docsRoot)
-    fromRaw(merged)
+    fromMerged(merged)
   }
 
   /** Materialize every model as a table, mirroring the reference's

@@ -134,7 +134,10 @@ object Similarity {
 
     // persisted: the quantizer training sample and the cell assignment
     // both scan the candidate projection — cache it once instead of
-    // re-deriving the casts/norms per consumer
+    // re-deriving the casts/norms per consumer. Deliberately NOT
+    // unpersisted (the returned frame's lineage still references it);
+    // MEMORY_AND_DISK entries are LRU-evicted under pressure, so the
+    // cost of a long session is eviction churn, not OOM.
     val cand = candidates
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))

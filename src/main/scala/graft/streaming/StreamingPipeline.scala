@@ -48,7 +48,13 @@ object StreamingPipeline {
     val owner = docStream.sparkSession
     raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val touched = UpsertSink.upsertPartitioned(batch, storePath)
-      if (touched.nonEmpty) {
+      // refresh the views on EVERY batch once the store exists: an
+      // empty micro-batch must not leave consumers without views, and
+      // must clear the previous batch's _delta slice (touched = empty →
+      // isin() → empty delta), not re-present it as current
+      val storeRoot = new org.apache.hadoop.fs.Path(storePath)
+      val fs = storeRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(storeRoot)) {
         val store = owner.read.schema(Schemas.rawTable).parquet(storePath)
         val run = Pipeline.fromRaw(store)
         run.staging.createOrReplaceTempView(s"${prefix}_stg")

@@ -82,8 +82,18 @@ object UpsertSink {
       val src = new Path(staging, s"$key=$s")
       if (fs.exists(src)) {
         val dst = new Path(root, s"$key=$s")
-        fs.delete(dst, true)
-        fs.rename(src, dst)
+        // retire-then-swap, never delete-then-rename: rename signals
+        // failure by RETURNING FALSE, so an unchecked delete+rename
+        // could silently drop the partition's only copy
+        val retired = new Path(root, s".$key=$s.retired")
+        fs.delete(retired, true)
+        if (fs.exists(dst) && !fs.rename(dst, retired))
+          sys.error(s"upsertPartitioned: failed to retire $dst")
+        if (!fs.rename(src, dst)) {
+          if (fs.exists(retired)) fs.rename(retired, dst) // restore, then fail loudly
+          sys.error(s"upsertPartitioned: failed to swap in $dst")
+        }
+        fs.delete(retired, true)
       }
     }
     fs.delete(staging, true)
