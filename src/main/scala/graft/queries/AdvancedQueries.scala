@@ -226,6 +226,30 @@ object AdvancedQueries {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ---- q28: moving-window frame (7-day trailing average close per
+  //      event type). Exact-decimal sum over the frame so the result
+  //      is partition-order independent; days are unique per type, so
+  //      the ROWS frame is deterministic. ----
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    graft.marketpulse.EventTicker.dailyBars(spark, dir)
+      .select(col("event_type"), col("day"), col("close"),
+        (sum(dec(col("close"))).over(w)
+          .cast(DecimalType(18, 2)).cast(DoubleType) /
+          count(lit(1)).over(w)).as("ma7_close"))
+  }
+
+  private val q28Oracle =
+    s"""WITH ${MarketPulseQueries.barsCte}
+       |SELECT event_type, day, close,
+       |  CAST(ROUND(SUM(CAST(close AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+       |    / COUNT(*) OVER w AS ma7_close
+       |FROM bars
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -235,5 +259,6 @@ object AdvancedQueries {
     GraftQuery("q24_pivot", q24, Some(q24Oracle)),
     GraftQuery("q25_setops", q25, Some(q25Oracle)),
     GraftQuery("q26_shipping_priority", q26, Some(q26Oracle), headline = true),
-    GraftQuery("q27_cube", q27, Some(q27Oracle)))
+    GraftQuery("q27_cube", q27, Some(q27Oracle)),
+    GraftQuery("q28_moving_avg", q28, Some(q28Oracle)))
 }

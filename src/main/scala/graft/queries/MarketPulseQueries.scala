@@ -10,7 +10,7 @@ import graft.marketpulse.{AvRoundTrip, EventTicker, Marts}
  */
 object MarketPulseQueries {
 
-  private val barsCte =
+  private[queries] val barsCte =
     """bars AS (
       |  SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
       |    arg_min(value, event_id) AS open,

@@ -16,6 +16,10 @@ object StreamingQueries {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  private val st02Oracle =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)))
+    GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
+    GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)))
 }

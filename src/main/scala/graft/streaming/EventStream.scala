@@ -93,6 +93,39 @@ object EventStream {
         col("n_events"), col("sum_value"))
 
   /**
+   * Streaming exact dedup: duplicates of `event_id` arriving within
+   * the watermark horizon are dropped, and the dedup state expires
+   * with the watermark — memory bounded by delay × arrival rate, the
+   * property that makes streaming dedup viable at firehose scale (an
+   * unbounded dropDuplicates would accrete state forever). The
+   * streaming leg of the dedup surface (batch legs: Dedup.exactGroups,
+   * tx04).
+   */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /**
+   * st02: run the streaming dedup as a real query over a DOUBLED event
+   * stream (the same parquet unioned with itself — every row arrives
+   * twice) and return the surviving rows: exactly the distinct events,
+   * which is what the plain-SQL oracle asserts.
+   */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup"
+    spark.catalog.dropTempView(name)
+    val doubled = readEvents(spark, s"$dir/events.parquet")
+      .unionByName(readEvents(spark, s"$dir/events.parquet"))
+    val q = dedupWithinWatermark(doubled)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+      .select("event_id", "user_id", "event_type", "value")
+    out.cache().count()
+    out
+  }
+
+  /**
    * Watermarked append-mode variant (the late-data contract): events
    * later than `delay` behind the max seen timestamp are dropped;
    * windows emit once finalized. The grouping key must be the window
