@@ -131,6 +131,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val name = "graft_dedup_test"
+    spark.catalog.dropTempView(name)
+    val q = EventStream.dedupWithinWatermark(
+      ms.toDS().toDF("event_id", "ts", "value"))
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    try {
+      ms.addData((1L, t("2024-01-01 00:00:00"), 1.0), (2L, t("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      // a later batch re-delivers id 1 (same horizon) alongside a new id
+      ms.addData((1L, t("2024-01-01 00:00:00"), 1.0), (3L, t("2024-01-01 00:10:00"), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(name).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("partitioned store: unrelated micro-batch leaves other partitions byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/raw"
