@@ -184,6 +184,41 @@ object TextQueries {
       |    / CAST(NULLIF(len(bigrams), 0) AS DOUBLE) AS dup_bigram_ratio
       |FROM g""".stripMargin
 
+  // ---- tx12: TF-IDF top terms per document (keyword extraction). The
+  //      corpus statistics are one extra aggregation + a join on the
+  //      term — df is tiny relative to the corpus (vocabulary-sized)
+  //      and broadcastable at scale. Scores are rounded before ranking
+  //      (the same reproducibility rule as cosine similarity) and ties
+  //      break on the term. ----
+  private def tx12(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 4).as("tfidf"))
+    graft.ops.Relational.topKPerGroup(scored, Seq("doc_id"),
+      Seq(col("tfidf").desc, col("term")), 3, rankName = "rank")
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+
+  private val tx12Oracle =
+    """WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tfidf, rank FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored) z
+      |WHERE rank <= 3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -198,5 +233,6 @@ object TextQueries {
         maxHamming = 6, bands = 8),
       None),
     GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
-    GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)))
+    GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
+    GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)))
 }
