@@ -122,6 +122,35 @@ object Dedup {
   }
 
   /**
+   * Exact near-duplicate ground truth: ALL pairs with n-gram Jaccard ≥
+   * `minJaccard` — the quadratic exactness anchor for the LSH path
+   * (the same role sim04 plays for sim06 on embeddings). Its purpose is
+   * to make LSH recall a MEASURED number (|nearDupPairs| / |this|)
+   * instead of an S-curve formula.
+   *
+   * The only pruning applied is the lossless length bound
+   * J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|): a pair whose set sizes differ
+   * by more than the threshold ratio cannot reach it, so the join
+   * predicate discards it before the intersection is computed. Still
+   * O(n²) pairs in the worst case by construction — at scale this runs
+   * on samples or per-partition slices, never the full corpus.
+   */
+  def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double = 0.7, shingleWidth: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("l", size(col("sh")))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("l").as("la"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("l").as("lb"))
+    a.join(b, col("id_a") < col("id_b") &&
+        least(col("la"), col("lb")).cast(DoubleType) >=
+          lit(minJaccard) * greatest(col("la"), col("lb")).cast(DoubleType))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /**
    * 64-bit SimHash from the token multiset: each token votes ±1 on each
    * bit position of its xxhash64; the sign of the per-bit sum is the
    * fingerprint bit. Near-duplicates have small Hamming distance.

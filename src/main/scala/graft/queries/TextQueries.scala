@@ -186,17 +186,21 @@ object TextQueries {
 
   // ---- tx12: TF-IDF top terms per document (keyword extraction). The
   //      corpus statistics are one extra aggregation + a join on the
-  //      term — df is tiny relative to the corpus (vocabulary-sized)
-  //      and broadcastable at scale. Scores are rounded before ranking
-  //      (the same reproducibility rule as cosine similarity) and ties
-  //      break on the term. ----
+  //      term — the document-frequency table is vocabulary-sized
+  //      (natural-language vocabularies plateau in the low millions of
+  //      terms ≈ tens of MB of (term, count) rows, far under the
+  //      broadcast ceiling even at 100 TB of corpus), so the broadcast
+  //      is pinned explicitly rather than left to AQE stats; the tf
+  //      side — the corpus-sized one — never shuffles for this join.
+  //      Scores are rounded before ranking (the same reproducibility
+  //      rule as cosine similarity) and ties break on the term. ----
   private def tx12(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 4).as("tfidf"))
     graft.ops.Relational.topKPerGroup(scored, Seq("doc_id"),
@@ -219,6 +223,36 @@ object TextQueries {
       |  FROM scored) z
       |WHERE rank <= 3""".stripMargin
 
+  // ---- tx13: EXACT near-duplicate ground truth — every pair with
+  //      3-gram Jaccard ≥ 0.7, all-pairs (the quadratic exactness
+  //      anchor for tx06, like sim04 for sim06). With this row under
+  //      the oracle gate, tx06's recall becomes a measured number
+  //      (TextDedupSpec prints and asserts it) instead of an S-curve
+  //      formula. Oracle mirrors the lossless length bound and derives
+  //      |A∪B| = |A|+|B|−|A∩B| (sets are distinct), so both engines
+  //      divide the same two integers. ----
+  private def tx13(spark: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(Tables.documents(spark, dir), "doc_id", "text",
+      minJaccard = 0.7)
+
+  private val tx13Oracle =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+      |  FROM documents),
+      |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+      |z AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+      |    len(list_intersect(a.s, b.s)) AS li
+      |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+      |    AND least(a.l, b.l) >= 0.7 * greatest(a.l, b.l))
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(li AS DOUBLE) / CAST(la + lb - li AS DOUBLE) AS jaccard
+      |  FROM z) t
+      |WHERE jaccard >= 0.7""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -234,5 +268,6 @@ object TextQueries {
       None),
     GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
-    GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)))
+    GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)),
+    GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)))
 }

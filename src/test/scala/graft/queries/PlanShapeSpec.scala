@@ -63,6 +63,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // join, or in streaming plans where AQE is disabled.
   }
 
+  test("tx12: the vocabulary (df) side of the TF-IDF join is broadcast") {
+    // the tf side is corpus-sized; the df side is vocabulary-sized — if
+    // this join ever degrades to SortMergeJoin the whole corpus shuffles
+    val p = plan("tx12_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

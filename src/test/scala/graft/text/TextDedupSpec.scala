@@ -79,6 +79,44 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("MinHash-LSH recall vs exact Jaccard ground truth is measured, not assumed") {
+    // real corpus with planted near-dups (all truth pairs have J ≥ 0.88
+    // at this scale, so the 16-hash/4-band S-curve predicts ≥ 0.98
+    // per-pair detection — the floor below leaves room for unlucky bands)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture lost its planted near-duplicates")
+    // precision is 1 by construction (candidates are verified with the
+    // exact Jaccard before emission) — check it anyway
+    assert(found.subsetOf(truth),
+      s"LSH emitted pairs missing from ground truth: ${found.diff(truth)}")
+    val recall = found.size.toDouble / truth.size
+    info(f"MinHash-LSH recall at sf0.001: ${found.size}/${truth.size} = $recall%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f below the seeded floor 0.85")
+  }
+
+  test("SimHash bit-band LSH is exactly exhaustive for maxHamming < bands") {
+    // pigeonhole: d bit-flips can corrupt at most d of the 8 bands, so a
+    // pair at Hamming ≤ 6 < 8 agrees on ≥ 2 bands and MUST collide —
+    // prove the banding is lossless on data, not just on paper
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.select(col("doc_id").as("id"), Dedup.simHash64(col("text")).as("h"))
+    val a = base.select(col("id").as("id_a"), col("h").as("h_a"))
+    val b = base.select(col("id").as("id_b"), col("h").as("h_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.HashExpressions.hamming64(col("h_a"), col("h_b")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banding lost pairs: ${brute.diff(banded)}; invented: ${banded.diff(brute)}")
+  }
+
   test("SimHash: near-identical docs have small Hamming distance, unrelated large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
