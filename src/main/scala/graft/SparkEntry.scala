@@ -18,7 +18,17 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Data-dependent oracles (fitted-literal SQL, e.g. sim05's centroids)
+    * render only when [[graft.queries.OracleContext]] carries a session
+    * — Verify sets it; without it they stay rows-only. */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+    Registry.all.flatMap { q =>
+      q.oracle
+        .orElse(for {
+          (s, d) <- graft.queries.OracleContext.current
+          gen <- q.oracleGen
+        } yield gen(s, d))
+        .map(q.name -> _)
+    }.toMap
 }

@@ -180,6 +180,65 @@ object SimilarityQueries {
        |JOIN norms nb ON nb.vec_id = p.id_b
        |WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin
 
+  /**
+   * sim05 oracle — the sim02 literal-rendering trick applied to FITTED
+   * parameters: the IVF quantizer is deterministic (seeded sample,
+   * seeded k-means, fixed iterations), so the centroids fitted from the
+   * data at `dir` render as double literals (Java shortest round-trip
+   * repr → DuckDB parses back the identical bits) and the whole IVF
+   * path — cell assignment, nProbe probing, cosine scoring, top-k —
+   * becomes plain SQL.
+   *
+   * Exactness: the squared-distance chains are rendered left-assoc
+   * `0.0 + t1 + t2 + …`, matching the Spark side's sequential
+   * `aggregate(zip_with(...))` fold bit-for-bit; dot/norm reuse the
+   * sim01 machinery. A pair meeting in several probed cells scores
+   * identically in each, so Spark's max-over-cells equals the oracle's
+   * DISTINCT meeting set.
+   */
+  private def sim05OracleGen(spark: SparkSession, dir: String): String = {
+    val cents = graft.similarity.Similarity.fitCentroids(emb(spark, dir))
+    // Double.toString is the shortest decimal that round-trips; wrap in
+    // parens so negative literals survive the surrounding arithmetic
+    val distBranches = cents.zipWithIndex.map { case (c, cell) =>
+      val chain = c.zipWithIndex.map { case (w, j) =>
+        s" + (CAST(embedding[${j + 1}] AS DOUBLE) - ($w)) * (CAST(embedding[${j + 1}] AS DOUBLE) - ($w))"
+      }.mkString
+      s"SELECT vec_id, $cell AS cell, (0.0$chain) AS dist FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dists AS (
+       |  $distBranches),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM dists),
+       |cand_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 10),
+       |meet AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM probe p JOIN cand_cell c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+       |$normsCte,
+       |pairs AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT m.query_id, m.cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM meet m
+       |    JOIN embeddings q ON q.vec_id = m.query_id
+       |    JOIN embeddings c ON c.vec_id = m.cand_id) z
+       |  GROUP BY query_id, cand_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id, ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+       |  FROM pairs p
+       |  JOIN norms nq ON nq.vec_id = p.query_id
+       |  JOIN norms nc ON nc.vec_id = p.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -188,6 +247,6 @@ object SimilarityQueries {
     GraftQuery("sim05_ivf_ann",
       (s, d) => Similarity.ivfTopK(emb(s, d), queriesDf(s, d), k = 5)
         .select("query_id", "cand_id", "cosine", "rank"),
-      None, headline = true),
+      None, headline = true, oracleGen = Some(sim05OracleGen)),
     GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)))
 }

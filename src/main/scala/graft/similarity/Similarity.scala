@@ -126,35 +126,54 @@ object Similarity {
    * (cell, id, vec) table, so at scale the probe is a partition-pruned
    * scan — the same layout trick as io01, applied to vector search.
    */
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, scale: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // persisted: the quantizer training sample and the cell assignment
-    // both scan the candidate projection — cache it once instead of
-    // re-deriving the casts/norms per consumer. Deliberately NOT
-    // unpersisted (the returned frame's lineage still references it);
-    // MEMORY_AND_DISK entries are LRU-evicted under pressure, so the
-    // cost of a long session is eviction churn, not OOM.
-    val cand = candidates
+  /** The shared candidate projection behind [[ivfTopK]] and
+    * [[fitCentroids]] — persisted so the quantizer training sample and
+    * the cell assignment scan it once. Deliberately NOT unpersisted
+    * (the returned frame's lineage still references it);
+    * MEMORY_AND_DISK entries are LRU-evicted under pressure, so the
+    * cost of a long session is eviction churn, not OOM. The cache
+    * manager dedupes repeated calls by logical plan, so the oracle
+    * generator re-deriving this frame reads the same cached data. */
+  private def candProjection(candidates: DataFrame): DataFrame =
+    candidates
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a coarse quantizer only needs rough cells from a sample, not a
-    // converged clustering of the full set — recall comes from nProbe.
-    // The seeded sample keeps centroid training O(sample), independent
-    // of corpus size.
-    val train = cand.select(array_to_vector(col("cvec")).as("features"))
+
+  /**
+   * The IVF coarse quantizer: seeded k-means over a seeded ≤4096-row
+   * sample of the candidate projection. A coarse quantizer only needs
+   * rough cells from a sample, not a converged clustering of the full
+   * set — recall comes from nProbe; the bounded sample keeps training
+   * O(sample), independent of corpus size.
+   *
+   * Fully deterministic for a fixed input (seeded sample, seeded
+   * k-means||, fixed iteration count, stable partitioning from the
+   * scan), which is what lets an independent engine (the DuckDB
+   * oracle) verify the whole IVF path: the fitted centroids render as
+   * SQL literals and cell assignment/probing/scoring become plain SQL
+   * — the same trick as the sim02 hyperplanes, applied to FITTED
+   * parameters.
+   */
+  def fitCentroids(candidates: DataFrame, nCells: Int = 16,
+                   seed: Long = 42L): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = candProjection(candidates)
+      .select(array_to_vector(col("cvec")).as("features"))
       .sample(withReplacement = false, 0.5, seed)
       .limit(4096)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
+    model.clusterCenters.map(_.toArray).toSeq
+  }
 
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, scale: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val cand = candProjection(candidates)
+    val centroids = fitCentroids(candidates, nCells, seed).zipWithIndex
+      .map { case (c, i) => (i, c) }
     val spark = candidates.sparkSession
     import spark.implicits._
     val centDf = centroids.toDF("cell", "centroid")
