@@ -39,10 +39,15 @@ object Multimodal {
                             width: Int, height: Int, sample_rate_hz: Int)
 
   final case class MediaFeatures(media_id: Long, kind: String, n_frames: Int,
-                                 n_bytes: Int, features: Array[Float])
+                                 n_bytes: Int, width_px: Int, height_px: Int,
+                                 features: Array[Float])
 
-  /** What a decoder returns for one payload. */
-  final case class Decoded(nFrames: Int, features: Array[Float])
+  /** What a decoder returns for one payload. `width`/`height` are the
+    * dimensions DECODED from the bytes (0 when the format has none or
+    * the decoder is a stub) — distinct from MediaRow's declared
+    * metadata, which a real pipeline must never trust. */
+  final case class Decoded(nFrames: Int, width: Int, height: Int,
+                           features: Array[Float])
 
   /** The external-library boundary. Implementations must be
     * serializable (shipped to executors) and cheap to reuse across the
@@ -72,8 +77,110 @@ object Multimodal {
         features(i % featureDim) += (h % 1000) / 1000.0f
         i += 1
       }
-      Decoded(frames, features)
+      Decoded(frames, 0, 0, features)
     }
+  }
+
+  /**
+   * A REAL image decoder on the JDK's own `javax.imageio` — no external
+   * library, so the "image libs aren't in this container" boundary
+   * doesn't apply to PNG/JPEG/BMP/GIF. Images decode to actual pixels;
+   * features are genuine image statistics (dimensions, channel means,
+   * luminance histogram). Audio/video still delegate to [[StubDecoder]]
+   * (the JDK ships no codec for them), as does any payload ImageIO
+   * cannot parse — the pipeline never fails on a corrupt blob, it
+   * degrades to fingerprint features.
+   */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte], featureDim: Int): Decoded = {
+      if (kind != "image") return StubDecoder.decode(kind, payload, featureDim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return StubDecoder.decode(kind, payload, featureDim)
+      val w = img.getWidth
+      val h = img.getHeight
+      val features = new Array[Float](featureDim)
+      features(0) = w.toFloat
+      features(1) = h.toFloat
+      features(2) = (w.toFloat * h) // pixel count
+      // channel means (3..5) and a luminance histogram over the rest
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val histBins = math.max(featureDim - 6, 0)
+      val hist = new Array[Long](math.max(histBins, 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          if (histBins > 0) {
+            val lum = (r * 299 + g * 587 + b * 114) / 1000 // integer luma, deterministic
+            hist(lum * histBins / 256) += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      if (featureDim > 3) features(3) = sr / n / 255.0f
+      if (featureDim > 4) features(4) = sg / n / 255.0f
+      if (featureDim > 5) features(5) = sb / n / 255.0f
+      var i = 0
+      while (i < histBins) { features(6 + i) = hist(i) / n; i += 1 }
+      Decoded(1, w, h, features)
+    }
+  }
+
+  /**
+   * Render a deterministic PNG: `w`×`h` RGB pixels from an LCG seeded
+   * by `seed`, encoded with the JDK's PNG writer. This is the fixture
+   * side of the real-decode round trip: mm04's oracle recomputes the
+   * dimension formulas, so a broken decode (or a decoder that trusts
+   * declared metadata instead of the bytes) breaks the hash.
+   */
+  def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
+   * Media table with REAL image payloads: image-kind rows carry a
+   * genuine PNG (dimensions derived from the id — `8 + id % 9` ×
+   * `8 + id % 7` — so an independent engine can predict what a correct
+   * decode must find), audio/video rows keep UTF-8 stand-in payloads
+   * behind the declared stub boundary. Row-at-a-time PNG encoding is
+   * fixture synthesis, not a pipeline operator — the pipeline itself
+   * only ever DECODES, inside [[extractFeatures]]'s partition pass.
+   */
+  def mediaWithRealImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      Kinds((id % 3).toInt) match {
+        case "image" =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          MediaRow(id, "image", renderPng(id, w, h), w, h, 0)
+        case kind =>
+          MediaRow(id, kind, text.getBytes("UTF-8"), 0, 0, 16000)
+      }
+    }.toDF()
   }
 
   /** Manufacture a media table from the text corpus (UTF-8 payloads) —
@@ -102,7 +209,8 @@ object Multimodal {
         // per-partition setup happens here (library handle, scratch buffers)
         rows.map { r =>
           val d = decoder.decode(r.kind, r.payload, featureDim)
-          MediaFeatures(r.media_id, r.kind, d.nFrames, r.payload.length, d.features)
+          MediaFeatures(r.media_id, r.kind, d.nFrames, r.payload.length,
+            d.width, d.height, d.features)
         }
       }
   }

@@ -8,15 +8,24 @@ import graft.similarity.Similarity
 import graft.sources.Tables
 
 /**
- * Multimodal pipeline queries (rows-only: the decode stage is a stubbed
- * external-library boundary, not expressible in SQL). Media payloads
- * are manufactured from the text corpus; the Spark-side plumbing —
- * binary columns, partition-wise decode, feature vectors feeding the
- * similarity operators — is the real path.
+ * Multimodal pipeline queries. Image payloads are REAL PNGs (rendered
+ * deterministically into the fixture, decoded with the JDK's
+ * `javax.imageio` — actual pixels, no external library); audio/video
+ * stay behind the declared stub boundary (the JDK ships no codec).
+ * mm04 puts the real decode under the oracle gate: the oracle predicts
+ * the dimensions a correct decode must read out of the PNG bytes.
+ * mm01/mm02 remain rows-only (pixel-statistics features are not
+ * expressible in SQL); mm03 keeps the UTF-8 path so byte/frame counts
+ * stay independently computable.
  */
 object MultimodalQueries {
 
   private def features(spark: SparkSession, dir: String) =
+    Multimodal.extractFeatures(
+      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
+      Multimodal.ImageIoDecoder)
+
+  private def stubFeatures(spark: SparkSession, dir: String) =
     Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(Tables.documents(spark, dir)),
       Multimodal.StubDecoder)
@@ -45,7 +54,7 @@ object MultimodalQueries {
   //      of (kind, payload), so DuckDB recomputes them independently —
   //      the `features` vector stays decoder-specific (mm01/mm02). ----
   private def mm03(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir).toDF()
+    stubFeatures(spark, dir).toDF()
       .select(col("media_id"), col("kind"), col("n_frames"), col("n_bytes"))
 
   private val mm03Oracle =
@@ -58,8 +67,27 @@ object MultimodalQueries {
       |  strlen(text) AS n_bytes
       |FROM documents""".stripMargin
 
+  // ---- mm04: the REAL image decode under the oracle gate. The fixture
+  //      renders each image-kind row as a genuine PNG whose dimensions
+  //      are a function of the id; the pipeline decodes the BYTES with
+  //      javax.imageio. The oracle recomputes the dimension formulas,
+  //      so a broken decoder — or one that trusts declared metadata
+  //      instead of reading the payload — breaks the hash. ----
+  private def mm04(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).toDF()
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("width_px"), col("height_px"), col("n_frames"))
+
+  private val mm04Oracle =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 9 AS INT) AS width_px,
+      |  CAST(8 + doc_id % 7 AS INT) AS height_px,
+      |  1 AS n_frames
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None),
     GraftQuery("mm02_media_ann", mm02, None, headline = true),
-    GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)))
+    GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
+    GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)))
 }

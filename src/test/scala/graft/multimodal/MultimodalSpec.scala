@@ -40,11 +40,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   test("decoder is pluggable: a custom decoder flows through the same pipeline") {
     val constant = new Multimodal.MediaDecoder {
       override def decode(kind: String, payload: Array[Byte], dim: Int) =
-        Multimodal.Decoded(7, Array.fill(dim)(1.0f))
+        Multimodal.Decoded(7, 0, 0, Array.fill(dim)(1.0f))
     }
     val out = Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(docs), constant, featureDim = 4).collect()
     assert(out.forall(_.n_frames == 7))
     assert(out.forall(_.features.toSeq == Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+  }
+
+  test("ImageIoDecoder reads a real PNG's dimensions and pixels from the bytes") {
+    val png = Multimodal.renderPng(seed = 7L, w = 12, h = 9)
+    // PNG magic: a genuine encoded image, not a fingerprint of text
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val d = Multimodal.ImageIoDecoder.decode("image", png, featureDim = 16)
+    assert(d.width == 12 && d.height == 9 && d.nFrames == 1)
+    assert(d.features(0) == 12.0f && d.features(1) == 9.0f && d.features(2) == 108.0f)
+    // channel means of LCG pixels sit well inside (0, 1); histogram sums to 1
+    Seq(3, 4, 5).foreach(i => assert(d.features(i) > 0.0f && d.features(i) < 1.0f))
+    assert(math.abs(d.features.drop(6).sum - 1.0f) < 1e-4)
+    // determinism: identical bytes → identical features
+    val d2 = Multimodal.ImageIoDecoder.decode("image", png, featureDim = 16)
+    assert(d.features.toSeq == d2.features.toSeq)
+  }
+
+  test("real-image media pipeline: PNGs decode end-to-end, stubs degrade gracefully") {
+    val media = Multimodal.mediaWithRealImages(docs)
+    val out = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    // doc 0 is image kind: dimensions come from the PNG BYTES (8+0, 8+0)
+    assert(out(0).kind == "image" && out(0).width_px == 8 && out(0).height_px == 8)
+    // non-image rows fall back to the stub: no decoded dimensions
+    assert(out(1).kind == "audio" && out(1).width_px == 0 && out(1).height_px == 0)
+    // a corrupt image payload degrades to stub features instead of failing
+    val corrupt = Multimodal.ImageIoDecoder.decode("image", Array[Byte](1, 2, 3), 16)
+    assert(corrupt.width == 0 && corrupt.nFrames == 1)
   }
 }
