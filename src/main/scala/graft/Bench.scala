@@ -43,22 +43,46 @@ object Bench {
     // a real regression from machine jitter (round-over-round deltas up
     // to 1.37× were observed on identical code).
     val samples = 3
-    val results = headline.map { q =>
+    def time(q: graft.queries.GraftQuery, dir: String): Double = {
       val ts = Seq.fill(samples) {
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { q.run(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name}: $e"); Double.NaN }
       }
       // a failed sample must not masquerade as a fast run: any failure
       // marks the query -1 instead of feeding its time-to-exception in
-      val med = if (ts.exists(_.isNaN)) -1.0 else ts.sorted.apply(samples / 2)
-      q.name -> med
+      if (ts.exists(_.isNaN)) -1.0 else ts.sorted.apply(samples / 2)
+    }
+    val results = headline.map(q => q.name -> time(q, sfDir))
+
+    // Scale-sweep guard: time the same queries one scale factor down and
+    // report the per-query scaling ratio. Data grows ~10× between the
+    // dirs (docs/embeddings sublinearly), so a ratio far above 10 means
+    // super-linear work — the accidental quadratic that a 100× scale-up
+    // would turn into an outage. Flag ratio > 15 once above the noise
+    // floor (both medians meaningful, the larger ≥ 0.5 s).
+    val sweepDir = "/root/testdata/sf0.01"
+    val sweep: Map[String, Double] =
+      if (new java.io.File(sweepDir).isDirectory && sweepDir != sfDir)
+        headline.map(q => q.name -> time(q, sweepDir)).toMap
+      else Map.empty
+    val ratios = results.flatMap { case (name, t) =>
+      sweep.get(name).collect {
+        case s if s > 0 && t > 0 => name -> t / s
+      }
+    }
+    val resMap = results.toMap
+    val flagged = ratios.collect {
+      case (name, r) if r > 15.0 && resMap(name) >= 0.5 => name
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ratioJson = ratios.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson}""")
     spark.stop()
   }
 }

@@ -84,7 +84,14 @@ object AvRoundTrip {
    * change metrics, and the merged document's last-refreshed metadata.
    */
   def query(spark: SparkSession, dir: String): DataFrame = {
+    // Three consumers scan events (the max-day aggregate, v1's and v2's
+    // bar builds) — persist the pruned projection once instead of
+    // paying the parquet scan three times. Deliberately not unpersisted
+    // (the returned frame's lineage references it; MEMORY_AND_DISK is
+    // LRU-evicted under pressure — same rationale as the IVF cache).
     val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // data-derived fetch boundaries, kept declarative (broadcast of a
     // 1-row aggregate instead of a driver-side collect)
     val evB = ev.crossJoin(broadcast(ev.agg(max(to_date(col("ts"))).as("max_day"))))
@@ -93,13 +100,21 @@ object AvRoundTrip {
     val v1 = docsOf(barsOf(evB.filter(col("ts") < noonCutoff)))
     val v2 = docsOf(barsOf(evB.filter(to_date(col("ts")) >= date_sub(col("max_day"), 6))))
 
+    // versions is consumed twice inside mergeIncremental (newest-window
+    // and series-explode branches) and merged twice below (staging and
+    // meta) — without these persists the whole document build (two bar
+    // aggregations + JSON round-trip) re-executes up to four times.
+    // Both frames are symbol-cardinality (a handful of rows), so the
+    // cache cost is nil and the plan collapses to one build.
     val versions = Ingest.parseDocumentFrame(
       v1.withColumn("__fetch", lit("2026-01-01 00:00:00"))
         .unionByName(v2.withColumn("__fetch", lit("2026-01-02 00:00:00"))),
       col("json"),
       to_timestamp(col("__fetch")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val merged = DocumentMerge.mergeIncremental(versions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stg = Staging.stgAlphavantage(merged)
     val meta = merged.select(col("symbol"),
       col("data").getField(Schemas.MetaKey).getItem("3. Last Refreshed")

@@ -102,10 +102,16 @@ object UpsertSink {
 
   /** Run a streaming frame into a keyed parquet target: each
     * micro-batch upserts on `keys` (batch rows win), via staged
-    * overwrite. Returns the started query. */
+    * overwrite. With `checkpointDir` set, the query survives restarts:
+    * a batch written but not offset-committed before a crash is
+    * REPLAYED on recovery, and the upsert is idempotent under that
+    * replay (same keys → same whole-row replace), so the store
+    * converges to the batch-equivalent result — the foreachBatch
+    * exactly-once recipe. Returns the started query. */
   def keyedUpsertStream(stream: DataFrame, keys: Seq[String],
-                        targetPath: String): StreamingQuery =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                        targetPath: String,
+                        checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val fs = new Path(targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,5 +121,7 @@ object UpsertSink {
           Relational.upsert(target, batch, keys)
         } else batch
       stagedOverwrite(merged, targetPath)
-    }.start()
+    }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

@@ -187,6 +187,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("crash recovery: uncommitted batch replays from checkpoint, upsert converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-crash-").toString
+    val store = s"$base/store"
+    val checkpoint = s"$base/chk"
+    val ms = MemoryStream[(String, Int)]
+    @volatile var injected = false
+    // the torn state a real crash leaves: the partition WRITE succeeded,
+    // the checkpoint offset commit did not — recovery must replay the
+    // batch and the partitioned upsert must be idempotent under it
+    def start() = ms.toDS().toDF("symbol", "v").writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        UpsertSink.upsertPartitioned(batch, store)
+        if (id == 1L && !injected) {
+          injected = true
+          throw new RuntimeException("injected crash after write, before offset commit")
+        }
+      }.start()
+
+    val q1 = start()
+    ms.addData(("a", 1), ("b", 2))
+    q1.processAllAvailable()
+    ms.addData(("b", 20), ("c", 30))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(q1.exception.isDefined, "expected the injected crash to kill the query")
+    assert(injected)
+
+    val q2 = start() // restart from the same checkpoint: batch 1 replays
+    try {
+      q2.processAllAvailable()
+      // new data after recovery flows normally
+      ms.addData(("a", 100))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.parquet(store).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("v"))).sorted
+    assert(out.toSeq == Seq(("a", 100), ("b", 20), ("c", 30)),
+      "store must equal the batch-equivalent upsert result, each key exactly once")
+  }
+
   test("stateful streaming U2 merge replay equals the batch merge") {
     implicit val sqlCtx = spark.sqlContext
     val oldV = Ingest.parseDocuments(spark, Seq(Fixtures.overlapOld))
