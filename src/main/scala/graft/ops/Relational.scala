@@ -124,4 +124,45 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
   }
+
+  /**
+   * Distributed running total (prefix sum) of an integral column under
+   * a TOTAL ordering — the scale-correct replacement for a global
+   * unpartitioned window, which funnels every row through one task.
+   *
+   * Three-step classic: range-repartition on the order (rows land in
+   * order-contiguous partitions), cumsum WITHIN each partition via an
+   * ordinary partitioned window, then add each partition's starting
+   * offset — computed from the P per-partition totals, the only data
+   * that ever converges (P rows, broadcast back). The result is
+   * partitioning-independent: the prefix sum is defined by the total
+   * order alone, so range-boundary sampling can't affect values.
+   *
+   * The ordering must be total (add a key tiebreak) — with ties the
+   * within-partition ROWS frame would be nondeterministic.
+   */
+  def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
+                   outName: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // consumed twice (offsets + per-row cumsum): persist the ranged
+    // frame once; callers pass narrow metadata projections, so the
+    // cache holds (order keys, value), not full rows of a wide table
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(value).cast("long").as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val within = ranged.withColumn("__cum_in",
+      sum(value).over(Window.partitionBy(col("__pid"))
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    within.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outName, col("__offset") + col("__cum_in"))
+      .drop("__pid", "__cum_in", "__offset")
+  }
 }

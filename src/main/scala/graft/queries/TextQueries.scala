@@ -253,6 +253,79 @@ object TextQueries {
       |  FROM z) t
       |WHERE jaccard >= 0.7""".stripMargin
 
+  // ---- tx14: the composed corpus-preparation pass a training-data
+  //      pipeline actually runs — quality gate → exact dedup → near-dup
+  //      prune → best-quality-first token-budget fill — as ONE
+  //      oracle-backed query. The near-dup stage uses the
+  //      exactness-anchored pair enumeration (tx13's machinery) so the
+  //      whole pass stays under the hash gate; at scale the enumeration
+  //      swaps to Dedup.nearDupPairs, whose equivalence to the exact
+  //      pairs is the measured claim of the recall spec. The budget
+  //      fill runs on the narrow survivor METADATA via the distributed
+  //      prefix sum (Relational.runningTotal) — no global
+  //      single-partition window anywhere. ----
+  private def tx14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        size(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .filter(col("quality_score") >= 0.5)
+    val kept = scored
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("keeper", "fp")
+    val dupIds = Dedup.allPairsJaccard(kept, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    val unique = kept.join(dupIds, Seq("doc_id"), "left_anti")
+    graft.ops.Relational.runningTotal(
+        unique.select(col("doc_id"), col("quality_score"), col("n_tokens")),
+        order = Seq(col("quality_score").desc, col("doc_id")),
+        value = col("n_tokens"), outName = "cum_tokens")
+      .filter(col("cum_tokens") <= 20000)
+  }
+
+  private val tx14Oracle = {
+    val re = s"'${TextAnalysis.BpePattern}'"
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')))
+       |      * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality_score,
+       |    len(regexp_extract_all(text, $re)) AS n_tokens,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |filt AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+       |kept AS (
+       |  SELECT doc_id, text, quality_score, n_tokens FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM filt) k
+       |  WHERE doc_id = keeper),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+       |  FROM kept),
+       |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+       |dup AS (
+       |  SELECT DISTINCT id_b FROM (
+       |    SELECT b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |    FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |      AND least(a.l, b.l) >= 0.7 * greatest(a.l, b.l)) z
+       |  WHERE jaccard >= 0.7),
+       |uniq AS (
+       |  SELECT doc_id, quality_score, n_tokens FROM kept
+       |  WHERE doc_id NOT IN (SELECT id_b FROM dup))
+       |SELECT doc_id, quality_score, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, quality_score, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM uniq) t
+       |WHERE cum_tokens <= 20000""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -269,5 +342,6 @@ object TextQueries {
     GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
     GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)),
-    GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)))
+    GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)),
+    GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle)))
 }

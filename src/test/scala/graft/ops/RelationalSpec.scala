@@ -61,6 +61,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("runningTotal equals the single-window prefix sum, at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // values with heavy ties so the key tiebreak is load-bearing
+    val rows = (1 to 500).map(i => (i.toLong, (i * 7919) % 13, (i * 31) % 50 + 1))
+    val df = rows.toDF("id", "grade", "weight").repartition(7) // awkward input layout
+    val got = Relational.runningTotal(df,
+        order = Seq(col("grade").desc, col("id")), value = col("weight"),
+        outName = "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val want = df.withColumn("cum",
+        sum(col("weight")).over(Window.orderBy(col("grade").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.values.max == rows.map(_._3.toLong).sum) // full mass accounted
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")
