@@ -20,10 +20,21 @@ import graft.sources.Tables
  */
 object MultimodalQueries {
 
-  private def features(spark: SparkSession, dir: String) =
-    Multimodal.extractFeatures(
-      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
-      Multimodal.ImageIoDecoder)
+  // decode-once: a real pipeline materializes decoded features rather
+  // than re-running the (pixel-bound) decode per downstream query.
+  // Memoized per source dir — Spark's plan-equality cache dedupe can't
+  // apply here because mapPartitions closures canonicalize per
+  // instance, so we key the persisted frame ourselves.
+  private val featureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    featureCache.computeIfAbsent(dir, d =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaWithRealImages(Tables.documents(spark, d)),
+        Multimodal.ImageIoDecoder)
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def stubFeatures(spark: SparkSession, dir: String) =
     Multimodal.extractFeatures(
