@@ -19,7 +19,26 @@ object StreamingQueries {
   private val st02Oracle =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  private val st03Oracle =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    CASE event_type WHEN 'purchase' THEN 'Purchase Checkout'
+      |                    WHEN 'click' THEN 'Click'
+      |                    WHEN 'view' THEN 'Page View'
+      |                    WHEN 'signup' THEN 'Signup'
+      |                    WHEN 'refund' THEN 'Refund'
+      |                    ELSE 'Unknown Event' END AS display_name,
+      |    CASE WHEN event_type IN ('purchase','refund') THEN 'commerce'
+      |         WHEN event_type IN ('click','view') THEN 'engagement'
+      |         ELSE 'Other' END AS category
+      |  FROM (SELECT DISTINCT event_type FROM events) t)
+      |SELECT d.category, d.display_name, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
-    GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)))
+    GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
+    GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)))
 }

@@ -126,6 +126,32 @@ object EventStream {
   }
 
   /**
+   * st03: stream-static broadcast enrichment — the continuous leg of
+   * the J1 dimension join. Each micro-batch joins the (static,
+   * broadcast) event-type dimension MAP-SIDE: a stateless streaming
+   * operator, so unlike the windowed aggregations its state is O(dim),
+   * independent of stream length — the shape that enriches a firehose
+   * at any scale. The per-category rollup runs in complete mode so the
+   * final state equals the batch join + aggregation, which is exactly
+   * what the plain-SQL oracle computes.
+   */
+  def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_enrich"
+    spark.catalog.dropTempView(name)
+    val dim = graft.marketpulse.EventTicker.dim(spark, dir)
+    val q = readEvents(spark, s"$dir/events.parquet")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy(col("category"), col("display_name"))
+      .agg(count(lit(1)).as("n_events"), sumExact(dec(col("value"))).as("sum_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
+  /**
    * Watermarked append-mode variant (the late-data contract): events
    * later than `delay` behind the max seen timestamp are dropped;
    * windows emit once finalized. The grouping key must be the window

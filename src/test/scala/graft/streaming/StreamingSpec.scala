@@ -24,6 +24,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    val streamed = EventStream.enrichReplay(spark, sf)
+      .orderBy("category", "display_name").collect().toSeq
+    val dim = graft.marketpulse.EventTicker.dim(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(dim, Seq("event_type"), "left")
+      .groupBy(col("category"), col("display_name"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Exact.sumExact(graft.ops.Exact.dec(col("value"))).as("sum_value"))
+      .orderBy("category", "display_name").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("watermark drops events later than the allowed delay") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(ts: Timestamp, event_type: String, value: Double)
