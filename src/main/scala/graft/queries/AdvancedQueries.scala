@@ -250,6 +250,33 @@ object AdvancedQueries {
        |WINDOW w AS (PARTITION BY event_type ORDER BY day
        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- q29: RANGE-frame window (7 CALENDAR days, not 7 rows — the
+  //      frame is value-based over the epoch-day number, so a type
+  //      with missing days averages fewer bars where q28's ROWS frame
+  //      would reach further back). Integer frame bounds → exact
+  //      boundary comparisons on both engines. ----
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dayNum = datediff(to_date(col("day")), lit("1970-01-01"))
+    val w = Window.partitionBy(col("event_type")).orderBy(dayNum)
+      .rangeBetween(-6, Window.currentRow)
+    graft.marketpulse.EventTicker.dailyBars(spark, dir)
+      .select(col("event_type"), col("day"), col("close"),
+        (sum(dec(col("close"))).over(w)
+          .cast(DecimalType(18, 2)).cast(DoubleType) /
+          count(lit(1)).over(w)).as("d7_avg_close"))
+  }
+
+  private val q29Oracle =
+    s"""WITH ${MarketPulseQueries.barsCte}
+       |SELECT event_type, day, close,
+       |  CAST(ROUND(SUM(CAST(close AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+       |    / COUNT(*) OVER w AS d7_avg_close
+       |FROM bars
+       |WINDOW w AS (PARTITION BY event_type
+       |             ORDER BY datediff('day', DATE '1970-01-01', CAST(day AS DATE))
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -260,5 +287,6 @@ object AdvancedQueries {
     GraftQuery("q25_setops", q25, Some(q25Oracle)),
     GraftQuery("q26_shipping_priority", q26, Some(q26Oracle), headline = true),
     GraftQuery("q27_cube", q27, Some(q27Oracle)),
-    GraftQuery("q28_moving_avg", q28, Some(q28Oracle)))
+    GraftQuery("q28_moving_avg", q28, Some(q28Oracle)),
+    GraftQuery("q29_range_frame", q29, Some(q29Oracle)))
 }

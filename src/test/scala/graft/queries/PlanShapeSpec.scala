@@ -71,6 +71,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
   }
 
+  test("runningTotal: range exchange + pid-keyed window, no global sort of the data") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id"), (col("id") % 7 + 1).as("v"))
+    val out = graft.ops.Relational.runningTotal(
+      df, Seq(col("v"), col("id")), col("v"), "cum")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"expected the order to become a range exchange:\n$p")
+    assert(p.contains("__pid"),
+      s"expected the per-row cumsum window keyed by partition id:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
