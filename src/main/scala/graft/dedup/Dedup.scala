@@ -123,17 +123,23 @@ object Dedup {
 
   /**
    * Exact near-duplicate ground truth: ALL pairs with n-gram Jaccard ≥
-   * `minJaccard` — the quadratic exactness anchor for the LSH path
-   * (the same role sim04 plays for sim06 on embeddings). Its purpose is
-   * to make LSH recall a MEASURED number (|nearDupPairs| / |this|)
-   * instead of an S-curve formula.
+   * `minJaccard` — the exactness anchor for the LSH path (the same
+   * role sim04 plays for sim06 on embeddings). Its purpose is to make
+   * LSH recall a MEASURED number (|nearDupPairs| / |this|) instead of
+   * an S-curve formula.
    *
-   * The only pruning applied is the lossless length bound
-   * J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|): a pair whose set sizes differ
-   * by more than the threshold ratio cannot reach it, so the join
-   * predicate discards it before the intersection is computed. Still
-   * O(n²) pairs in the worst case by construction — at scale this runs
-   * on samples or per-partition slices, never the full corpus.
+   * NOT the naive O(n²) comparison: the inverted-index plan. Shingles
+   * explode to (id, shingle) rows; an equi-self-join on the shingle
+   * followed by a pair count yields |A∩B| directly (sets are distinct),
+   * and |A∪B| = |A|+|B|−|A∩B|. Every join is a hash shuffle on narrow
+   * rows — no nested-loop pair enumeration, no shingle arrays through
+   * the shuffle — and pairs sharing zero shingles (J = 0) never
+   * materialize at all. Cost is Σ_shingle df², driven by document
+   * FREQUENCY, not corpus size: near-unique shingles cost ~nothing,
+   * and the residual risk is boilerplate shingles with huge df — the
+   * same pathology the LSH path caps with `maxBucket`; for a ground
+   * truth we keep exactness and eat that cost (it is the measurement
+   * tool, not the production dedup path).
    */
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double = 0.7, shingleWidth: Int = 3): DataFrame = {
@@ -141,12 +147,18 @@ object Dedup {
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("l", size(col("sh")))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("l").as("la"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("l").as("lb"))
-    a.join(b, col("id_a") < col("id_b") &&
-        least(col("la"), col("lb")).cast(DoubleType) >=
-          lit(minJaccard) * greatest(col("la"), col("lb")).cast(DoubleType))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sh.select(col("id"), explode(col("sh")).as("s"))
+    val shared = tokens.as("a").join(tokens.as("b"), Seq("s"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("li"))
+    shared
+      .join(sh.select(col("id").as("id_a"), col("l").as("la")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("l").as("lb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("li").cast(DoubleType) /
+          (col("la") + col("lb") - col("li")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -228,9 +228,10 @@ object TextQueries {
   //      anchor for tx06, like sim04 for sim06). With this row under
   //      the oracle gate, tx06's recall becomes a measured number
   //      (TextDedupSpec prints and asserts it) instead of an S-curve
-  //      formula. Oracle mirrors the lossless length bound and derives
-  //      |A∪B| = |A|+|B|−|A∩B| (sets are distinct), so both engines
-  //      divide the same two integers. ----
+  //      formula. The Spark side runs the inverted-index plan; the
+  //      oracle brute-forces all pairs and derives |A∪B| =
+  //      |A|+|B|−|A∩B| (sets are distinct), so both engines divide
+  //      the same two integers. ----
   private def tx13(spark: SparkSession, dir: String): DataFrame =
     Dedup.allPairsJaccard(Tables.documents(spark, dir), "doc_id", "text",
       minJaccard = 0.7)
@@ -245,8 +246,7 @@ object TextQueries {
       |z AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
       |    len(list_intersect(a.s, b.s)) AS li
-      |  FROM f a JOIN f b ON a.doc_id < b.doc_id
-      |    AND least(a.l, b.l) >= 0.7 * greatest(a.l, b.l))
+      |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM (
       |  SELECT id_a, id_b,
       |    CAST(li AS DOUBLE) / CAST(la + lb - li AS DOUBLE) AS jaccard
@@ -311,8 +311,7 @@ object TextQueries {
        |    SELECT b.doc_id AS id_b,
        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-       |    FROM f a JOIN f b ON a.doc_id < b.doc_id
-       |      AND least(a.l, b.l) >= 0.7 * greatest(a.l, b.l)) z
+       |    FROM f a JOIN f b ON a.doc_id < b.doc_id) z
        |  WHERE jaccard >= 0.7),
        |uniq AS (
        |  SELECT doc_id, quality_score, n_tokens FROM kept
