@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -18,8 +18,14 @@ import org.apache.spark.sql.types._
  * h_j(x) = h1(x) + j·h2(x) (Indyk; used by every large-scale MinHash
  * implementation), so each element is hashed twice regardless of k.
  *
- * Interpreted eval via CodegenFallback is fine here: the per-row cost
- * is one virtual call amortized over hundreds of array elements.
+ * Codegen policy: the ARRAY-BUILDING expressions (MinHash, SimHash,
+ * shingles) stay CodegenFallback — their per-row cost is one virtual
+ * call amortized over hundreds of elements, and they sit in map-only
+ * projection stages. The SCALAR comparators (DotProduct, Hamming)
+ * implement real `doGenCode`: they run inside the similarity SCORING
+ * stages next to codegen'd arithmetic/filters, where a single fallback
+ * expression would collapse the whole WholeStageCodegen span to
+ * interpreted evaluation.
  */
 object HashExpressions {
 
@@ -125,9 +131,10 @@ object HashExpressions {
   }
 
   /** Hamming distance between two 64-bit fingerprints (popcount of
-    * XOR) — the SimHash near-dup comparator. */
+    * XOR) — the SimHash near-dup comparator. Codegen'd so the
+    * candidate-verification filter stays one compiled span. */
   case class HammingDistance64(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hamming64"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance64 =
@@ -135,14 +142,19 @@ object HashExpressions {
     override def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Integer.valueOf(
         java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   }
 
   /** Dot product of two array<double> columns in one fused loop.
     * The `aggregate(zip_with(...))` formulation allocates a zipped
     * array and interprets two lambdas per element; this is the hot
-    * inner op of every similarity-search pair evaluation. */
+    * inner op of every similarity-search pair evaluation, so it
+    * generates the same sequential-fold loop into the scoring stage's
+    * compiled code (identical summation order ⇒ identical bits to the
+    * interpreted path and the DuckDB oracle). */
   case class DotProduct(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
@@ -160,6 +172,21 @@ object HashExpressions {
       }
       java.lang.Double.valueOf(acc)
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = Math.min($x.numElements(), $y.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $x.getDouble($i) * $y.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
   }
 
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
