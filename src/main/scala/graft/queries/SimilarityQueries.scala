@@ -239,6 +239,95 @@ object SimilarityQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- sim07: int8 scalar quantization — the 4× storage compression
+  //      every web-scale vector corpus applies before ANN. Per-vector
+  //      summary (scale + integer stats) so the whole quantization is
+  //      cell-exact under the oracle: integer outputs, and the scale's
+  //      derivation uses only exact ops (max of |x|, one division). ----
+  private def sim07(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(col("embedding"))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      q.getField("scale").as("scale"),
+      aggregate(q.getField("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+      array_min(q.getField("q")).as("q_min"),
+      array_max(q.getField("q")).as("q_max"))
+  }
+
+  private val sim07Oracle =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT e.vec_id, s.scale,
+      |    list_transform(e.embedding, x -> CASE WHEN s.scale = 0 THEN 0
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT) END) AS qv
+      |  FROM embeddings e JOIN s ON s.vec_id = e.vec_id)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  list_min(qv) AS q_min,
+      |  list_max(qv) AS q_max
+      |FROM q""".stripMargin
+
+  // ---- sim08: ANN over the QUANTIZED vectors. The elegant property:
+  //      per-vector scales cancel in the cosine (cos = dotq /
+  //      √(Σqa²·Σqb²)), so scoring is pure integer arithmetic promoted
+  //      to double — exact regardless of summation order (every
+  //      partial ≪ 2^53), hence bit-identical across engines with no
+  //      sequential-fold caveat at all. ----
+  private def sim08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val base = emb(spark, dir).select(col("id"),
+        Similarity.quantizeInt8(col("vec")).getField("q").as("q"))
+      .withColumn("qd", transform(col("q"), _.cast(DoubleType)))
+      .withColumn("n2", Similarity.dot(col("qd"), col("qd")))
+    val cand = base.select(col("id").as("cand_id"), col("qd").as("cq"), col("n2").as("cn2"))
+    val qs = base.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("qd").as("qq"), col("n2").as("qn2"))
+    val scored = cand.join(broadcast(qs), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Similarity.dot(col("qq"), col("cq")) / sqrt(col("qn2") * col("cn2")), 4)
+          .as("cosine"))
+    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("cand_id")), 5, rankName = "rank")
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  private val sim08Oracle =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT e.vec_id,
+      |    list_transform(e.embedding, x -> CASE WHEN s.scale = 0 THEN 0
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT) END) AS qv
+      |  FROM embeddings e JOIN s ON s.vec_id = e.vec_id),
+      |n2 AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS DOUBLE) AS n2
+      |  FROM q),
+      |pairs AS (
+      |  SELECT query_id, cand_id, CAST(SUM(CAST(xa AS BIGINT) * xb) AS DOUBLE) AS dotq
+      |  FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |      UNNEST(a.qv) AS xa, UNNEST(b.qv) AS xb
+      |    FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      |    WHERE a.vec_id < 10) z
+      |  GROUP BY query_id, cand_id),
+      |scored AS (
+      |  SELECT p.query_id, p.cand_id,
+      |    ROUND(p.dotq / SQRT(na.n2 * nb.n2), 4) AS cosine
+      |  FROM pairs p
+      |  JOIN n2 na ON na.vec_id = p.query_id
+      |  JOIN n2 nb ON nb.vec_id = p.cand_id)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT query_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -248,5 +337,7 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfTopK(emb(s, d), queriesDf(s, d), k = 5)
         .select("query_id", "cand_id", "cosine", "rank"),
       None, headline = true, oracleGen = Some(sim05OracleGen)),
-    GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)))
+    GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)),
+    GraftQuery("sim07_quantize", sim07, Some(sim07Oracle)),
+    GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)))
 }

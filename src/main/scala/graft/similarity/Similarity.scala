@@ -234,6 +234,32 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 scalar quantization of an embedding column — the
+   * standard storage trick for web-scale vector corpora (4× smaller
+   * than float32, and integer dot products). Per-vector max-abs
+   * scaling: `scale = max|x| / 127`, `q_i = floor(x_i/scale + 0.5)`
+   * (explicit floor(+0.5) instead of ROUND — identical doubles round
+   * identically on any IEEE engine, where decimal ROUND rules differ).
+   * A zero vector quantizes to zeros with scale 0. Reconstruction
+   * error is bounded by scale/2 per element (spec-asserted on data).
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = toDoubleVec(vec)
+    val maxAbs = array_max(transform(dv, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    struct(
+      scale.as("scale"),
+      transform(dv, x =>
+        when(scale === 0.0, lit(0))
+          .otherwise(floor(x / scale + lit(0.5)).cast("int"))).as("q"))
+  }
+
+  /** Dequantize back to double: x̂_i = q_i · scale. */
+  def dequantize(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      q => q.cast(DoubleType) * quantized.getField("scale"))
+
+  /**
    * LSH-bucketed approximate top-k: queries join candidates only within
    * their signature bucket. Returns the same schema as bruteForceTopK;
    * recall < 1 by construction (bucket boundaries), cost ~ bucket sizes.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
+import graft.queries.Registry
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -71,6 +72,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // bucketing of unclustered vectors keeps a modest but stable slice
     val recall = bucketed.size.toDouble / exact.size
     assert(recall >= 0.05, s"recall $recall below seeded floor")
+  }
+
+  test("int8 quantization round-trip error is bounded by scale/2 on real data") {
+    import org.apache.spark.sql.types.DoubleType
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val checked = emb.select(
+        col("vec_id"),
+        q.getField("scale").as("scale"),
+        // max |x_i - q_i*scale| per vector, via a zipped reconstruction
+        array_max(zip_with(
+          Similarity.toDoubleVec(col("embedding")),
+          Similarity.dequantize(q),
+          (x, xhat) => abs(x - xhat))).as("max_err"),
+        array_max(transform(q.getField("q"), c => abs(c))).as("max_q"))
+      .collect()
+    assert(checked.length == 500)
+    checked.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      // floor(x/s + 0.5) is within half a step; tiny epsilon for the
+      // double divide/multiply round trip
+      assert(r.getAs[Double]("max_err") <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: reconstruction error above scale/2")
+      assert(r.getAs[Int]("max_q") <= 127, "quantized magnitude escaped int8")
+    }
+  }
+
+  test("int8-quantized ANN preserves most of the exact top-k (measured recall)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val quantized = Registry.byName("sim08_quantized_ann")
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val overlap = exact.intersect(quantized).size.toDouble / exact.size
+    info(f"int8 ANN overlap@5 vs exact: ${exact.intersect(quantized).size}/${exact.size} = $overlap%.3f")
+    // unclustered 64-dim corpus (neighbors separated by slim cosine
+    // margins) is the worst case for quantization — still most of the
+    // exact neighbors must survive; seeded data makes this a constant
+    assert(overlap >= 0.6, f"int8 ANN overlap $overlap%.3f below floor")
   }
 
   test("LSH top-k returns a subset of the exact ranking with true cosines") {
