@@ -196,7 +196,7 @@ object SimilarityQueries {
    * identically in each, so Spark's max-over-cells equals the oracle's
    * DISTINCT meeting set.
    */
-  private def sim05OracleGen(spark: SparkSession, dir: String): String = {
+  private[queries] def sim05OracleGen(spark: SparkSession, dir: String): String = {
     val cents = graft.similarity.Similarity.fitCentroids(emb(spark, dir))
     // Double.toString is the shortest decimal that round-trips; wrap in
     // parens so negative literals survive the surrounding arithmetic

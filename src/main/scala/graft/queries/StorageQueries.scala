@@ -74,7 +74,31 @@ object StorageQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment""".stripMargin
 
+  // ---- io03: the IVF vector store ON DISK. The cell-partitioned
+  //      layout (`cell=<n>/` directories of (cand_id, cvec, cnorm))
+  //      makes an ANN probe a partition-pruned scan: the broadcast
+  //      probe side joins on the partition column, so only the probed
+  //      cells' directories are read — io01's layout trick applied to
+  //      vector search, and the storage realization of sim05's plan.
+  //      Same math as sim05 end-to-end (shared scoring code, doubles
+  //      bit-preserved through parquet), so it shares sim05's
+  //      generated oracle. ----
+  private def io03(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val tmp = Files.createTempDirectory("graft-io03-").toString
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfLayout(emb)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val probed = Similarity.ivfProbe(emb, emb.filter(col("id") < 10))
+    Similarity.scoreProbed(store, probed, k = 5)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
-    GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)))
+    GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
+    GraftQuery("io03_ivf_store", io03, None,
+      oracleGen = Some(SimilarityQueries.sim05OracleGen)))
 }

@@ -195,33 +195,32 @@ object Similarity {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
     Seq[Array[Double]]]()
 
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, scale: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val cand = candProjection(candidates)
-    val centroids = fitCentroids(candidates, nCells, seed).zipWithIndex
-      .map { case (c, i) => (i, c) }
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
+  /** The IVF STORAGE layout: every candidate with its nearest-cell
+    * assignment, `(cand_id, cvec, cnorm, cell)` — written
+    * `partitionBy("cell")` this becomes the on-disk inverted file,
+    * where an ANN probe of nProbe cells is a partition-pruned scan
+    * (io03 materializes it; PlanShapeSpec pins the pruning). */
+  def ivfLayout(candidates: DataFrame, nCells: Int = 16,
+                seed: Long = 42L): DataFrame =
+    nearestCells(candidates, col("cvec"), 1, "cand_id", nCells, seed)(
+      candProjection(candidates))
 
-    // assign candidates to their nearest cell (euclidean, like the model)
-    def nearestCells(vecCol: Column, n: Int, out: String): DataFrame => DataFrame = df => {
-      val withDist = df.crossJoin(broadcast(centDf))
-        .withColumn("dist",
-          aggregate(zip_with(vecCol, col("centroid"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-      graft.ops.Relational.topKPerGroup(withDist,
-        Seq(out), Seq(col("dist"), col("cell")), n, rankName = "__cr")
-        .drop("__cr", "dist", "centroid")
-    }
-
-    val celledCand = nearestCells(col("cvec"), 1, "cand_id")(cand)
+  /** The probe side: each query with its `nProbe` nearest cells of the
+    * CANDIDATE corpus's quantizer (same memoized fit as [[ivfLayout]]). */
+  def ivfProbe(candidates: DataFrame, queries: DataFrame, nCells: Int = 16,
+               nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     val q = queries
       .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
-    val probedQ = nearestCells(col("qvec"), nProbe, "query_id")(q)
+    nearestCells(candidates, col("qvec"), nProbe, "query_id", nCells, seed)(q)
+  }
 
+  /** Score a probed layout: per-cell candidate×query cosine, max over
+    * the cells a pair meets in, bounded top-k per query. Shared by
+    * [[ivfTopK]] and the storage-backed probe (io03) so both compute
+    * bit-identical results. */
+  def scoreProbed(celledCand: DataFrame, probedQ: DataFrame, k: Int,
+                  scale: Int = 4): DataFrame = {
     val scored = celledCand.join(broadcast(probedQ), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
@@ -232,6 +231,33 @@ object Similarity {
     graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
   }
+
+  /** Nearest `n` quantizer cells (euclidean, like the k-means model)
+    * for each row's `vecCol`, as extra `cell` rows. */
+  private def nearestCells(candidates: DataFrame, vecCol: Column, n: Int,
+                           keyCol: String, nCells: Int,
+                           seed: Long): DataFrame => DataFrame = df => {
+    val centroids = fitCentroids(candidates, nCells, seed).zipWithIndex
+      .map { case (c, i) => (i, c) }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val withDist = df.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(vecCol, col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    graft.ops.Relational.topKPerGroup(withDist,
+      Seq(keyCol), Seq(col("dist"), col("cell")), n, rankName = "__cr")
+      .drop("__cr", "dist", "centroid")
+  }
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, scale: Int = 4,
+              seed: Long = 42L): DataFrame =
+    scoreProbed(
+      ivfLayout(candidates, nCells, seed),
+      ivfProbe(candidates, queries, nCells, nProbe, seed),
+      k, scale)
 
   /**
    * Symmetric int8 scalar quantization of an embedding column — the

@@ -83,6 +83,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the per-row cumsum window keyed by partition id:\n$p")
   }
 
+  test("io03: the IVF store scan is dynamically partition-pruned to the probed cells") {
+    // the ANN probe must NOT read the whole vector store: the probe
+    // side broadcasts and DPP restricts the scan to the probed cells'
+    // partition directories — the on-disk realization of IVF
+    val p = plan("io03_ivf_store")
+    assert(p.contains("dynamicpruningexpression(cell"),
+      s"expected dynamic partition pruning on the cell column:\n$p")
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"expected the probe side broadcast, joined on cell:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
