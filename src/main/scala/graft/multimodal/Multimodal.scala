@@ -215,6 +215,47 @@ object Multimodal {
       }
   }
 
+  /**
+   * REAL image resize (JDK `Graphics2D`, bilinear): decode the payload,
+   * scale to `w`×`h`, re-encode as PNG. Non-image kinds and
+   * undecodable payloads pass through untouched — the same graceful
+   * degrade as [[ImageIoDecoder]]. Runs per-partition for the same
+   * reason as the decode stage (imperative per-row work, library
+   * state reused across a partition's rows).
+   */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return payload
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The resize stage over a media table: image payloads re-encoded at
+    * `w`×`h` (declared metadata updated to match), other kinds pass
+    * through. */
+  def resizeMedia(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = resizeImage(r.payload, w, h), width = w, height = h)
+        else r
+      })
+      .toDF()
+  }
+
   /** Frame sampling as pure metadata math (every `stride`-th frame). */
   def sampleFrameCount(features: DataFrame, stride: Int): DataFrame =
     features.withColumn("n_sampled_frames",

@@ -96,9 +96,31 @@ object MultimodalQueries {
       |  1 AS n_frames
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ---- mm05: the resize stage, verified by round trip. Real PNGs of
+  //      id-derived sizes are resized to a fixed 16×12 and RE-DECODED:
+  //      the dimensions a correct resize must produce are constants,
+  //      so the oracle is exact — a resize that skips re-encoding, or
+  //      a decode that trusts the (updated) declared metadata rather
+  //      than the new bytes, breaks the hash. ----
+  private def mm05(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.resizeMedia(
+        Multimodal.mediaWithRealImages(Tables.documents(spark, dir)), 16, 12),
+      Multimodal.ImageIoDecoder)
+      .toDF()
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("width_px"), col("height_px"),
+        (col("n_bytes") > 0).as("has_payload"))
+
+  private val mm05Oracle =
+    """SELECT doc_id AS media_id, 16 AS width_px, 12 AS height_px,
+      |  TRUE AS has_payload
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None),
     GraftQuery("mm02_media_ann", mm02, None, headline = true),
     GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
-    GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)))
+    GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
+    GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)))
 }

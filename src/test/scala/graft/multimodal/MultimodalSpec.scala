@@ -63,6 +63,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(d.features.toSeq == d2.features.toSeq)
   }
 
+  test("resize re-encodes image payloads at the target size; other kinds pass through") {
+    val media = Multimodal.mediaWithRealImages(docs)
+    val resized = Multimodal.resizeMedia(media, 5, 7)
+    val out = Multimodal.extractFeatures(resized, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    // image: the NEW bytes decode at the target size
+    assert(out(0).kind == "image" && out(0).width_px == 5 && out(0).height_px == 7)
+    // non-image payloads are byte-identical passthrough
+    val audioBefore = media.filter(col("media_id") === 1L)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val audioAfter = resized.filter(col("media_id") === 1L)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    assert(audioBefore.toSeq == audioAfter.toSeq)
+    // direct round trip: upscale then decode reads the upscaled dims
+    val big = Multimodal.resizeImage(Multimodal.renderPng(3L, 8, 8), 32, 16)
+    val d = Multimodal.ImageIoDecoder.decode("image", big, 16)
+    assert(d.width == 32 && d.height == 16)
+  }
+
   test("real-image media pipeline: PNGs decode end-to-end, stubs degrade gracefully") {
     val media = Multimodal.mediaWithRealImages(docs)
     val out = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
