@@ -250,6 +250,28 @@ object AdvancedQueries {
        |WINDOW w AS (PARTITION BY event_type ORDER BY day
        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- q30: correlated scalar subqueries — the SQL-surface feature a
+  //      migrating analyst reaches for next after joins/windows. One
+  //      text runs verbatim on both engines (q22's mechanism).
+  //      Determinism: the above-group-average comparison is expressed
+  //      as bal·count > sum over exact decimals (an AVG of doubles
+  //      would be summation-order-dependent; decimal SUM is not, and
+  //      DuckDB's AVG(decimal) returns double anyway). ----
+  private val q30Sql =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2))
+      |      * (SELECT COUNT(*) FROM customer c2
+      |         WHERE c2.c_nationkey = c.c_nationkey)
+      |      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(12,2))) FROM customer c3
+      |         WHERE c3.c_nationkey = c.c_nationkey)""".stripMargin
+
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(q30Sql)
+  }
+
   // ---- q29: RANGE-frame window (7 CALENDAR days, not 7 rows — the
   //      frame is value-based over the epoch-day number, so a type
   //      with missing days averages fewer bars where q28's ROWS frame
@@ -288,5 +310,6 @@ object AdvancedQueries {
     GraftQuery("q26_shipping_priority", q26, Some(q26Oracle), headline = true),
     GraftQuery("q27_cube", q27, Some(q27Oracle)),
     GraftQuery("q28_moving_avg", q28, Some(q28Oracle)),
-    GraftQuery("q29_range_frame", q29, Some(q29Oracle)))
+    GraftQuery("q29_range_frame", q29, Some(q29Oracle)),
+    GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)))
 }
