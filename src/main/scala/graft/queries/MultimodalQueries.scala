@@ -28,13 +28,22 @@ object MultimodalQueries {
   private val featureCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def features(spark: SparkSession, dir: String): DataFrame =
-    featureCache.computeIfAbsent(dir, d =>
-      Multimodal.extractFeatures(
-        Multimodal.mediaWithRealImages(Tables.documents(spark, d)),
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    // a cached frame is only valid while its session lives — a second
+    // main in the same JVM (Verify then Bench) must rebuild, not hand
+    // back a frame bound to a stopped SparkContext
+    val cached = featureCache.get(dir)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val df = Multimodal.extractFeatures(
+        Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
         Multimodal.ImageIoDecoder)
         .toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      featureCache.put(dir, df)
+      df
+    }
+  }
 
   private def stubFeatures(spark: SparkSession, dir: String) =
     Multimodal.extractFeatures(

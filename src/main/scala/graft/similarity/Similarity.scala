@@ -133,13 +133,21 @@ object Similarity {
     * of re-registering. MEMORY_AND_DISK entries are LRU-evicted under
     * pressure; [[releaseCaches]] is the explicit lifecycle hook for
     * long multi-corpus sessions. */
-  private def candProjection(candidates: DataFrame): DataFrame =
-    projCache.computeIfAbsent(
-      candidates.queryExecution.analyzed.canonicalized,
-      _ => candidates
+  private def candProjection(candidates: DataFrame): DataFrame = {
+    val key = candidates.queryExecution.analyzed.canonicalized
+    // session-validity guard: canonicalized scans can match across
+    // sessions in one JVM, and a frame from a stopped session is dead
+    val cached = projCache.get(key)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val df = candidates
         .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
         .withColumn("cnorm", l2Norm(col("cvec")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      projCache.put(key, df)
+      df
+    }
+  }
 
   private val projCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
