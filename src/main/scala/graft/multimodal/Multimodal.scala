@@ -82,17 +82,19 @@ object Multimodal {
   }
 
   /**
-   * A REAL image decoder on the JDK's own `javax.imageio` — no external
-   * library, so the "image libs aren't in this container" boundary
-   * doesn't apply to PNG/JPEG/BMP/GIF. Images decode to actual pixels;
-   * features are genuine image statistics (dimensions, channel means,
-   * luminance histogram). Audio/video still delegate to [[StubDecoder]]
-   * (the JDK ships no codec for them), as does any payload ImageIO
-   * cannot parse — the pipeline never fails on a corrupt blob, it
-   * degrades to fingerprint features.
+   * A REAL media decoder on the JDK's own codecs — no external library:
+   * `javax.imageio` for PNG/JPEG/BMP/GIF and `javax.sound.sampled` for
+   * WAV/AIFF PCM. Images decode to actual pixels (features are genuine
+   * image statistics: dimensions, channel means, luminance histogram);
+   * audio decodes to actual PCM samples (features are genuine sample
+   * statistics: channels, rate, peak/mean amplitude). Video still
+   * delegates to [[StubDecoder]] (the JDK ships no video codec), as
+   * does any payload neither API can parse — the pipeline never fails
+   * on a corrupt blob, it degrades to fingerprint features.
    */
   object ImageIoDecoder extends MediaDecoder {
     override def decode(kind: String, payload: Array[Byte], featureDim: Int): Decoded = {
+      if (kind == "audio") return decodeAudio(payload, featureDim)
       if (kind != "image") return StubDecoder.decode(kind, payload, featureDim)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
