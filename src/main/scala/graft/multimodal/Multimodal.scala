@@ -93,6 +93,70 @@ object Multimodal {
    * on a corrupt blob, it degrades to fingerprint features.
    */
   object ImageIoDecoder extends MediaDecoder {
+
+    /** Feature layout for decoded audio: (0) sample rate Hz, (1) channel
+      * count, (2) frame count, (3) peak |amplitude| in raw int16 units,
+      * (4) mean |amplitude|, (5) RMS, (6) zero crossings; remaining slots
+      * hold a normalized |amplitude| histogram. Only PCM_SIGNED 16-bit
+      * (WAV/AIFF — what the JDK parses) decodes; anything else degrades
+      * to [[StubDecoder]], so a corrupt blob never fails the pipeline. */
+    private def decodeAudio(payload: Array[Byte], featureDim: Int): Decoded = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException                               => null
+        }
+      if (in == null) return StubDecoder.decode("audio", payload, featureDim)
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return StubDecoder.decode("audio", payload, featureDim)
+        val bytes = in.readAllBytes()
+        val channels = math.max(fmt.getChannels, 1)
+        val big = fmt.isBigEndian
+        val nSamples = bytes.length / 2
+        val nFrames = nSamples / channels
+        var peak = 0; var sumAbs = 0L; var sumSq = 0.0; var zc = 0; var prev = 0
+        val histBins = math.max(featureDim - 7, 0)
+        val hist = new Array[Long](math.max(histBins, 1))
+        var i = 0
+        while (i < nSamples) {
+          val b0 = bytes(2 * i); val b1 = bytes(2 * i + 1)
+          val v = if (big) (b0.toInt << 8) | (b1 & 0xff)
+                  else (b1.toInt << 8) | (b0 & 0xff)
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumAbs += a
+          sumSq += v.toDouble * v
+          if (i > 0 && ((v ^ prev) < 0)) zc += 1
+          if (histBins > 0) hist(math.min(a * histBins / 32768, histBins - 1)) += 1
+          prev = v
+          i += 1
+        }
+        val features = new Array[Float](featureDim)
+        if (featureDim > 0) features(0) = fmt.getSampleRate
+        if (featureDim > 1) features(1) = channels.toFloat
+        if (featureDim > 2) features(2) = nFrames.toFloat
+        if (featureDim > 3) features(3) = peak.toFloat
+        if (featureDim > 4) features(4) =
+          if (nSamples > 0) (sumAbs.toDouble / nSamples).toFloat else 0f
+        if (featureDim > 5) features(5) =
+          if (nSamples > 0) math.sqrt(sumSq / nSamples).toFloat else 0f
+        if (featureDim > 6) features(6) = zc.toFloat
+        i = 0
+        while (i < histBins) {
+          features(7 + i) = if (nSamples > 0) hist(i).toFloat / nSamples else 0f
+          i += 1
+        }
+        Decoded(nFrames, 0, 0, features)
+      } catch {
+        case _: java.io.IOException => StubDecoder.decode("audio", payload, featureDim)
+      } finally in.close()
+    }
+
     override def decode(kind: String, payload: Array[Byte], featureDim: Int): Decoded = {
       if (kind == "audio") return decodeAudio(payload, featureDim)
       if (kind != "image") return StubDecoder.decode(kind, payload, featureDim)
@@ -162,13 +226,51 @@ object Multimodal {
   }
 
   /**
-   * Media table with REAL image payloads: image-kind rows carry a
-   * genuine PNG (dimensions derived from the id — `8 + id % 9` ×
-   * `8 + id % 7` — so an independent engine can predict what a correct
-   * decode must find), audio/video rows keep UTF-8 stand-in payloads
-   * behind the declared stub boundary. Row-at-a-time PNG encoding is
-   * fixture synthesis, not a pipeline operator — the pipeline itself
-   * only ever DECODES, inside [[extractFeatures]]'s partition pass.
+   * Render a deterministic WAV: `nSamples` mono 16-bit PCM samples at
+   * `rateHz` from an LCG seeded by `seed`, encoded with the JDK's WAVE
+   * writer. Sample 0 is pinned to +32767 so the decoded peak amplitude
+   * is a constant an independent engine can predict; the remaining
+   * samples span [-32767, 32767]. Fixture side of mm06's real-decode
+   * round trip (mirrors [[renderPng]] for mm04).
+   */
+  def renderWav(seed: Long, nSamples: Int, rateHz: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < nSamples) {
+      val v =
+        if (i == 0) 32767
+        else {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 24) % 65535L).toInt - 32767
+        }
+      data(2 * i) = (v & 0xff).toByte // little-endian 16-bit PCM
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded frame count a correct WAV decode must find for audio row
+    * `id` — the fixture formula mm06's oracle recomputes. */
+  def wavSampleCount(id: Long): Int = 256 + (id % 7).toInt * 64
+
+  /**
+   * Media table with REAL image and audio payloads: image-kind rows
+   * carry a genuine PNG (dimensions derived from the id — `8 + id % 9`
+   * × `8 + id % 7`), audio-kind rows a genuine WAV (sample count
+   * [[wavSampleCount]], 16 kHz mono, pinned peak) — so an independent
+   * engine can predict what a correct decode must find. Video rows keep
+   * UTF-8 stand-in payloads behind the declared stub boundary (the JDK
+   * ships no video codec). Row-at-a-time encoding is fixture synthesis,
+   * not a pipeline operator — the pipeline itself only ever DECODES,
+   * inside [[extractFeatures]]'s partition pass.
    */
   def mediaWithRealImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -179,6 +281,8 @@ object Multimodal {
           val w = 8 + (id % 9).toInt
           val h = 8 + (id % 7).toInt
           MediaRow(id, "image", renderPng(id, w, h), w, h, 0)
+        case "audio" =>
+          MediaRow(id, "audio", renderWav(id, wavSampleCount(id), 16000), 0, 0, 16000)
         case kind =>
           MediaRow(id, kind, text.getBytes("UTF-8"), 0, 0, 16000)
       }

@@ -8,15 +8,17 @@ import graft.similarity.Similarity
 import graft.sources.Tables
 
 /**
- * Multimodal pipeline queries. Image payloads are REAL PNGs (rendered
- * deterministically into the fixture, decoded with the JDK's
- * `javax.imageio` — actual pixels, no external library); audio/video
- * stay behind the declared stub boundary (the JDK ships no codec).
- * mm04 puts the real decode under the oracle gate: the oracle predicts
- * the dimensions a correct decode must read out of the PNG bytes.
- * mm01/mm02 remain rows-only (pixel-statistics features are not
- * expressible in SQL); mm03 keeps the UTF-8 path so byte/frame counts
- * stay independently computable.
+ * Multimodal pipeline queries. Image payloads are REAL PNGs (decoded
+ * with the JDK's `javax.imageio` — actual pixels) and audio payloads
+ * REAL WAVs (decoded with `javax.sound.sampled` — actual PCM samples);
+ * both rendered deterministically into the fixture, no external
+ * library. Video stays behind the declared stub boundary (the JDK
+ * ships no video codec). mm04/mm06 put the real decodes under the
+ * oracle gate: the oracle predicts the dimensions / sample counts a
+ * correct decode must read out of the bytes. mm01/mm02 remain
+ * rows-only (pixel/sample-statistics features are not expressible in
+ * SQL); mm03 keeps the UTF-8 path so byte/frame counts stay
+ * independently computable.
  */
 object MultimodalQueries {
 
@@ -126,10 +128,33 @@ object MultimodalQueries {
       |  TRUE AS has_payload
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ---- mm06: the REAL audio decode under the oracle gate. The fixture
+  //      renders each audio-kind row as a genuine 16 kHz mono WAV whose
+  //      sample count is a function of the id and whose first sample is
+  //      pinned to +32767; the pipeline decodes the BYTES with
+  //      javax.sound.sampled. The oracle recomputes the sample-count
+  //      formula and the pinned peak, so a broken decoder — or one that
+  //      trusts declared metadata instead of parsing the WAV header —
+  //      breaks the hash. (mm04's recipe, second media kind.) ----
+  private def mm06(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("n_frames"),
+        element_at(col("features"), 1).cast("int").as("sr_hz"),
+        element_at(col("features"), 2).cast("int").as("n_channels"),
+        element_at(col("features"), 4).cast("int").as("peak_amp"))
+
+  private val mm06Oracle =
+    """SELECT doc_id AS media_id,
+      |  CAST(256 + (doc_id % 7) * 64 AS INT) AS n_frames,
+      |  16000 AS sr_hz, 1 AS n_channels, 32767 AS peak_amp
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None),
     GraftQuery("mm02_media_ann", mm02, None, headline = true),
     GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
     GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
-    GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)))
+    GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)),
+    GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)))
 }

@@ -88,10 +88,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect().sortBy(_.media_id)
     // doc 0 is image kind: dimensions come from the PNG BYTES (8+0, 8+0)
     assert(out(0).kind == "image" && out(0).width_px == 8 && out(0).height_px == 8)
-    // non-image rows fall back to the stub: no decoded dimensions
-    assert(out(1).kind == "audio" && out(1).width_px == 0 && out(1).height_px == 0)
+    // doc 1 is audio kind: frame count comes from the WAV BYTES
+    assert(out(1).kind == "audio" && out(1).n_frames == Multimodal.wavSampleCount(1L))
+    // doc 2 is video kind: falls back to the stub (no JDK video codec)
+    assert(out(2).kind == "video" && out(2).width_px == 0 && out(2).height_px == 0)
     // a corrupt image payload degrades to stub features instead of failing
     val corrupt = Multimodal.ImageIoDecoder.decode("image", Array[Byte](1, 2, 3), 16)
     assert(corrupt.width == 0 && corrupt.nFrames == 1)
+  }
+
+  test("ImageIoDecoder reads real PCM samples out of a rendered WAV") {
+    val n = 300
+    val wav = Multimodal.renderWav(seed = 11L, nSamples = n, rateHz = 16000)
+    // RIFF magic: a genuine encoded WAV, not a fingerprint of text
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val d = Multimodal.ImageIoDecoder.decode("audio", wav, featureDim = 16)
+    assert(d.nFrames == n)                       // frame count from the header
+    assert(d.features(0) == 16000.0f)            // sample rate from the header
+    assert(d.features(1) == 1.0f)                // mono
+    assert(d.features(2) == n.toFloat)
+    assert(d.features(3) == 32767.0f)            // pinned peak sample
+    assert(d.features(4) > 0f && d.features(4) <= 32767f) // mean |amp|
+    assert(d.features(5) >= d.features(4))       // RMS ≥ mean |amp|
+    // histogram over |amplitude| sums to 1
+    assert(math.abs(d.features.drop(7).sum - 1.0f) < 1e-4)
+    // determinism: identical bytes → identical features
+    val d2 = Multimodal.ImageIoDecoder.decode("audio", wav, featureDim = 16)
+    assert(d.features.toSeq == d2.features.toSeq)
+    // a non-WAV audio payload degrades to the stub, never fails
+    val stubbed = Multimodal.ImageIoDecoder.decode("audio", "plain text".getBytes, 16)
+    assert(stubbed.nFrames == Multimodal.StubDecoder.decode("audio", "plain text".getBytes, 16).nFrames)
   }
 }
