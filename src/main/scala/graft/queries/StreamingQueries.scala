@@ -37,8 +37,21 @@ object StreamingQueries {
       |FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2""".stripMargin
 
+  // Micros-domain time bound: Spark timestamps are micros-precision,
+  // so comparing epoch_us values reproduces the stream's comparison
+  // exactly regardless of the parquet file's declared NANOS unit.
+  private val st04Oracle =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+      |  p.value AS purchase_value
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
     GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
-    GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)))
+    GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)),
+    GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)))
 }

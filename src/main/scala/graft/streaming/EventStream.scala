@@ -152,6 +152,59 @@ object EventStream {
   }
 
   /**
+   * The shared (batch ≡ stream) interval-join shape: purchase events
+   * matched to the same user's click events in the preceding
+   * `window`. Column names are disambiguated BEFORE the join so the
+   * time-bound condition references each side's event time explicitly
+   * — the form Spark's stream-stream join planner needs to derive
+   * state-eviction watermarks for both sides.
+   */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        window: String = "30 minutes"): DataFrame =
+    purchases.join(clicks,
+      expr(s"""user_id = click_user
+              | AND click_ts >= purchase_ts - INTERVAL $window
+              | AND click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("purchase_value"))
+
+  /**
+   * st04: stream-stream interval join, run as a real streaming query.
+   * Both sides are watermarked and the join condition bounds the two
+   * event times, so each side's buffered state is evicted once the
+   * other side's watermark passes the bound — state is
+   * O(rate × (delay + window)), independent of stream length (the
+   * property the spec asserts with a two-batch MemoryStream feed).
+   * Inner-join matches emit as soon as both rows have arrived, so on a
+   * finite replay the append-mode result equals the batch interval
+   * join — which is exactly what the plain-SQL oracle computes.
+   */
+  def intervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_interval_join"
+    spark.catalog.dropTempView(name)
+    val events = () => readEvents(spark, s"$dir/events.parquet")
+    val purchases = events()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val clicks = events()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val q = purchaseClickJoin(purchases, clicks)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
+  /**
    * Watermarked append-mode variant (the late-data contract): events
    * later than `delay` behind the max seen timestamp are dropped;
    * windows emit once finalized. The grouping key must be the window

@@ -70,6 +70,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(hour0.head.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("stream-stream interval join equals the batch join; state bounded by watermark") {
+    val streamed = EventStream.intervalJoinReplay(spark, sf)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val batch = EventStream.purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value")),
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts")))
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+
+    // state bound: rows older than watermark-delay + join-window must be
+    // EVICTED from the join buffers once the watermark advances past them
+    implicit val sqlCtx = spark.sqlContext
+    val pms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cms = MemoryStream[(Long, Long, Timestamp)]
+    val name = "graft_ssj_state_test"
+    spark.catalog.dropTempView(name)
+    val q = EventStream.purchaseClickJoin(
+      pms.toDS().toDF("purchase_id", "user_id", "purchase_ts", "purchase_value")
+        .withWatermark("purchase_ts", "10 minutes"),
+      cms.toDS().toDF("click_id", "click_user", "click_ts")
+        .withWatermark("click_ts", "10 minutes"),
+      window = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: early rows from many users buffer on both sides
+      pms.addData((1L, 1L, t("2024-01-01 01:00:00"), 5.0))
+      cms.addData((101L, 1L, t("2024-01-01 00:50:00")),
+        (102L, 2L, t("2024-01-01 00:55:00")), (103L, 3L, t("2024-01-01 00:58:00")))
+      q.processAllAvailable()
+      val buffered = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(buffered >= 4) // everything still within horizon: all buffered
+      // batch 2: advance BOTH watermarks hours past the early rows
+      pms.addData((2L, 9L, t("2024-01-01 06:00:00"), 1.0))
+      cms.addData((109L, 9L, t("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      // one more batch so eviction from batch 2's watermark is applied
+      pms.addData((3L, 9L, t("2024-01-01 07:00:00"), 1.0))
+      cms.addData((110L, 9L, t("2024-01-01 07:00:00")))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after < buffered + 4) // early rows evicted, not accreted
+      // the in-horizon match was emitted exactly once
+      val matches = spark.table(name).filter(col("purchase_id") === 1L).collect()
+      assert(matches.length == 1 && matches.head.getAs[Long]("click_id") == 101L)
+    } finally q.stop()
+  }
+
   test("foreachBatch keyed upsert sink: staged overwrite, batch rows win") {
     implicit val sqlCtx = spark.sqlContext
     val target = java.nio.file.Files.createTempDirectory("graft-upsert-").toString + "/t"
