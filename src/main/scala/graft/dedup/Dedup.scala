@@ -92,7 +92,24 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.7, k: Int = 16,
                    bands: Int = 4, shingleWidth: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    nearDupPairsWithStats(docs, idCol, textCol, minJaccard, k, bands,
+      shingleWidth, maxBucket)._1
+
+  /**
+   * [[nearDupPairs]] plus its cap witness: a one-row frame
+   * (n_buckets, capped_buckets, dropped_rows) quantifying what step 3's
+   * `maxBucket` cut actually discarded. A recall claim is only honest
+   * alongside this row — "recall 1.000 with 0 capped buckets" is a
+   * measurement; "recall 1.000" alone could be hiding arbitrarily many
+   * pairs dropped inside pathological buckets. The stats frame reuses
+   * the same persisted (id, shingles, signature) base, so producing the
+   * witness adds one narrow aggregate, not a second shingling pass.
+   */
+  def nearDupPairsWithStats(docs: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.7, k: Int = 16,
+                            bands: Int = 4, shingleWidth: Int = 3,
+                            maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
     val base = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
@@ -114,11 +131,21 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    candidates
+    val pairs = candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+    val stats = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L)).as("dropped_rows"))
+
+    (pairs, stats)
   }
 
   /**

@@ -325,6 +325,35 @@ object TextQueries {
        |WHERE cum_tokens <= 20000""".stripMargin
   }
 
+  // ---- tx15: the LSH cap witness — tx06's recall claim made honest.
+  //      One row: how many LSH buckets exceeded maxBucket (and how many
+  //      banded rows that discarded), alongside the verified pair count.
+  //      The oracle pins capped/dropped to ZERO as constants and
+  //      recomputes the pair count with tx13's brute-force machinery —
+  //      so "recall 1.000" ships with a hash-gated "0 buckets capped"
+  //      witness, and a corpus where the cap silently fires (or LSH
+  //      misses a pair) breaks the gate instead of hiding. ----
+  private def tx15(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, stats) = Dedup.nearDupPairsWithStats(
+      Tables.documents(spark, dir), "doc_id", "text", minJaccard = 0.7)
+    stats.crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+      .select("capped_buckets", "dropped_rows", "n_pairs")
+  }
+
+  private val tx15Oracle =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+      |  FROM documents),
+      |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+      |z AS (
+      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+      |SELECT 0 AS capped_buckets, 0 AS dropped_rows,
+      |  COUNT(*) AS n_pairs FROM z WHERE jaccard >= 0.7""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -342,5 +371,6 @@ object TextQueries {
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
     GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)),
     GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)),
-    GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle)))
+    GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle)),
+    GraftQuery("tx15_lsh_cap_witness", tx15, Some(tx15Oracle)))
 }

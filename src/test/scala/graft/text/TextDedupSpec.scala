@@ -98,6 +98,30 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.85, f"recall $recall%.3f below the seeded floor 0.85")
   }
 
+  test("maxBucket cap witness: zero on the fixture corpus, fires on boilerplate") {
+    // the recall measurement above is only honest if nothing was capped —
+    // assert the witness says so on the same corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (_, stats) = Dedup.nearDupPairsWithStats(docs, "doc_id", "text")
+    val s = stats.collect().head
+    assert(s.getAs[Long]("n_buckets") > 0)
+    assert(s.getAs[Long]("capped_buckets") == 0L,
+      "cap fired on the fixture corpus — recall claims are void")
+    assert(s.getAs[Long]("dropped_rows") == 0L)
+
+    // a boilerplate corpus (many identical docs) lands in one bucket per
+    // band: with maxBucket below the corpus size the metric must FIRE,
+    // reporting exactly what was discarded instead of silently dropping
+    val boiler = (1 to 50).map(i => (i.toLong, "same boilerplate text repeated here"))
+      .toDF("doc_id", "text")
+    val (pairs, bstats) = Dedup.nearDupPairsWithStats(boiler, "doc_id", "text",
+      maxBucket = 10)
+    val b = bstats.collect().head
+    assert(b.getAs[Long]("capped_buckets") == 4L) // all 4 bands capped
+    assert(b.getAs[Long]("dropped_rows") == 200L) // 50 docs × 4 bands
+    assert(pairs.count() == 0L) // every pair lived in capped buckets: dropped
+  }
+
   test("SimHash bit-band LSH is exactly exhaustive for maxHamming < bands") {
     // pigeonhole: d bit-flips can corrupt at most d of the 8 bands, so a
     // pair at Hamming ≤ 6 < 8 agrees on ≥ 2 bands and MUST collide —
