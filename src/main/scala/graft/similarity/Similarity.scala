@@ -135,30 +135,53 @@ object Similarity {
     * long multi-corpus sessions. */
   private def candProjection(candidates: DataFrame): DataFrame = {
     val key = candidates.queryExecution.analyzed.canonicalized
-    // session-validity guard: canonicalized scans can match across
-    // sessions in one JVM, and a frame from a stopped session is dead
-    val cached = projCache.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      val df = candidates
-        .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
-        .withColumn("cnorm", l2Norm(col("cvec")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      projCache.put(key, df)
-      df
+    projCache.synchronized {
+      // session-validity guard: canonicalized scans can match across
+      // sessions in one JVM, and a frame from a stopped session is dead
+      val cached = projCache.get(key)
+      if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+      else {
+        val df = candidates
+          .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+          .withColumn("cnorm", l2Norm(col("cvec")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        projCache.put(key, df)
+        df
+      }
     }
   }
 
-  private val projCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+  /** Cap on memoized persisted projections: a multi-corpus sweep holds
+    * at most this many frames; beyond it the least-recently-used is
+    * unpersisted and rebuilt on next touch (deterministic projection ⇒
+    * eviction never changes results, only cost). */
+  val MaxCachedProjections = 8
+
+  // access-ordered LinkedHashMap = LRU; eviction unpersists so the
+  // executor-side blocks go with the map entry, not at session death
+  private val projCache = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                               DataFrame]): Boolean =
+      if (size > MaxCachedProjections) {
+        e.getValue.unpersist(blocking = false); true
+      } else false
+  }
+
+  private[similarity] def cachedProjectionCount: Int =
+    projCache.synchronized(projCache.size)
 
   /** Drop every cached candidate projection and memoized quantizer —
-    * the explicit cache lifecycle for sessions that sweep many corpora
-    * (the frames would otherwise live until LRU eviction). */
+    * the explicit cache lifecycle hook (the LRU bound handles steady
+    * state; this is the full flush). */
   def releaseCaches(): Unit = {
-    projCache.values.forEach(df => { df.unpersist(blocking = false); () })
-    projCache.clear()
-    centroidCache.clear()
+    projCache.synchronized {
+      projCache.values.forEach(df => { df.unpersist(blocking = false); () })
+      projCache.clear()
+    }
+    centroidCache.synchronized(centroidCache.clear())
   }
 
   /**
@@ -186,7 +209,9 @@ object Similarity {
     // invocation. Deterministic fit ⇒ memoization is purely a cost
     // optimization; [[releaseCaches]] clears it.
     val key = (candidates.queryExecution.analyzed.canonicalized, nCells, seed)
-    centroidCache.computeIfAbsent(key, _ => {
+    val cached = centroidCache.synchronized(centroidCache.get(key))
+    if (cached != null) cached
+    else {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val train = candProjection(candidates)
@@ -195,13 +220,22 @@ object Similarity {
         .limit(4096)
       val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
         .setFeaturesCol("features").fit(train)
-      model.clusterCenters.map(_.toArray).toSeq
-    })
+      val centroids = model.clusterCenters.map(_.toArray).toSeq
+      centroidCache.synchronized(centroidCache.put(key, centroids))
+      centroids
+    }
   }
 
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
-    Seq[Array[Double]]]()
+  // driver-memory-only (nCells × dim doubles per entry) but bounded for
+  // the same multi-corpus-session reason as the projection cache
+  private val centroidCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
+      Seq[Array[Double]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
+          Seq[Array[Double]]]): Boolean = size > 64
+  }
 
   /** The IVF STORAGE layout: every candidate with its nearest-cell
     * assignment, `(cand_id, cvec, cnorm, cell)` — written

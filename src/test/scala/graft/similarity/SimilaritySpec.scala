@@ -36,6 +36,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!out.map(_.getAs[Long]("cand_id")).contains(0L))
   }
 
+  test("projection cache is LRU-bounded; eviction rebuilds identical results") {
+    Similarity.releaseCaches()
+    // distinct corpora — each gets its own canonicalized plan / cache key
+    def corpus(tag: Int) = (0 until 12)
+      .map(i => ((tag * 100 + i).toLong,
+        Array((i % 3).toFloat + 1, (i % 5).toFloat - 2, tag.toFloat % 7 + 0.5f)))
+      .toDF("id", "vec")
+    val first = Similarity.ivfLayout(corpus(0), nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    (1 to Similarity.MaxCachedProjections + 2)
+      .foreach(t => Similarity.ivfLayout(corpus(t), nCells = 2).count())
+    // the sweep exceeded the cap: the LRU must have evicted, not accreted
+    assert(Similarity.cachedProjectionCount <= Similarity.MaxCachedProjections)
+    // corpus 0 was evicted; rebuilding it yields hash-identical cells
+    val again = Similarity.ivfLayout(corpus(0), nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(again == first)
+    Similarity.releaseCaches()
+    assert(Similarity.cachedProjectionCount == 0)
+  }
+
   test("IVF top-k on real embeddings: valid scores, measured recall vs exact") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, dir)
