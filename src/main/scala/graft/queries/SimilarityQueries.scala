@@ -196,7 +196,11 @@ object SimilarityQueries {
    * identically in each, so Spark's max-over-cells equals the oracle's
    * DISTINCT meeting set.
    */
-  private[queries] def sim05OracleGen(spark: SparkSession, dir: String): String = {
+  /** The fitted-centroid cell CTEs shared by sim05/io03's oracle and
+    * io04's: `dists → ranked → cand_cell → probe → meet` — nearest-cell
+    * assignment, 4-cell probing, and the DISTINCT probed-pair set,
+    * rendered from the memoized deterministic quantizer. */
+  private def ivfMeetCtes(spark: SparkSession, dir: String): String = {
     val cents = graft.similarity.Similarity.fitCentroids(emb(spark, dir))
     // Double.toString is the shortest decimal that round-trips; wrap in
     // parens so negative literals survive the surrounding arithmetic
@@ -206,7 +210,7 @@ object SimilarityQueries {
       }.mkString
       s"SELECT vec_id, $cell AS cell, (0.0$chain) AS dist FROM embeddings"
     }.mkString("\n  UNION ALL ")
-    s"""WITH dists AS (
+    s"""dists AS (
        |  $distBranches),
        |ranked AS (
        |  SELECT vec_id, cell,
@@ -216,7 +220,11 @@ object SimilarityQueries {
        |probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 10),
        |meet AS (
        |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id
-       |  FROM probe p JOIN cand_cell c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+       |  FROM probe p JOIN cand_cell c ON c.cell = p.cell AND c.vec_id <> p.vec_id)""".stripMargin
+  }
+
+  private[queries] def sim05OracleGen(spark: SparkSession, dir: String): String = {
+    s"""WITH ${ivfMeetCtes(spark, dir)},
        |$normsCte,
        |pairs AS (
        |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
@@ -232,6 +240,51 @@ object SimilarityQueries {
        |  FROM pairs p
        |  JOIN norms nq ON nq.vec_id = p.query_id
        |  JOIN norms nc ON nc.vec_id = p.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /**
+   * io04 oracle — the composed quantized IVF store: [[ivfMeetCtes]]
+   * picks the probed (query, candidate) pairs exactly as sim05/io03,
+   * then sim08's quantized CTEs (per-vector int8 codes, bigint squared
+   * norms, bigint dot) score them. Every quantized partial is an
+   * integer ≪ 2^53, so the scoring is exact regardless of summation
+   * order — the composed oracle inherits determinism from both parents
+   * with no new caveats.
+   */
+  private[queries] def io04OracleGen(spark: SparkSession, dir: String): String = {
+    s"""WITH ${ivfMeetCtes(spark, dir)},
+       |s AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT e.vec_id,
+       |    list_transform(e.embedding, x -> CASE WHEN s.scale = 0 THEN 0
+       |      ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT) END) AS qv
+       |  FROM embeddings e JOIN s ON s.vec_id = e.vec_id),
+       |n2 AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS DOUBLE) AS n2
+       |  FROM q),
+       |qpairs AS (
+       |  SELECT query_id, cand_id, CAST(SUM(CAST(xa AS BIGINT) * xb) AS DOUBLE) AS dotq
+       |  FROM (
+       |    SELECT m.query_id, m.cand_id, UNNEST(a.qv) AS xa, UNNEST(b.qv) AS xb
+       |    FROM meet m
+       |    JOIN q a ON a.vec_id = m.query_id
+       |    JOIN q b ON b.vec_id = m.cand_id) z
+       |  GROUP BY query_id, cand_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |    ROUND(p.dotq / SQRT(na.n2 * nb.n2), 4) AS cosine
+       |  FROM qpairs p
+       |  JOIN n2 na ON na.vec_id = p.query_id
+       |  JOIN n2 nb ON nb.vec_id = p.cand_id)
        |SELECT query_id, cand_id, cosine, rank FROM (
        |  SELECT query_id, cand_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank

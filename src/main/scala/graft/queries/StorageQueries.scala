@@ -96,9 +96,32 @@ object StorageQueries {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  // ---- io04: the QUANTIZED IVF store — io03's cell-partitioned
+  //      layout holding sim07's int8 codes (4× smaller on disk), probed
+  //      through the same DPP scan, scored with sim08's
+  //      scale-cancelling integer cosine. Both parents are
+  //      oracle-backed, and integer dots are order-independent, so the
+  //      composed oracle is mechanical: sim05's fitted-centroid cell
+  //      CTEs pick the meeting pairs, sim08's quantized CTEs score
+  //      them. ----
+  private def io04(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val tmp = Files.createTempDirectory("graft-io04-").toString
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.quantizedIvfLayout(emb)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val probed = Similarity.quantizedIvfProbe(emb, emb.filter(col("id") < 10))
+    Similarity.scoreProbedQuantized(store, probed, k = 5)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
     GraftQuery("io03_ivf_store", io03, None,
-      oracleGen = Some(SimilarityQueries.sim05OracleGen)))
+      oracleGen = Some(SimilarityQueries.sim05OracleGen)),
+    GraftQuery("io04_quantized_ivf_store", io04, None,
+      oracleGen = Some(SimilarityQueries.io04OracleGen)))
 }

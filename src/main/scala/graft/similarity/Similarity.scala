@@ -301,6 +301,62 @@ object Similarity {
       ivfProbe(candidates, queries, nCells, nProbe, seed),
       k, scale)
 
+  /** The QUANTIZED IVF storage layout — io03's cell-partitioned
+    * inverted file holding [[quantizeInt8]]'s codes instead of float64
+    * vectors: `(cand_id, q, n2, cell)`, ~4× smaller on disk and
+    * integer-exact to score. Cell assignment runs in FLOAT space with
+    * the same quantizer as [[ivfLayout]] (the codes are a storage
+    * format, not an index key), so a store written `partitionBy("cell")`
+    * prunes identically to the unquantized one. `n2 = Σ q_i²` is
+    * precomputed (exact: integer sums ≪ 2^53) so the probe never
+    * rescans the codes for norms. */
+  def quantizedIvfLayout(candidates: DataFrame, nCells: Int = 16,
+                         seed: Long = 42L): DataFrame = {
+    val qArr = quantizeInt8(col("vec")).getField("q")
+    val proj = candidates.select(
+        col("id").as("cand_id"),
+        toDoubleVec(col("vec")).as("cvec"),
+        qArr.as("q"))
+      .withColumn("n2", dot(transform(col("q"), _.cast(DoubleType)),
+        transform(col("q"), _.cast(DoubleType))))
+    nearestCells(candidates, col("cvec"), 1, "cand_id", nCells, seed)(proj)
+      .drop("cvec")
+  }
+
+  /** The probe side of the quantized store: each query with its
+    * `nProbe` nearest cells (float-space, same memoized quantizer as
+    * the layout) plus its OWN int8 codes `qq` and squared norm `qn2` —
+    * scoring then never touches the float vectors at all. */
+  def quantizedIvfProbe(candidates: DataFrame, queries: DataFrame,
+                        nCells: Int = 16, nProbe: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    val q = queries.select(
+        col("id").as("query_id"),
+        toDoubleVec(col("vec")).as("qvec"),
+        transform(quantizeInt8(col("vec")).getField("q"),
+          _.cast(DoubleType)).as("qq"))
+      .withColumn("qn2", dot(col("qq"), col("qq")))
+    nearestCells(candidates, col("qvec"), nProbe, "query_id", nCells, seed)(q)
+      .drop("qvec")
+  }
+
+  /** Score a probed QUANTIZED layout: sim08's scale-cancelling integer
+    * cosine (`dotq / √(Σqa²·Σqb²)` — every partial ≪ 2^53, so the sum
+    * is exact in any order) over io03's partition-pruned probe join.
+    * Same output schema as [[scoreProbed]]. */
+  def scoreProbedQuantized(celledCand: DataFrame, probedQ: DataFrame, k: Int,
+                           scale: Int = 4): DataFrame = {
+    val scored = celledCand.join(broadcast(probedQ), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qq"), transform(col("q"), _.cast(DoubleType))) /
+          sqrt(col("qn2") * col("n2")), scale).as("cosine"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("cosine")).as("cosine")) // pair may meet in several probed cells
+    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+  }
+
   /**
    * Symmetric int8 scalar quantization of an embedding column — the
    * standard storage trick for web-scale vector corpora (4× smaller

@@ -94,6 +94,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the probe side broadcast, joined on cell:\n$p")
   }
 
+  test("io04: the quantized IVF store keeps io03's DPP probe on 4× smaller data") {
+    // same pruning contract as io03 — the int8 codes change what each
+    // partition STORES, not how the probe prunes; if DPP ever breaks
+    // here the probe reads the whole quantized corpus
+    val p = plan("io04_quantized_ivf_store")
+    assert(p.contains("dynamicpruningexpression(cell"),
+      s"expected dynamic partition pruning on the cell column:\n$p")
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"expected the probe side broadcast, joined on cell:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
