@@ -157,8 +157,60 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** Feature layout for decoded video: (0) frame count, (1) width,
+      * (2) height, (3..) mean luminance (0–1) of each frame in order,
+      * as many as fit. The JDK's GIF reader handles multi-frame GIFs —
+      * the one genuine video-ish container the JDK can parse; anything
+      * it can't parse degrades to [[StubDecoder]] like the other kinds. */
+    private def decodeVideo(payload: Array[Byte], featureDim: Int): Decoded = {
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (iis == null) return StubDecoder.decode("video", payload, featureDim)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return StubDecoder.decode("video", payload, featureDim)
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return StubDecoder.decode("video", payload, featureDim)
+        val first = reader.read(0)
+        val w = first.getWidth
+        val h = first.getHeight
+        val features = new Array[Float](featureDim)
+        if (featureDim > 0) features(0) = n.toFloat
+        if (featureDim > 1) features(1) = w.toFloat
+        if (featureDim > 2) features(2) = h.toFloat
+        var f = 0
+        while (f < n && 3 + f < featureDim) {
+          val img = if (f == 0) first else reader.read(f)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114
+              x += 1
+            }
+            y += 1
+          }
+          features(3 + f) =
+            (sum / 1000.0 / (img.getWidth.toLong * img.getHeight) / 255.0).toFloat
+          f += 1
+        }
+        reader.dispose()
+        Decoded(n, w, h, features)
+      } catch {
+        case _: java.io.IOException => StubDecoder.decode("video", payload, featureDim)
+      } finally iis.close()
+    }
+
     override def decode(kind: String, payload: Array[Byte], featureDim: Int): Decoded = {
       if (kind == "audio") return decodeAudio(payload, featureDim)
+      if (kind == "video") return decodeVideo(payload, featureDim)
       if (kind != "image") return StubDecoder.decode(kind, payload, featureDim)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
