@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,6 +20,19 @@ import graft.text.TextAnalysis
  * sizes controlled by the band width.
  */
 object Dedup {
+
+  /** Memoized persisted (id, shingles, signature) projections behind
+    * [[nearDupPairsWithStats]] and [[allPairsJaccard]] — same lifecycle
+    * treatment as the similarity-side projection cache: LRU-bounded,
+    * unpersist-on-evict, [[releaseCaches]] as the explicit flush. The
+    * cache key is the canonicalized plan of the PROJECTED frame, so
+    * differing (shingleWidth, k) parameters key distinct entries. */
+  private val baseCache = new graft.util.PlanCache(maxEntries = 8)
+
+  private[graft] def cachedBaseCount: Int = baseCache.size
+
+  /** Unpersist every memoized shingle/signature projection. */
+  def releaseCaches(): Unit = baseCache.clear()
 
   /** Exact dedup: group documents by content fingerprint, keep the
     * lowest id as the canonical representative. */
@@ -111,19 +123,29 @@ object Dedup {
                             bands: Int = 4, shingleWidth: Int = 3,
                             maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
-    val base = docs
+    val base = baseCache.persisted(docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minHashSignature(col("sh"), k)))
 
     val banded = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val capped = banded
-      .withColumn("bsz", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bsz") <= maxBucket)
+
+    // Bucket sizes via hash aggregate, NOT count().over(Window...): the
+    // window formulation exchanges AND SORTS every banded row just to
+    // annotate a size — at corpus scale that sort is the most expensive
+    // step of the whole plan. The aggregate needs the same single
+    // exchange and no sort, and oversized keys (pathological
+    // boilerplate buckets) are rare by construction, so removing them
+    // is a broadcast anti-join — no second shuffle of the banded rows.
+    val bucketSizes = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+    val oversized = bucketSizes
+      .filter(col("bsz") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
 
     val candidates = capped.as("a")
       .join(capped.as("b"), Seq("band", "band_hash"))
@@ -137,9 +159,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
-    val stats = banded
-      .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bsz"))
+    val stats = bucketSizes
       .agg(
         count(lit(1)).as("n_buckets"),
         sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
@@ -170,11 +190,10 @@ object Dedup {
    */
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double = 0.7, shingleWidth: Int = 3): DataFrame = {
-    val sh = docs
+    val sh = baseCache.persisted(docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("l", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("l", size(col("sh"))))
     val tokens = sh.select(col("id"), explode(col("sh")).as("s"))
     val shared = tokens.as("a").join(tokens.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id"))

@@ -28,17 +28,27 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  // one symlink dir per source file per JVM — repeated streaming
+  // queries (4 per Verify run × bench reps) must not accrete temp dirs
+  private val symlinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Streaming scan of an events parquet path. The file stream source
     * requires a directory; a bare parquet file is exposed through a
-    * symlink in a temp directory. */
+    * symlink in a temp directory, memoized per source path so repeated
+    * calls reuse one directory instead of leaking one per query. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val p = java.nio.file.Paths.get(path)
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
     val streamPath =
       if (java.nio.file.Files.isRegularFile(p)) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-        dir.toString
+        symlinkDirs.computeIfAbsent(p.toString, { _ =>
+          val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+          java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+          dir.toFile.deleteOnExit()
+          dir.resolve(p.getFileName).toFile.deleteOnExit()
+          dir.toString
+        })
       } else path
     spark.readStream.schema(rawSchema).parquet(streamPath)
       .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",

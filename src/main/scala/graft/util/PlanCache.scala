@@ -1,0 +1,62 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/**
+ * A bounded, access-ordered memoization cache for persisted DataFrames,
+ * keyed by the canonicalized logical plan of the frame being persisted.
+ *
+ * Why this exists: operators like MinHash LSH and IVF search build an
+ * expensive projection (shingling, vector normalization) consumed by
+ * several downstream plans. Persisting it once per distinct source is
+ * the right move, but a bare `.persist()` with no lifecycle leaks a
+ * MEMORY_AND_DISK frame per call for the session's lifetime. This cache
+ * gives every such projection the same treatment:
+ *
+ *  - memoized per canonicalized plan, so repeated queries over the same
+ *    source reuse one persisted frame instead of re-registering;
+ *  - LRU-bounded: beyond `maxEntries` the least-recently-used frame is
+ *    unpersisted and rebuilt on next touch (projections are
+ *    deterministic, so eviction never changes results, only cost);
+ *  - session-validity guarded: canonicalized scans can collide across
+ *    sessions in one JVM, and a frame from a stopped session is dead;
+ *  - explicitly flushable via [[clear]] for long multi-corpus sessions.
+ */
+final class PlanCache(val maxEntries: Int) {
+
+  // access-ordered LinkedHashMap = LRU; eviction unpersists so the
+  // executor-side blocks go with the map entry, not at session death
+  private val cache = new java.util.LinkedHashMap[LogicalPlan, DataFrame](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[LogicalPlan, DataFrame]): Boolean =
+      if (size() > maxEntries) {
+        e.getValue.unpersist(blocking = false); true
+      } else false
+  }
+
+  /** The persisted frame for `df`'s canonicalized plan, building and
+    * persisting (MEMORY_AND_DISK) on first touch. */
+  def persisted(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.analyzed.canonicalized
+    cache.synchronized {
+      val cached = cache.get(key)
+      if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+      else {
+        val persisted =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, persisted)
+        persisted
+      }
+    }
+  }
+
+  def size: Int = cache.synchronized(cache.size)
+
+  /** Unpersist and drop every cached frame — the full flush. */
+  def clear(): Unit = cache.synchronized {
+    cache.values.forEach(df => { df.unpersist(blocking = false); () })
+    cache.clear()
+  }
+}

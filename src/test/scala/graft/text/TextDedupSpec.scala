@@ -141,6 +141,22 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       s"banding lost pairs: ${brute.diff(banded)}; invented: ${banded.diff(brute)}")
   }
 
+  test("shingle-projection cache: memoized per source, flushed by releaseCaches") {
+    Dedup.releaseCaches()
+    assert(Dedup.cachedBaseCount == 0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two calls over the same source + parameters share one entry…
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    assert(Dedup.cachedBaseCount == 1)
+    // …a different projection (allPairsJaccard's) keys a second…
+    Dedup.allPairsJaccard(docs, "doc_id", "text").count()
+    assert(Dedup.cachedBaseCount == 2)
+    // …and the flush unpersists everything (no leaked persisted frames)
+    Dedup.releaseCaches()
+    assert(Dedup.cachedBaseCount == 0)
+  }
+
   test("SimHash: near-identical docs have small Hamming distance, unrelated large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
