@@ -15,10 +15,11 @@ import graft.sources.Tables
  * library. Video stays behind the declared stub boundary (the JDK
  * ships no video codec). mm04/mm06 put the real decodes under the
  * oracle gate: the oracle predicts the dimensions / sample counts a
- * correct decode must read out of the bytes. mm01/mm02 remain
- * rows-only (pixel/sample-statistics features are not expressible in
- * SQL); mm03 keeps the UTF-8 path so byte/frame counts stay
- * independently computable.
+ * correct decode must read out of the bytes; mm01 gates the per-kind
+ * media statistics (PNG byte totals via an oracleGen re-render).
+ * mm02/mm07 remain rows-only (pixel/sample-statistics features are not
+ * expressible in SQL); mm03 keeps the UTF-8 path so byte/frame counts
+ * stay independently computable.
  */
 object MultimodalQueries {
 
@@ -52,16 +53,63 @@ object MultimodalQueries {
       Multimodal.mediaFromDocuments(Tables.documents(spark, dir)),
       Multimodal.StubDecoder)
 
-  // ---- mm01: decode + per-kind feature statistics ----
+  // ---- mm01: per-kind media statistics, ORACLE-GATED. n_media /
+  //      total_frames / total_bytes are exact functions of the fixture
+  //      (audio frames = wavSampleCount, audio bytes = 44-byte
+  //      canonical WAV header + 2·samples, video = stub formulas over
+  //      UTF-8 text) — all recomputed independently in SQL. The one
+  //      non-SQL term, the image kinds' total PNG bytes (deflate
+  //      output), renders as a data-fitted literal the oracleGen
+  //      derives by RE-RENDERING the deterministic fixture PNGs — the
+  //      sim05-centroid recipe. The decoder-specific feature norms
+  //      (pixel/PCM statistics no SQL engine can recompute) live on the
+  //      rows-only mm07. ----
   private def mm01(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_frames")).as("total_frames"),
-        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_bytes")).as("total_bytes"))
+
+  // ---- mm07: the decoder-specific half mm01 left behind — per-kind
+  //      mean feature-vector norm over REAL decoded pixels/PCM. Its
+  //      inputs are oracle-gated upstream (mm04 pins the image decode,
+  //      mm06 the audio decode); the norm itself is not expressible in
+  //      SQL, so this stays a declared rows-only boundary. ----
+  private def mm07(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
         round(avg(Similarity.l2Norm(Similarity.toDoubleVec(col("features")))), 4)
           .as("avg_feature_norm"))
+
+  private def mm01OracleGen(spark: SparkSession, dir: String): String = {
+    // independent prediction of the image kinds' byte total: re-render
+    // each deterministic fixture PNG (seed = id, dims = id-derived) and
+    // sum the encoded lengths — touches the renderer only, never the
+    // pipeline's decode path
+    val imageBytes = Tables.documents(spark, dir)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .collect().map(_.getLong(0))
+      .map(id => Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt).length.toLong)
+      .sum
+    s"""SELECT 'image' AS kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+       |  CAST(COUNT(*) AS BIGINT) AS total_frames,
+       |  CAST($imageBytes AS BIGINT) AS total_bytes
+       |FROM documents WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT 'audio', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(256 + (doc_id % 7) * 64) AS BIGINT),
+       |  CAST(SUM(44 + 2 * (256 + (doc_id % 7) * 64)) AS BIGINT)
+       |FROM documents WHERE doc_id % 3 = 1
+       |UNION ALL
+       |SELECT 'video', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(GREATEST(1, strlen(text) // 256)) AS BIGINT),
+       |  CAST(SUM(strlen(text)) AS BIGINT)
+       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+  }
 
   // ---- mm02: similarity search over decoded features ----
   private def mm02(spark: SparkSession, dir: String): DataFrame = {
@@ -151,10 +199,11 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("mm01_media_features", mm01, None),
+    GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true),
     GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
     GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
     GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)),
-    GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)))
+    GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)),
+    GraftQuery("mm07_feature_norms", mm07, None))
 }
