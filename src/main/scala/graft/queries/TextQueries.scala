@@ -354,6 +354,42 @@ object TextQueries {
       |SELECT 0 AS capped_buckets, 0 AS dropped_rows,
       |  COUNT(*) AS n_pairs FROM z WHERE jaccard >= 0.7""".stripMargin
 
+  // ---- tx16: SimHash exact Hamming ground truth — tx13's role for the
+  //      SimHash path. All pairs at Hamming ≤ 6, brute-forced over the
+  //      64-bit fingerprints (the declared all-pairs exactness anchor;
+  //      production uses the banded tx09). DuckDB cannot reproduce
+  //      xxhash64, so the fingerprints render as data-fitted VALUES
+  //      literals (the sim05-centroid recipe) and the oracle
+  //      INDEPENDENTLY re-derives the pair set with its own xor +
+  //      bit_count arithmetic — verified to match Java's
+  //      two's-complement Long.bitCount exactly. Because bit-band LSH
+  //      is pigeonhole-EXHAUSTIVE for d < bands (a theorem, not an
+  //      S-curve), tx09's banded pair set equals this ground truth and
+  //      carries the same oracle — both now hash-gated. ----
+  private def tx16(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sh"))
+    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.HashExpressions.hamming64(col("sh_a"), col("sh_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  private def simhashHammingOracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simHash64(col("text")))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+      .mkString(", ")
+    s"""WITH sh(doc_id, h) AS (VALUES $rows)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -366,11 +402,13 @@ object TextQueries {
     GraftQuery("tx09_simhash_near_dup",
       (s, d) => Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 6, bands = 8),
-      None),
+      None, oracleGen = Some(simhashHammingOracleGen)),
     GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
     GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)),
     GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)),
     GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle)),
-    GraftQuery("tx15_lsh_cap_witness", tx15, Some(tx15Oracle)))
+    GraftQuery("tx15_lsh_cap_witness", tx15, Some(tx15Oracle)),
+    GraftQuery("tx16_simhash_truth", tx16, None,
+      oracleGen = Some(simhashHammingOracleGen)))
 }
