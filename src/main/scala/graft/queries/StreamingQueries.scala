@@ -49,9 +49,27 @@ object StreamingQueries {
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
       | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)""".stripMargin
 
+  // Same micros-domain bound as st04; the WHERE restricts both engines
+  // to the finalized region (see outerIntervalJoinReplay) — purchases
+  // more than 4 h behind the corpus max, where the streamed outer join
+  // provably emitted either its match or its null row.
+  private val st05Oracle =
+    """WITH m AS (SELECT MAX(epoch_us(ts)) - 14400000000 AS cutoff
+      |           FROM events),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+      |  p.value AS purchase_value
+      |FROM p CROSS JOIN m
+      |LEFT JOIN c ON p.user_id = c.user_id
+      |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+      |WHERE epoch_us(p.ts) <= m.cutoff""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
     GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
     GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)),
-    GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)))
+    GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)),
+    GraftQuery("st05_stream_outer_join", EventStream.outerIntervalJoinReplay, Some(st05Oracle)))
 }

@@ -181,6 +181,68 @@ object EventStream {
         col("purchase_value"))
 
   /**
+   * The left-outer interval join: every purchase emits, with null click
+   * columns when no qualifying click exists. In streaming execution the
+   * null row for an unmatched purchase at time T can only emit once the
+   * click-side watermark passes T — before that, a matching click could
+   * still arrive — so outer results trail the watermark where inner
+   * matches emit immediately. This is the join shape that exercises
+   * state eviction hardest: every left row is buffered until the
+   * watermark proves its match-window closed.
+   */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame,
+                             window: String = "30 minutes"): DataFrame =
+    purchases.join(clicks,
+      expr(s"""user_id = click_user
+              | AND click_ts >= purchase_ts - INTERVAL $window
+              | AND click_ts <= purchase_ts""".stripMargin), "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("purchase_value"), col("purchase_ts"))
+
+  /**
+   * st05: the left-outer interval join as a real streaming query. A
+   * finite replay's watermark freezes at maxSeen − delay, so unmatched
+   * purchases in the stream's tail never get their no-match proof and
+   * never emit — the streamed result equals the batch LEFT JOIN only on
+   * the FINALIZED region. Both this query and its oracle therefore
+   * restrict to purchases at least (delay + margin) behind the corpus
+   * max timestamp; inside that region append-mode output is exactly the
+   * batch join (matches emitted on arrival, nulls on watermark
+   * passage — the ordering StreamingSpec pins with a two-batch feed).
+   */
+  def outerIntervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_outer_join"
+    spark.catalog.dropTempView(name)
+    val events = () => readEvents(spark, s"$dir/events.parquet")
+    val purchases = events()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val clicks = events()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val q = purchaseClickJoinOuter(purchases, clicks)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // finalized-region cutoff: 4 h = the 2 h delay + slack for the
+    // per-side watermark lag (each side's watermark tracks ITS OWN max
+    // seen; the global one is their min) + the 30 min join window
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val out = spark.table(name)
+      .filter(unix_micros(col("purchase_ts")) <= maxUs - 4L * 3600 * 1000000)
+      .drop("purchase_ts")
+    out.cache().count()
+    out
+  }
+
+  /**
    * st04: stream-stream interval join, run as a real streaming query.
    * Both sides are watermarked and the join condition bounds the two
    * event times, so each side's buffered state is evicted once the

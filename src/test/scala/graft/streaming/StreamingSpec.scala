@@ -125,6 +125,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null rows emit only after watermark passage") {
+    // the finalized-region replay equals the batch LEFT JOIN
+    val streamed = EventStream.outerIntervalJoinReplay(spark, sf)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_.isNullAt(1)), "no unmatched purchases in fixture")
+
+    // the emission-order contract: an unmatched purchase must NOT emit
+    // while a qualifying click could still arrive, and MUST emit its
+    // null row once the click-side watermark passes its match window
+    implicit val sqlCtx = spark.sqlContext
+    val pms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cms = MemoryStream[(Long, Long, Timestamp)]
+    val name = "graft_ssj_outer_test"
+    spark.catalog.dropTempView(name)
+    val q = EventStream.purchaseClickJoinOuter(
+      pms.toDS().toDF("purchase_id", "user_id", "purchase_ts", "purchase_value")
+        .withWatermark("purchase_ts", "10 minutes"),
+      cms.toDS().toDF("click_id", "click_user", "click_ts")
+        .withWatermark("click_ts", "10 minutes"),
+      window = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: user 1 purchase matched by a click; user 2 purchase
+      // unmatched — its null row must NOT appear yet (watermark at
+      // 00:50, still inside the match window)
+      pms.addData((1L, 1L, t("2024-01-01 01:00:00"), 5.0),
+        (2L, 2L, t("2024-01-01 01:00:00"), 7.0))
+      cms.addData((101L, 1L, t("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      assert(early.exists(_.getAs[Long]("purchase_id") == 1L), "match not emitted")
+      assert(!early.exists(r => r.getAs[Long]("purchase_id") == 2L),
+        s"null row emitted before watermark passed: ${early.toSeq}")
+      // batch 2 + flush batch: advance both watermarks hours past the
+      // purchases — the unmatched purchase must now emit with null click
+      pms.addData((3L, 9L, t("2024-01-01 06:00:00"), 1.0))
+      cms.addData((109L, 9L, t("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      pms.addData((4L, 9L, t("2024-01-01 07:00:00"), 1.0))
+      cms.addData((110L, 9L, t("2024-01-01 07:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table(name).filter(col("purchase_id") === 2L).collect()
+      assert(rows.length == 1, s"expected exactly one null row, got ${rows.toSeq}")
+      assert(rows.head.isNullAt(rows.head.fieldIndex("click_id")))
+      assert(rows.head.isNullAt(rows.head.fieldIndex("lag_us")))
+      assert(rows.head.getAs[Double]("purchase_value") == 7.0)
+    } finally q.stop()
+  }
+
   test("foreachBatch keyed upsert sink: staged overwrite, batch rows win") {
     implicit val sqlCtx = spark.sqlContext
     val target = java.nio.file.Files.createTempDirectory("graft-upsert-").toString + "/t"
