@@ -141,6 +141,7 @@ object Similarity {
       val cached = projCache.get(key)
       if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
       else {
+        projectionBuilds.incrementAndGet()
         val df = candidates
           .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
           .withColumn("cnorm", l2Norm(col("cvec")))
@@ -170,8 +171,15 @@ object Similarity {
       } else false
   }
 
-  private[similarity] def cachedProjectionCount: Int =
+  private[graft] def cachedProjectionCount: Int =
     projCache.synchronized(projCache.size)
+
+  // forensic counters (profile specs): how many times the projection
+  // was actually BUILT (persisted) and the quantizer actually FIT —
+  // cache hits don't increment, so a memoization miss across repeated
+  // identical queries shows up as a count > 1
+  private[graft] val projectionBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val quantizerFits = new java.util.concurrent.atomic.AtomicInteger
 
   /** Drop every cached candidate projection and memoized quantizer —
     * the explicit cache lifecycle hook (the LRU bound handles steady
@@ -212,6 +220,7 @@ object Similarity {
     val cached = centroidCache.synchronized(centroidCache.get(key))
     if (cached != null) cached
     else {
+      quantizerFits.incrementAndGet()
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val train = candProjection(candidates)
@@ -275,22 +284,24 @@ object Similarity {
   }
 
   /** Nearest `n` quantizer cells (euclidean, like the k-means model)
-    * for each row's `vecCol`, as extra `cell` rows. */
+    * for each row's `vecCol`, as extra `cell` rows.
+    *
+    * MAP-ONLY: one native expression evaluates every centroid in a
+    * tight loop per row ([[graft.expressions.VectorExpressions
+    * .NearestCells]]) — no crossJoin against a centroid table, no
+    * window rank, no exchange, no sort. The earlier declarative
+    * formulation (16-row broadcast crossJoin + row_number window) paid
+    * an exchange + sort of the 16×-exploded rows per assignment, twice
+    * per IVF query; at corpus scale that re-shuffles the vectors for
+    * what is a pure per-row function of the fitted quantizer. Distance
+    * fold order and (dist, cell) tie-break are bit-compatible with the
+    * old plan and with the rendered oracle SQL. */
   private def nearestCells(candidates: DataFrame, vecCol: Column, n: Int,
                            keyCol: String, nCells: Int,
                            seed: Long): DataFrame => DataFrame = df => {
-    val centroids = fitCentroids(candidates, nCells, seed).zipWithIndex
-      .map { case (c, i) => (i, c) }
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
-    val withDist = df.crossJoin(broadcast(centDf))
-      .withColumn("dist",
-        aggregate(zip_with(vecCol, col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    graft.ops.Relational.topKPerGroup(withDist,
-      Seq(keyCol), Seq(col("dist"), col("cell")), n, rankName = "__cr")
-      .drop("__cr", "dist", "centroid")
+    val centroids = fitCentroids(candidates, nCells, seed)
+    df.withColumn("cell",
+      explode(graft.expressions.VectorExpressions.nearestCells(vecCol, centroids, n)))
   }
 
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
