@@ -76,13 +76,38 @@ object Bench {
     val flagged = ratios.collect {
       case (name, r) if r > 15.0 && resMap(name) >= 0.5 => name
     }
+
+    // Third scaling point: a deterministic 10× blow-up of the
+    // documents/embeddings corpora (the tables that scale sublinearly
+    // in the fixture dirs), timed for the text/similarity headliners.
+    // One decade more exposes super-linear terms the sf0.01→sf0.1 step
+    // hides; the blow-up is built once per machine and reused.
+    val tenxQueries = Seq("sim01_ann_cosine", "sim02_lsh_ann", "sim05_ivf_ann",
+      "tx02_text_quality", "tx06_near_dup_pairs", "mm02_media_ann")
+    val tenx: Seq[(String, Double)] =
+      if (sfDir.endsWith("sf0.1"))
+        try {
+          val dir10 = BenchData.ensureBlowUp(spark, sfDir, factor = 10)
+          headline.filter(q => tenxQueries.contains(q.name))
+            .map(q => q.name -> time(q, dir10))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] 10x blow-up skipped: $e"); Seq.empty }
+      else Seq.empty
+    val ratios10 = tenx.flatMap { case (name, t) =>
+      resMap.get(name).collect { case b if b > 0 && t > 0 => name -> t / b }
+    }
+    val tenxJson = tenx.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ratio10Json = ratios10.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ratioJson = ratios.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}""")
     spark.stop()
   }
 }
