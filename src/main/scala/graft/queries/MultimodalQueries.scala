@@ -198,6 +198,30 @@ object MultimodalQueries {
       |  16000 AS sr_hz, 1 AS n_channels, 32767 AS peak_amp
       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
+  // ---- mm08: frame sampling (every 4th frame) — the last item of the
+  //      decode / feature-extract / resize / frame-sample checklist,
+  //      under the oracle gate. Pure metadata math over the REAL
+  //      decoded frame counts (image = 1 decoded PNG frame, audio =
+  //      decoded WAV sample count, video = stub formula), every one of
+  //      which the oracle recomputes from the fixture formulas — so a
+  //      decoder that misreads frame counts breaks this hash too. ----
+  private def mm08(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrameCount(
+        features(spark, dir).toDF()
+          .select(col("media_id"), col("kind"), col("n_frames")), stride = 4)
+
+  private val mm08Oracle =
+    """SELECT media_id, kind, n_frames,
+      |  CAST(CEIL(CAST(n_frames AS DOUBLE) / 4) AS INT) AS n_sampled_frames
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 1
+      |      WHEN 1 THEN 256 + (doc_id % 7) * 64
+      |      ELSE GREATEST(1, strlen(text) // 256) END AS n_frames
+      |  FROM documents) t""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true),
@@ -205,5 +229,6 @@ object MultimodalQueries {
     GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
     GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)),
     GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)),
-    GraftQuery("mm07_feature_norms", mm07, None))
+    GraftQuery("mm07_feature_norms", mm07, None),
+    GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)))
 }
