@@ -105,6 +105,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the probe side broadcast, joined on cell:\n$p")
   }
 
+  test("tx06: bucket cap is a broadcast anti-join, never a window sort of the corpus") {
+    val p = plan("tx06_near_dup_pairs")
+    // the r7 shape: bucket sizes via hash aggregate, oversized keys
+    // removed with a broadcast LeftAnti — a count().over(window) here
+    // would sort every banded row just to annotate a size
+    assert(p.contains("LeftAnti"), s"expected broadcast anti-join cap:\n$p")
+    assert(!p.contains("Window"), s"no window over the banded corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"banded self-join must hash, not sort:\n$p")
+    // shingle/signature projection served from the PlanCache persist
+    assert(p.contains("InMemoryTableScan"), s"expected cached projection:\n$p")
+  }
+
+  test("sim05: cell assignment is map-only (no crossJoin, no assignment window)") {
+    val p = plan("sim05_ivf_ann")
+    // the r7 NearestCells expression replaced the 16-row centroid
+    // crossJoin + __cr row_number window; the only window left is the
+    // final top-k rank
+    assert(p.contains("nearest_cells"), s"expected the native assignment expression:\n$p")
+    assert(!p.contains("__cr"), s"assignment window must be gone:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no centroid crossJoin:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
