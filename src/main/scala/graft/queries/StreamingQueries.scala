@@ -50,12 +50,16 @@ object StreamingQueries {
       | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)""".stripMargin
 
   // Same micros-domain bound as st04; the WHERE restricts both engines
-  // to the finalized region (see outerIntervalJoinReplay) — purchases
-  // more than 4 h behind the corpus max, where the streamed outer join
-  // provably emitted either its match or its null row.
+  // to the finalized region (see outerIntervalJoinReplay): purchases
+  // behind min(max purchase_ts, max click_ts) − 3 h — the global
+  // watermark is the min of the per-side maxima minus the 2 h delay,
+  // and each side's max can trail the corpus max by hours on a sparse
+  // stream, so the cutoff must come from the side maxima.
   private val st05Oracle =
-    """WITH m AS (SELECT MAX(epoch_us(ts)) - 14400000000 AS cutoff
-      |           FROM events),
+    """WITH m AS (SELECT LEAST(
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'))
+      |    - 10800000000 AS cutoff),
       |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT * FROM events WHERE event_type = 'click')
       |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,

@@ -230,13 +230,20 @@ object EventStream {
       .writeStream.outputMode("append").format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // finalized-region cutoff: 4 h = the 2 h delay + slack for the
-    // per-side watermark lag (each side's watermark tracks ITS OWN max
-    // seen; the global one is their min) + the 30 min join window
-    val maxUs = graft.sources.Tables.events(spark, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // finalized-region cutoff. A purchase's null row emits once the
+    // GLOBAL watermark (= min over both sides of that side's own max
+    // seen ts, minus the 2 h delay) passes its match window — and each
+    // side's max can trail the corpus max by hours on a sparse stream
+    // (at sf0.001 the last click is ~4 h before the last event). So the
+    // cutoff derives from min(max purchase_ts, max click_ts), minus the
+    // delay and an hour of batch-boundary margin — never from the
+    // global max.
+    val ev = graft.sources.Tables.events(spark, dir)
+    val sideMax = ev.filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("mx"))
+      .agg(min(col("mx"))).head().getLong(0)
     val out = spark.table(name)
-      .filter(unix_micros(col("purchase_ts")) <= maxUs - 4L * 3600 * 1000000)
+      .filter(unix_micros(col("purchase_ts")) <= sideMax - 3L * 3600 * 1000000)
       .drop("purchase_ts")
     out.cache().count()
     out
