@@ -269,7 +269,9 @@ object Similarity {
   /** Score a probed layout: per-cell candidate×query cosine, max over
     * the cells a pair meets in, bounded top-k per query. Shared by
     * [[ivfTopK]] and the storage-backed probe (io03) so both compute
-    * bit-identical results. */
+    * bit-identical results. Top-k ranks via the bounded-heap aggregate
+    * ([[rankTopK]]) — map-side partial heaps, no rank-window sort;
+    * same (cosine desc, cand_id) ordering, so ranks are identical. */
   def scoreProbed(celledCand: DataFrame, probedQ: DataFrame, k: Int,
                   scale: Int = 4): DataFrame = {
     val scored = celledCand.join(broadcast(probedQ), Seq("cell"))
@@ -279,8 +281,7 @@ object Similarity {
           .as("cosine"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(max(col("cosine")).as("cosine")) // a pair may meet in several probed cells
-    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+    rankTopK(scored, k)
   }
 
   /** Nearest `n` quantizer cells (euclidean, like the k-means model)
@@ -364,8 +365,7 @@ object Similarity {
           sqrt(col("qn2") * col("n2")), scale).as("cosine"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(max(col("cosine")).as("cosine")) // pair may meet in several probed cells
-    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cosine").desc, col("cand_id")), k, rankName = "rank")
+    rankTopK(scored, k)
   }
 
   /**

@@ -44,6 +44,12 @@ class Sim05ProfileSpec extends AnyFunSuite with SparkSpec {
     // cache, not a re-scan of the parquet per consumer
     assert(p.contains("InMemoryTableScan"),
       s"candidate projection must be served from the persisted cache:\n$p")
+    // fully window-free: assignment is the map-only nearest_cells
+    // expression and the final top-k is the bounded-heap aggregate —
+    // no rank-window sort anywhere in the IVF path
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap top-k aggregate:\n$p")
+    assert(!p.contains("Window"), s"the IVF path must be window-free:\n$p")
   }
 
   test("sim05 memoization: projection persisted once, quantizer fit once, across reps") {
