@@ -41,8 +41,14 @@ object Bench {
     }
     // Median of 3 samples per query: a single sample can't distinguish
     // a real regression from machine jitter (round-over-round deltas up
-    // to 1.37× were observed on identical code).
+    // to 1.37× were observed on identical code). The per-query MIN is
+    // also kept: sustained concurrent load (another sbt/spark process
+    // on the box) inflates every sample, so the median absorbs it —
+    // r7's 10× sweep read 13.6 s for a query that times 2.1 s on an
+    // idle machine. min + the loadavg fields below make a contaminated
+    // run self-documenting instead of masquerading as a regression.
     val samples = 3
+    val mins = scala.collection.mutable.Map.empty[String, Double]
     def time(q: graft.queries.GraftQuery, dir: String): Double = {
       val ts = Seq.fill(samples) {
         val t0 = System.nanoTime()
@@ -52,8 +58,14 @@ object Bench {
       }
       // a failed sample must not masquerade as a fast run: any failure
       // marks the query -1 instead of feeding its time-to-exception in
-      if (ts.exists(_.isNaN)) -1.0 else ts.sorted.apply(samples / 2)
+      if (ts.exists(_.isNaN)) -1.0
+      else { mins(q.name) = ts.min; ts.sorted.apply(samples / 2) }
     }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     val results = headline.map(q => q.name -> time(q, sfDir))
 
     // Scale-sweep guard: time the same queries one scale factor down and
@@ -106,8 +118,12 @@ object Bench {
     val ratioJson = ratios.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val minJson = results.flatMap { case (k, _) =>
+      mins.get(k).map(v => "\"" + k + "\":" + v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}""")
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$minJson,"sf":"$sfDir","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}""")
     spark.stop()
   }
 }
