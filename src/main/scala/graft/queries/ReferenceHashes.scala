@@ -1,0 +1,155 @@
+package graft.queries
+
+/**
+ * Independent reference implementations of the hash functions behind
+ * the fingerprint queries, written from the PUBLIC xxHash
+ * specification (github.com/Cyan4973/xxHash — XXH64), NOT by calling
+ * Spark's `XxHash64Function`.
+ *
+ * Purpose: oracle generators for fingerprint-valued queries (tx07,
+ * tx09, tx16) embed driver-computed fingerprints as SQL VALUES
+ * literals. If those literals were produced by the same Catalyst
+ * expressions the query runs, the gate would only check that the
+ * pipeline agrees with itself. Deriving them here instead makes the
+ * gate a genuine cross-implementation check: a bug in the native
+ * [[graft.expressions.HashExpressions.SimHash]] eval loop (vote
+ * order, bit packing, tokenization drift) breaks the hash instead of
+ * cancelling out. `ReferenceHashesSpec` pins this implementation to
+ * Spark's builtin `xxhash64` on adversarial lengths, so the two
+ * implementations are verified equivalent yet independently coded.
+ */
+object ReferenceHashes {
+
+  private final val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private final val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private final val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+  private final val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  private final val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+
+  /** XXH64 of `bytes` with `seed`, per the reference spec: 32-byte
+    * stripes over four lanes, lane merge, then 8/4/1-byte tail, all
+    * reads little-endian. */
+  def xxh64(bytes: Array[Byte], seed: Long): Long = {
+    import java.lang.Long.rotateLeft
+    val len = bytes.length
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (i + 32 <= len) {
+          v1 = rotateLeft(v1 + buf.getLong(i) * P2, 31) * P1
+          v2 = rotateLeft(v2 + buf.getLong(i + 8) * P2, 31) * P1
+          v3 = rotateLeft(v3 + buf.getLong(i + 16) * P2, 31) * P1
+          v4 = rotateLeft(v4 + buf.getLong(i + 24) * P2, 31) * P1
+          i += 32
+        }
+        var acc = rotateLeft(v1, 1) + rotateLeft(v2, 7) +
+          rotateLeft(v3, 12) + rotateLeft(v4, 18)
+        acc = (acc ^ (rotateLeft(v1 * P2, 31) * P1)) * P1 + P4
+        acc = (acc ^ (rotateLeft(v2 * P2, 31) * P1)) * P1 + P4
+        acc = (acc ^ (rotateLeft(v3 * P2, 31) * P1)) * P1 + P4
+        (acc ^ (rotateLeft(v4 * P2, 31) * P1)) * P1 + P4
+      } else seed + P5
+    h += len
+    while (i + 8 <= len) {
+      h = rotateLeft(h ^ (rotateLeft(buf.getLong(i) * P2, 31) * P1), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h = rotateLeft(h ^ ((buf.getInt(i) & 0xffffffffL) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = rotateLeft(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  /** Seed Spark's builtin `xxhash64` uses for string columns. */
+  final val SparkSeed = 42L
+
+  /** XXH64 of one 64-bit value (its 8 little-endian bytes) — the
+    * element step of Spark's seed-chained array hashing, built on the
+    * from-spec byte hash above rather than Spark's specialized
+    * `hashLong`. */
+  def xxh64Long(l: Long, seed: Long): Long = {
+    val b = new Array[Byte](8)
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l)
+    xxh64(b, seed)
+  }
+
+  /** The LSH banded keys of one document, independently re-derived
+    * end-to-end: tokenize (split on spaces, keeping empties) →
+    * distinct `w`-gram shingles in first-occurrence order → k-MinHash
+    * with the `h1 + j·h2` two-hash mixing family (h1 = XXH64 seed 42,
+    * h2 = XXH64 seed 1042 forced odd, SIGNED min) → per-band key =
+    * seed-chained XXH64 over the band's signature rows (seed 42, the
+    * builtin `xxhash64(array<long>)` contract). Returns None for
+    * documents with no shingles (fewer than `w` tokens), mirroring the
+    * pipeline's `size(sh) > 0` filter. Every step here is a fresh
+    * implementation of the documented contract — none of it calls the
+    * Catalyst expressions the tx06 oracle gates. */
+  def minhashBandKeys(text: String, w: Int = 3, k: Int = 16,
+                      bands: Int = 4): Option[Seq[(Int, Long)]] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < w) return None
+    val shingles = new java.util.LinkedHashSet[String]()
+    for (i <- 0 to toks.length - w)
+      shingles.add(toks.slice(i, i + w).mkString(" "))
+    if (shingles.isEmpty) return None
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.forEach { sh =>
+      val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = xxh64(bytes, SparkSeed)
+      val h2 = xxh64(bytes, 1042L) | 1L
+      var j = 0
+      var hj = h1
+      while (j < k) {
+        if (hj < sig(j)) sig(j) = hj
+        hj += h2
+        j += 1
+      }
+    }
+    val rowsPerBand = k / bands
+    Some((0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .foldLeft(SparkSeed)((acc, j) => xxh64Long(sig(j), acc))
+      (b, key)
+    })
+  }
+
+  /** SimHash64 of `text`, independently re-derived: the same
+    * tokenization contract as `TextAnalysis.tokens` (split on single
+    * spaces, KEEPING empty tokens — Spark's `split` has limit -1) and
+    * the same ±1 vote per bit of each token's XXH64, but through this
+    * file's from-spec hash and a fresh vote loop. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    for (tok <- text.split(" ", -1)) {
+      val h = xxh64(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8), SparkSeed)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}

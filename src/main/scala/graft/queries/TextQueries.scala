@@ -92,16 +92,80 @@ object TextQueries {
        |FROM (SELECT *, $greatest AS m FROM s) t""".stripMargin
   }
 
-  // ---- tx06: MinHash-LSH near-duplicate pairs (rows-only) ----
+  // ---- tx06: MinHash-LSH near-duplicate pairs — oracle-gated. DuckDB
+  //      cannot compute xxhash64 signatures, so the banded (id, band,
+  //      band_hash) rows render as VALUES literals derived by
+  //      [[ReferenceHashes.minhashBandKeys]] — an INDEPENDENT
+  //      tokenize → shingle → MinHash → band-key implementation
+  //      sharing no code with the Catalyst expressions under test
+  //      (ReferenceHashesSpec pins the equivalence). DuckDB then runs
+  //      the ENTIRE downstream plan itself: bucket sizing, the
+  //      maxBucket cap, the banded self-join, candidate dedup, and
+  //      exact STRING-shingle Jaccard verification (tx13's machinery)
+  //      — so a drifted join shape, a cap that silently fires, or a
+  //      wrong verification threshold all break the hash. ----
   private def tx06(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
       minJaccard = 0.7)
 
-  // ---- tx07: SimHash fingerprints (rows-only) ----
+  private def tx06OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .flatMap(r => ReferenceHashes.minhashBandKeys(r.getString(1)).toSeq
+        .flatMap(_.map { case (band, key) => s"(${r.getLong(0)}, $band, $key)" }))
+      .mkString(", ")
+    s"""WITH banded(id, band, band_hash) AS (VALUES $rows),
+       |sizes AS (
+       |  SELECT band, band_hash, COUNT(*) AS bsz
+       |  FROM banded GROUP BY band, band_hash),
+       |capped AS (
+       |  SELECT b.id, b.band, b.band_hash FROM banded b
+       |  JOIN sizes s ON s.band = b.band AND s.band_hash = b.band_hash
+       |  WHERE s.bsz <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a
+       |  JOIN capped b ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.id < b.id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+       |  FROM documents),
+       |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN f a ON a.doc_id = c.id_a
+       |  JOIN f b ON b.doc_id = c.id_b) t
+       |WHERE jaccard >= 0.7""".stripMargin
+  }
+
+  // ---- tx07: SimHash fingerprints — oracle-gated against an
+  //      INDEPENDENT implementation. DuckDB cannot compute xxhash64,
+  //      so the oracle embeds fingerprints as VALUES literals; what
+  //      makes that a real gate (not the pipeline agreeing with
+  //      itself) is that the literals come from
+  //      [[ReferenceHashes.simhash64]] — a from-spec XXH64 and a fresh
+  //      tokenize/vote loop, driver-side over the raw text, sharing no
+  //      code with the native SimHash expression under test. ----
   private def tx07(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       Dedup.simHash64(col("text")).as("simhash"))
+
+  private def tx07OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => s"(${r.getLong(0)}, ${ReferenceHashes.simhash64(r.getString(1))})")
+      .mkString(", ")
+    s"""SELECT doc_id, simhash
+       |FROM (VALUES $rows) v(doc_id, simhash)""".stripMargin
+  }
 
   // ---- tx08: n-gram Jaccard between consecutive doc ids — validates
   //      the shingle/Jaccard machinery against an independent
@@ -379,9 +443,14 @@ object TextQueries {
   }
 
   private def simhashHammingOracleGen(spark: SparkSession, dir: String): String = {
+    // fingerprint literals from the INDEPENDENT from-spec
+    // implementation (not the SimHash expression under test), so the
+    // gate cross-checks two implementations end-to-end — then DuckDB
+    // re-derives the pair set with its own xor + bit_count arithmetic
     val rows = Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simHash64(col("text")))
-      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => s"(${r.getLong(0)}, ${ReferenceHashes.simhash64(r.getString(1))})")
       .mkString(", ")
     s"""WITH sh(doc_id, h) AS (VALUES $rows)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -396,8 +465,9 @@ object TextQueries {
     GraftQuery("tx03_fingerprint", tx03, Some(tx03Oracle)),
     GraftQuery("tx04_dedup_exact", tx04, Some(tx04Oracle)),
     GraftQuery("tx05_langid", tx05, Some(tx05Oracle)),
-    GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true),
-    GraftQuery("tx07_simhash", tx07, None),
+    GraftQuery("tx06_near_dup_pairs", tx06, None, headline = true,
+      oracleGen = Some(tx06OracleGen)),
+    GraftQuery("tx07_simhash", tx07, None, oracleGen = Some(tx07OracleGen)),
     GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)),
     GraftQuery("tx09_simhash_near_dup",
       (s, d) => Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
