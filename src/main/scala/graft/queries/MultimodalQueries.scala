@@ -17,9 +17,11 @@ import graft.sources.Tables
  * oracle gate: the oracle predicts the dimensions / sample counts a
  * correct decode must read out of the bytes; mm01 gates the per-kind
  * media statistics (PNG byte totals via an oracleGen re-render).
- * mm02/mm07 remain rows-only (pixel/sample-statistics features are not
- * expressible in SQL); mm03 keeps the UTF-8 path so byte/frame counts
- * stay independently computable.
+ * mm02/mm07 gate the feature-vector pipeline the same way: per-media
+ * vectors/norms recomputed driver-side from re-rendered payloads
+ * render as VALUES literals, and DuckDB re-derives the downstream
+ * norm/similarity math independently. mm03 keeps the UTF-8 path so
+ * byte/frame counts stay independently computable.
  */
 object MultimodalQueries {
 
@@ -72,18 +74,75 @@ object MultimodalQueries {
         sum(col("n_frames")).as("total_frames"),
         sum(col("n_bytes")).as("total_bytes"))
 
-  // ---- mm07: the decoder-specific half mm01 left behind — per-kind
-  //      mean feature-vector norm over REAL decoded pixels/PCM. Its
-  //      inputs are oracle-gated upstream (mm04 pins the image decode,
-  //      mm06 the audio decode); the norm itself is not expressible in
-  //      SQL, so this stays a declared rows-only boundary. ----
+  // ---- mm07: per-kind mean feature-vector norm over REAL decoded
+  //      pixels/PCM — oracle-gated. Norms are rounded per row FIRST
+  //      (4 dp, exact decimals) and summed in DECIMAL, so the mean is
+  //      summation-ORDER-FREE — the previous round(avg(double)) folded
+  //      doubles in partition-completion order, which no independent
+  //      engine (nor a rerun) could reproduce bit-for-bit. The oracle
+  //      embeds per-media norms recomputed driver-side from re-rendered
+  //      payloads ([[referenceFeatures]]); DuckDB independently
+  //      re-derives the grouping, exact decimal sums, and the final
+  //      double division. ----
   private def mm07(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()
+      .select(col("kind"),
+        round(Similarity.l2Norm(Similarity.toDoubleVec(col("features"))), 4)
+          .as("nrm"))
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
-        round(avg(Similarity.l2Norm(Similarity.toDoubleVec(col("features")))), 4)
+        (sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)))
           .as("avg_feature_norm"))
+
+  /** Driver-side re-derivation of every media row's decoded feature
+    * vector, for the mm02/mm07 oracle generators: re-render the
+    * deterministic fixture payload (PNG / WAV / UTF-8 text) and decode
+    * it sequentially on the driver. The DECODER is shared code — its
+    * correctness is gated separately by mm04/mm06's format-level
+    * predictions — so what these oracles independently verify is
+    * everything AROUND it: the distributed media synthesis, the
+    * mapPartitions decode pass, and (in DuckDB) the entire downstream
+    * norm/similarity computation. */
+  private def referenceFeatures(spark: SparkSession,
+                                dir: String): Seq[(Long, String, Array[Float])] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val kind = Multimodal.Kinds((id % 3).toInt)
+        val payload = kind match {
+          case "image" =>
+            Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
+          case "audio" =>
+            Multimodal.renderWav(id, Multimodal.wavSampleCount(id), 16000)
+          case _ => r.getString(1).getBytes("UTF-8")
+        }
+        (id, kind, Multimodal.ImageIoDecoder.decode(kind, payload, 16).features)
+      }
+
+  /** The l2 norm exactly as the pipeline computes it (float→double
+    * promotion, sequential dot fold, sqrt), rounded with Spark's
+    * double-ROUND semantics (shortest-decimal HALF_UP). */
+  private def refNorm4(f: Array[Float]): java.math.BigDecimal = {
+    var dot = 0.0
+    var i = 0
+    while (i < f.length) { dot += f(i).toDouble * f(i).toDouble; i += 1 }
+    java.math.BigDecimal.valueOf(math.sqrt(dot))
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+  }
+
+  private def mm07OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = referenceFeatures(spark, dir)
+      .map { case (id, kind, f) => s"($id, '$kind', ${refNorm4(f).toPlainString})" }
+      .mkString(", ")
+    s"""WITH nrm(media_id, kind, nrm) AS (VALUES $rows)
+       |SELECT kind, COUNT(*) AS n_media,
+       |  CAST(SUM(CAST(nrm AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+       |    AS avg_feature_norm
+       |FROM nrm GROUP BY kind""".stripMargin
+  }
 
   private def mm01OracleGen(spark: SparkSession, dir: String): String = {
     // independent prediction of the image kinds' byte total: re-render
@@ -111,12 +170,50 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
   }
 
-  // ---- mm02: similarity search over decoded features ----
+  // ---- mm02: similarity search over decoded features — oracle-gated.
+  //      Feature vectors render as VALUES literals recomputed
+  //      driver-side from re-rendered payloads ([[referenceFeatures]]);
+  //      DuckDB then re-derives the ENTIRE ANN independently — norms,
+  //      dot products, cosine rounding, top-3 ranking — the sim01
+  //      oracle shape applied to decoded-media vectors. ----
   private def mm02(spark: SparkSession, dir: String): DataFrame = {
     val feats = features(spark, dir).toDF()
       .select(col("media_id").as("id"), col("features").as("vec"))
     Similarity.bruteForceTopK(feats, feats.filter(col("id") < 5), k = 3)
       .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  private def mm02OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = referenceFeatures(spark, dir)
+      .map { case (id, _, f) =>
+        // CAST pins the list to DOUBLE[] — bare numeric literals type
+        // as DECIMAL in DuckDB and overflow in the x*x products
+        s"($id, CAST([${f.map(x => x.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+      }
+      .mkString(", ")
+    s"""WITH feats(id, v) AS (VALUES $rows),
+       |norms AS (
+       |  SELECT id, SQRT(SUM(x * x)) AS nrm
+       |  FROM (SELECT id, UNNEST(v) AS x FROM feats) z
+       |  GROUP BY id),
+       |pairs AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT q.id AS query_id, c.id AS cand_id,
+       |      UNNEST(q.v) AS qx, UNNEST(c.v) AS cx
+       |    FROM feats q, feats c
+       |    WHERE q.id < 5 AND c.id <> q.id) z
+       |  GROUP BY query_id, cand_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |    ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+       |  FROM pairs p
+       |  JOIN norms nq ON nq.id = p.query_id
+       |  JOIN norms nc ON nc.id = p.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
   }
 
   // ---- mm03: the decode boundary's METADATA contract under the oracle
@@ -224,11 +321,13 @@ object MultimodalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
-    GraftQuery("mm02_media_ann", mm02, None, headline = true),
+    GraftQuery("mm02_media_ann", mm02, None, headline = true,
+      oracleGen = Some(mm02OracleGen)),
     GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
     GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
     GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)),
     GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)),
-    GraftQuery("mm07_feature_norms", mm07, None),
+    GraftQuery("mm07_feature_norms", mm07, None,
+      oracleGen = Some(mm07OracleGen)),
     GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)))
 }
