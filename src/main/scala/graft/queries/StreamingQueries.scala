@@ -70,10 +70,50 @@ object StreamingQueries {
       |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
       |WHERE epoch_us(p.ts) <= m.cutoff""".stripMargin
 
+  // st06 batch parity: plain-SQL gap sessionization — LAG/gap-cut/
+  // running-sum (ordered by (ts, event_id) so ts ties resolve the same
+  // way the stream's (first_ts, first_id) merge key does), per-session
+  // first event via FIRST_VALUE under the same ordering, conversion
+  // via BOOL_OR, money in exact integer cents. The WHERE restricts
+  // both engines to the finalized region (sessions ending ≥ delay +
+  // gap + 1 h margin behind the corpus max — see sessionStateReplay).
+  private val st06Oracle =
+    """WITH m AS (
+      |  SELECT MAX(epoch_us(ts)) - 12600000000 AS cutoff FROM events),
+      |seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus, event_type, value,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, event_id, tus, event_type, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |sess2 AS (
+      |  SELECT user_id, event_id, tus, event_type, value, sid,
+      |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid ORDER BY tus, event_id) AS first_type
+      |  FROM sess),
+      |agg AS (
+      |  SELECT user_id, sid,
+      |    MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |    MIN(first_type) AS first_type,
+      |    BOOL_OR(event_type = 'purchase') AS has_purchase
+      |  FROM sess2 GROUP BY user_id, sid)
+      |SELECT user_id, session_start_us, session_end_us, n_events,
+      |  sum_cents, first_type, has_purchase
+      |FROM agg CROSS JOIN m
+      |WHERE session_end_us <= m.cutoff""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
     GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
     GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)),
     GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)),
-    GraftQuery("st05_stream_outer_join", EventStream.outerIntervalJoinReplay, Some(st05Oracle)))
+    GraftQuery("st05_stream_outer_join", EventStream.outerIntervalJoinReplay, Some(st05Oracle)),
+    GraftQuery("st06_stream_sessions", EventStream.sessionStateReplay, Some(st06Oracle)))
 }

@@ -298,4 +298,140 @@ object EventStream {
         sumExact(dec(col("value"))).as("sum_value"))
       .select(col("window").getField("start").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  // ---------------------------------------------------------------
+  // st06: CUSTOM state — flatMapGroupsWithState sessionization.
+  // session_window (st-series above) covers gap windows Spark can
+  // express declaratively; this operator carries per-session state no
+  // built-in aggregation tracks: the session's FIRST event type
+  // ((ts, event_id)-ordered) and a purchase-conversion flag, the shape
+  // of "did this session convert, and what started it" funnel logic.
+  // ---------------------------------------------------------------
+
+  /** One event, typed for the custom-state sessionizer. `ts` stays a
+    * timestamp COLUMN (not pre-extracted micros) because the watermark
+    * that drives EventTimeTimeout attaches to it. */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, event_type: String, value: Double)
+
+  /** An open (not yet finalized) session in the group state. `first_ts`
+    * / `first_id` carry the (ts, event_id) key of the session's
+    * earliest event so merges pick the first event deterministically
+    * even across ts ties. Money is held in exact integer cents. */
+  final case class OpenSession(start_us: Long, last_us: Long, n_events: Long,
+                               sum_cents: Long, first_ts: Long, first_id: Long,
+                               first_type: String, has_purchase: Boolean)
+
+  final case class SessionState(open: Seq[OpenSession])
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              sum_cents: Long, first_type: String,
+                              has_purchase: Boolean)
+
+  /** Exact cents from a 2-dp double: shortest-decimal repr shifted two
+    * places — `12.34` → 1234 with no float residue (the same
+    * shortest-repr contract the exact-decimal aggregates rely on). */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).movePointRight(2)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  private def microsOf(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** Gap-merge a session set: sorted by start, adjacent sessions closer
+    * than `gapUs` coalesce (sum counts/cents, OR conversion, keep the
+    * (first_ts, first_id)-minimal first event). Merging singleton
+    * sessions this way IS gap sessionization of the event set, and is
+    * insensitive to how events split across micro-batches — the
+    * property that makes the streamed result equal the batch one. */
+  private[streaming] def mergeSessions(sessions: Seq[OpenSession],
+                                       gapUs: Long): Seq[OpenSession] = {
+    val sorted = sessions.sortBy(s => (s.start_us, s.first_ts, s.first_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    for (s <- sorted) {
+      if (out.nonEmpty && s.start_us - out.last.last_us <= gapUs) {
+        val c = out.last
+        val firstIsC = c.first_ts < s.first_ts ||
+          (c.first_ts == s.first_ts && c.first_id <= s.first_id)
+        out(out.length - 1) = OpenSession(
+          c.start_us, math.max(c.last_us, s.last_us),
+          c.n_events + s.n_events, c.sum_cents + s.sum_cents,
+          if (firstIsC) c.first_ts else s.first_ts,
+          if (firstIsC) c.first_id else s.first_id,
+          if (firstIsC) c.first_type else s.first_type,
+          c.has_purchase || s.has_purchase)
+      } else out += s
+    }
+    out.toSeq
+  }
+
+  /** The per-group state transition. A session finalizes when the
+    * watermark passes its close time (`last + gap`): any event that
+    * could still extend it would have `ts ≤ last + gap < watermark`,
+    * i.e. be dropped as late before reaching this function — so
+    * emission-on-watermark-passage is exact, not heuristic. State per
+    * user is the open-session list only; everything emitted leaves the
+    * store, so state size is O(active sessions), bounded by the
+    * watermark delay × arrival rate like the built-in operators. */
+  private def sessionFunc(gapUs: Long)(
+      userId: Long, rows: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[SessionOut] = {
+    val existing = state.getOption.map(_.open).getOrElse(Seq.empty)
+    val incoming = rows.map { e =>
+      val t = microsOf(e.ts)
+      OpenSession(t, t, 1L, cents(e.value), t, e.event_id, e.event_type,
+        e.event_type == "purchase")
+    }.toSeq
+    val merged = mergeSessions(existing ++ incoming, gapUs)
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (done, open) = merged.partition(s => s.last_us + gapUs < wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionState(open))
+      // wake at the earliest close (ms, strictly after the watermark —
+      // the API contract) so finalized sessions emit without waiting
+      // for the group's next event
+      val closeMs = open.map(s => (s.last_us + gapUs) / 1000L + 1L).min
+      state.setTimeoutTimestamp(math.max(closeMs, state.getCurrentWatermarkMs() + 1L))
+    }
+    done.sortBy(s => (s.start_us, s.first_id)).iterator.map(s =>
+      SessionOut(userId, s.start_us, s.last_us, s.n_events, s.sum_cents,
+        s.first_type, s.has_purchase))
+  }
+
+  /**
+   * st06: the custom-state sessionizer as a real streaming query.
+   * Append mode emits each session exactly once, on watermark passage.
+   * A finite replay's watermark freezes at maxTs − delay, so — like
+   * st05 — both the streamed result and the batch oracle restrict to
+   * the FINALIZED region: sessions ending at least delay + gap + an
+   * hour of batch-boundary margin behind the corpus max timestamp.
+   */
+  def sessionStateReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_sessions"
+    spark.catalog.dropTempView(name)
+    val gapUs = 30L * 60 * 1000000L
+    val q = readEvents(spark, s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "2 hours")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        sessionFunc(gapUs))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxUs - (2L * 3600 + 1800 + 3600) * 1000000L
+    val out = spark.table(name).filter(col("session_end_us") <= cutoff)
+    out.cache().count()
+    out
+  }
 }

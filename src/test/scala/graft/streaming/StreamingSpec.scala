@@ -230,6 +230,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed(0)._3 == 2L && streamed(0)._4 == 3.0) // merged session
   }
 
+  test("custom-state sessionizer: batch-split-insensitive, emits on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // one user: a 3-event session (click-first, converts via purchase),
+    // then after a >30 min gap a 1-event session — fed SPLIT ACROSS
+    // BATCHES so the first session's events arrive in two pieces
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 10L, "click", 1.0),
+      (1L, t("2024-01-01 00:10:00"), 11L, "purchase", 2.5),
+      (1L, t("2024-01-01 00:20:00"), 12L, "view", 3.0),
+      (1L, t("2024-01-01 02:00:00"), 13L, "view", 4.0))
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val name = "graft_fmgws_test"
+    spark.catalog.dropTempView(name)
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stream = ms.toDS().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventStream.sessionizeWithState(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      .start()
+    try {
+      // batch 1: first two events — watermark still behind, nothing emits
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "no session may emit before the watermark passes its close")
+      // batch 2: rest of session 1 + the later singleton
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+      // sentinel advances the watermark far past every close time
+      ms.addData((99L, t("2024-01-03 00:00:00"), 99L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("user_id") < 99)
+      .orderBy("session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getBoolean(6)))
+    // session 1 merged ACROSS the batch split: 3 events, 650 cents,
+    // click-first, converted; session 2: single view, no conversion
+    assert(got.toSeq == Seq(
+      (1L, 3L, 650L, "click", true),
+      (1L, 1L, 400L, "view", false)))
+  }
+
   test("continuous pipeline: streamed documents refresh the full model DAG") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft-pipe-").toString + "/raw"
