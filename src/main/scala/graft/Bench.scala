@@ -67,6 +67,11 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
     val results = headline.map(q => q.name -> time(q, sfDir))
+    // SNAPSHOT the headline-run minima now: time() keeps writing to
+    // `mins` during the sf0.01 sweep and 10× blow-up below, and a
+    // min taken at a different scale is not a contamination witness
+    // for the sf0.1 medians (r8 shipped exactly that bug).
+    val headlineMins: Map[String, Double] = mins.toMap
 
     // Scale-sweep guard: time the same queries one scale factor down and
     // report the per-query scaling ratio. Data grows ~10× between the
@@ -90,12 +95,16 @@ object Bench {
     }
 
     // Third scaling point: a deterministic 10× blow-up of the
-    // documents/embeddings corpora (the tables that scale sublinearly
-    // in the fixture dirs), timed for the text/similarity headliners.
-    // One decade more exposes super-linear terms the sf0.01→sf0.1 step
-    // hides; the blow-up is built once per machine and reused.
+    // documents/embeddings corpora plus key-shifted replicas of
+    // lineitem/orders/customer/events, timed for the text/similarity
+    // AND relational headliners. One decade more exposes super-linear
+    // terms the sf0.01→sf0.1 step hides; the blow-up is built once
+    // per machine and reused.
     val tenxQueries = Seq("sim01_ann_cosine", "sim02_lsh_ann", "sim05_ivf_ann",
-      "tx02_text_quality", "tx06_near_dup_pairs", "mm02_media_ann")
+      "tx02_text_quality", "tx06_near_dup_pairs", "mm02_media_ann",
+      // relational decade point: key-shifted lineitem/orders/customer/
+      // events replicas (q26 carries the steepest sf0.01→sf0.1 ratio)
+      "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority")
     val tenx: Seq[(String, Double)] =
       if (sfDir.endsWith("sf0.1"))
         try {
@@ -108,22 +117,31 @@ object Bench {
     val ratios10 = tenx.flatMap { case (name, t) =>
       resMap.get(name).collect { case b if b > 0 && t > 0 => name -> t / b }
     }
-    val tenxJson = tenx.map { case (k, v) => "\"" + k + "\":" + v }
+    // All times at 4 decimals (0.1 ms — below measurement noise): full
+    // 17-digit doubles pushed r8's JSON line past the driver's
+    // 2,000-char stdout tail capture and it shipped unparseable.
+    def s4(v: Double): String = f"$v%.4f"
+    val tenxJson = tenx.map { case (k, v) => "\"" + k + "\":" + s4(v) }
       .mkString("{", ",", "}")
     val ratio10Json = ratios10.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s4(v) }
       .mkString("{", ",", "}")
     val ratioJson = ratios.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val minJson = results.flatMap { case (k, _) =>
-      mins.get(k).map(v => "\"" + k + "\":" + v)
+      headlineMins.get(k).map(v => "\"" + k + "\":" + s4(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$minJson,"sf":"$sfDir","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}""")
+    val line = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"queries_min":$minJson,"sf":"$sfDir","samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}"""
+    println(line)
+    // belt-and-braces: the same line as a file, immune to tail capture
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
   }
 }

@@ -22,22 +22,98 @@ import org.apache.spark.sql.functions._
  *    IVF cells deepen ~10× (what real 10× data does) instead of
  *    collapsing onto identical signatures.
  *
+ * The relational headliners (q01/q15/q26) get their own decade point:
+ * lineitem/orders/customer/events duplicate with SHIFTED KEYS (copy k
+ * offsets every key by k × max+1), so each copy is a disjoint
+ * key-space replica — per-customer order counts, per-order line
+ * counts, and per-user event counts all stay constant, and the joins,
+ * window partitions, and group-bys scale exactly linearly the way 10×
+ * more real customers/orders/users would. Dates shift by k days so the
+ * copies aren't bit-identical rows, without moving any row across the
+ * queries' date-filter boundaries at the tested factors.
+ *
  * Copy 0 is the untouched base corpus. The blow-up writes once per
- * machine (marker file) and is reused across bench runs.
+ * machine (marker file, versioned — adding tables invalidates old
+ * dirs) and is reused across bench runs.
  */
 object BenchData {
 
+  // bump when the set of blown-up tables changes: v2 added the
+  // relational tables for the q01/q15/q26 decade point
+  private val Version = "v2"
+
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val dst = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-blowup-${factor}x")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-blowup-${factor}x-$Version")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
       dst.mkdirs()
       writeDocuments(spark, srcDir, dst.toString, factor)
       writeEmbeddings(spark, srcDir, dst.toString, factor)
+      writeRelational(spark, srcDir, dst.toString, factor)
       marker.createNewFile()
     }
     dst.toString
+  }
+
+  /** Key-shifted replicas of one table: every column in `keyCols`
+    * offsets by k × (its own max + 1) so copies occupy disjoint key
+    * ranges; `dateCols` shift by k days. Everything else passes
+    * through untouched. */
+  private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String],
+                        dateCols: Seq[String] = Seq.empty): DataFrame = {
+    val spans: Map[String, Long] = keyCols.map { c =>
+      c -> (df.agg(max(col(c))).head().getLong(0) + 1L)
+    }.toMap
+    val copies = (0 until factor).map { k =>
+      val shifted = keyCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, col(c) + lit(k * spans(c)))
+      }
+      dateCols.foldLeft(shifted) { (d, c) =>
+        d.withColumn(c, (col(c) + expr(s"INTERVAL $k DAYS")).cast(df.schema(c).dataType))
+      }
+    }
+    copies.reduce(_ unionByName _)
+  }
+
+  private def writeRelational(spark: SparkSession, src: String, dst: String,
+                              factor: Int): Unit = {
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    // orders and lineitem must shift l_orderkey/o_orderkey by the SAME
+    // span or copy k's lines would join copy j's orders
+    val ordSpan = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val custSpan = spark.read.parquet(s"$src/customer.parquet")
+      .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordSpan))
+        .withColumn("l_shipdate",
+          (col("l_shipdate") + expr(s"INTERVAL $k DAYS"))
+            .cast(li.schema("l_shipdate").dataType))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    (0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * custSpan))
+        .withColumn("o_orderdate",
+          (col("o_orderdate") - expr(s"INTERVAL $k DAYS"))
+            .cast(ord.schema("o_orderdate").dataType))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    replicate(spark.read.parquet(s"$src/customer.parquet"), factor,
+      keyCols = Seq("c_custkey"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    // events: ts is INT64 nanos under the legacy conf (see
+    // Tables.events); written back as INT64 it reads identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate(spark.read.parquet(s"$src/events.parquet"), factor,
+      keyCols = Seq("event_id", "user_id"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 
   private def writeDocuments(spark: SparkSession, src: String, dst: String,

@@ -137,7 +137,9 @@ object MultimodalQueries {
     val rows = referenceFeatures(spark, dir)
       .map { case (id, kind, f) => s"($id, '$kind', ${refNorm4(f).toPlainString})" }
       .mkString(", ")
-    s"""WITH nrm(media_id, kind, nrm) AS (VALUES $rows)
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(28,4)))")
+    s"""WITH nrm(media_id, kind, nrm) AS ($vals)
        |SELECT kind, COUNT(*) AS n_media,
        |  CAST(SUM(CAST(nrm AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
        |    AS avg_feature_norm
@@ -191,7 +193,9 @@ object MultimodalQueries {
         s"($id, CAST([${f.map(x => x.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
       }
       .mkString(", ")
-    s"""WITH feats(id, v) AS (VALUES $rows),
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE[]))")
+    s"""WITH feats(id, v) AS ($vals),
        |norms AS (
        |  SELECT id, SQRT(SUM(x * x)) AS nrm
        |  FROM (SELECT id, UNNEST(v) AS x FROM feats) z

@@ -41,16 +41,61 @@ object QualityQueries {
       |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
       |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin
 
-  // ---- dq02: sketch-based profiling (rows-only: HLL/quantile sketches
-  //      are engine-specific by construction) ----
-  private def dq02(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+  // ---- dq02: sketch-based profiling, oracle-gated by SPLIT — the
+  //      raw HLL/KLL sketch values are engine-specific by
+  //      construction (DuckDB cannot recompute them), so the gated
+  //      output carries (a) the exact column the sketch estimates,
+  //      which DuckDB pins value-exactly, and (b) one boolean per
+  //      sketch asserting IN-ENGINE that the estimate landed inside
+  //      its published error bound, computed against exact references
+  //      (HLL rsd 5% → 2σ = 10%; percentile_approx accuracy 1000 →
+  //      RANK error ε = 1/1000 of n, doubled). The percentile check is
+  //      the sketch's literal contract — the returned value's exact
+  //      rank must sit within ε·n of the target rank — evaluated by a
+  //      second pass counting rows strictly-below / at-most the sketch
+  //      value per group (rank-based, so it holds at any n; an
+  //      interpolated-quantile window does not, because the sketch
+  //      returns data points while interpolation invents values
+  //      between them). A drifted sketch breaks the gate via `false`.
+  //      The exact references are verification-only scaffolding — at
+  //      100 TB the profile ships the sketches alone (that is their
+  //      point); the bound columns exist so small-scale verification
+  //      is total, not rows-only. ----
+  private def dq02(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "user_id", "value")
+    val sk = ev.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_sketch"),
+      percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_sketch"))
+    val eps = 0.002
+    def rankOk(p: Double, s: String) =
+      (col(s"below_$s") <= (lit(p) + lit(eps)) * col("n")) &&
+        (col(s"atmost_$s") >= (lit(p) - lit(eps)) * col("n"))
+    ev.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"), col("approx_users"), col("exact_users"),
+        col("p50_sketch"), col("p95_sketch"))
+      .agg(count(col("value")).as("n"),
+        sum((col("value") < col("p50_sketch")).cast(LongType)).as("below_p50"),
+        sum((col("value") <= col("p50_sketch")).cast(LongType)).as("atmost_p50"),
+        sum((col("value") < col("p95_sketch")).cast(LongType)).as("below_p95"),
+        sum((col("value") <= col("p95_sketch")).cast(LongType)).as("atmost_p95"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.10)).as("hll_within_2rsd"),
+        rankOk(0.50, "p50").as("p50_within_rank_err"),
+        rankOk(0.95, "p95").as("p95_within_rank_err"))
+  }
+
+  private val dq02Oracle =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_within_2rsd,
+      |  TRUE AS p50_within_rank_err,
+      |  TRUE AS p95_within_rank_err
+      |FROM events GROUP BY event_type""".stripMargin
 
   // ---- dq03: exact numeric column profile. ONE scan computes every
   //      column's stats as a single wide aggregation row, then an
@@ -91,6 +136,6 @@ object QualityQueries {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
-    GraftQuery("dq02_sketch_profile", dq02, None),
+    GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
     GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)))
 }

@@ -36,6 +36,19 @@ object OracleContext {
   @volatile var current: Option[(SparkSession, String)] = None
 }
 
+/** Shared rendering helpers for [[GraftQuery.oracleGen]] SQL. */
+object OracleSql {
+  /** A `VALUES`-shaped relation body for driver-derived literals that
+    * stays valid SQL when no rows rendered: an empty `VALUES` list is
+    * a DuckDB syntax error, which would turn a legitimately-empty
+    * result (e.g. every document under 3 tokens) into an oracle
+    * failure. `nullTuple` is one all-NULL tuple with the right arity
+    * and explicit CASTs so the typed empty relation joins cleanly. */
+  def valuesOrEmpty(rows: String, nullTuple: String): String =
+    if (rows.isEmpty) s"SELECT * FROM (VALUES $nullTuple) WHERE FALSE"
+    else s"VALUES $rows"
+}
+
 object Registry {
   /** Full inventory, in SURVEY §2 order: core relational parity, the
     * MarketPulse pipeline re-expressed on the event stream, then the

@@ -115,7 +115,9 @@ object TextQueries {
       .flatMap(r => ReferenceHashes.minhashBandKeys(r.getString(1)).toSeq
         .flatMap(_.map { case (band, key) => s"(${r.getLong(0)}, $band, $key)" }))
       .mkString(", ")
-    s"""WITH banded(id, band, band_hash) AS (VALUES $rows),
+    val banded = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH banded(id, band, band_hash) AS ($banded),
        |sizes AS (
        |  SELECT band, band_hash, COUNT(*) AS bsz
        |  FROM banded GROUP BY band, band_hash),
@@ -163,8 +165,10 @@ object TextQueries {
       .collect()
       .map(r => s"(${r.getLong(0)}, ${ReferenceHashes.simhash64(r.getString(1))})")
       .mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
     s"""SELECT doc_id, simhash
-       |FROM (VALUES $rows) v(doc_id, simhash)""".stripMargin
+       |FROM ($vals) v(doc_id, simhash)""".stripMargin
   }
 
   // ---- tx08: n-gram Jaccard between consecutive doc ids — validates
@@ -452,7 +456,9 @@ object TextQueries {
       .collect()
       .map(r => s"(${r.getLong(0)}, ${ReferenceHashes.simhash64(r.getString(1))})")
       .mkString(", ")
-    s"""WITH sh(doc_id, h) AS (VALUES $rows)
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH sh(doc_id, h) AS ($vals)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -401,6 +401,39 @@ object EventStream {
         s.first_type, s.has_purchase))
   }
 
+  /** Microseconds of a `"30 minutes"`-style interval literal (day-time
+    * units only: month-based gaps have no fixed length). */
+  private def intervalUs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar-month gaps are ambiguous: $s")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /**
+   * The st06 custom-state sessionizer: gap sessionization with
+   * per-session funnel state (first event type, purchase-conversion
+   * flag) over `flatMapGroupsWithState`. Works on a streaming OR batch
+   * DataFrame with columns (user_id, ts, event_id, event_type, value);
+   * in append mode each session emits exactly once, on watermark
+   * passage of its close time.
+   */
+  def sessionizeWithState(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", delay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        sessionFunc(intervalUs(gap)))
+  }
+
   /**
    * st06: the custom-state sessionizer as a real streaming query.
    * Append mode emits each session exactly once, on watermark passage.
@@ -410,20 +443,9 @@ object EventStream {
    * hour of batch-boundary margin behind the corpus max timestamp.
    */
   def sessionStateReplay(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val name = "graft_stream_sessions"
     spark.catalog.dropTempView(name)
-    val gapUs = 30L * 60 * 1000000L
-    val q = readEvents(spark, s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("value"))
-      .withWatermark("ts", "2 hours")
-      .as[SessEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
-        sessionFunc(gapUs))
+    val q = sessionizeWithState(readEvents(spark, s"$dir/events.parquet"))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
