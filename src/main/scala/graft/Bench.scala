@@ -117,31 +117,41 @@ object Bench {
     val ratios10 = tenx.flatMap { case (name, t) =>
       resMap.get(name).collect { case b if b > 0 && t > 0 => name -> t / b }
     }
-    // All times at 4 decimals (0.1 ms — below measurement noise): full
-    // 17-digit doubles pushed r8's JSON line past the driver's
-    // 2,000-char stdout tail capture and it shipped unparseable.
-    def s4(v: Double): String = f"$v%.4f"
-    val tenxJson = tenx.map { case (k, v) => "\"" + k + "\":" + s4(v) }
-      .mkString("{", ",", "}")
-    val ratio10Json = ratios10.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
-      .mkString("{", ",", "}")
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s4(v) }
-      .mkString("{", ",", "}")
-    val ratioJson = ratios.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
-      .mkString("{", ",", "}")
+    // All times at 4 decimals (0.1 ms — below measurement noise).
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and would
+    // emit comma decimal separators (unparseable JSON) under de_DE-
+    // style default locales.
+    def s4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def s2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jmap(kvs: Iterable[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tenxJson = jmap(tenx.map { case (k, v) => k -> s4(v) })
+    val ratio10Json = jmap(ratios10.map { case (k, v) => k -> s2(v) })
+    val qs = jmap(results.map { case (k, v) => k -> s4(v) })
+    val ratioJson = jmap(ratios.map { case (k, v) => k -> s2(v) })
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val minJson = results.flatMap { case (k, _) =>
-      headlineMins.get(k).map(v => "\"" + k + "\":" + s4(v))
-    }.mkString("{", ",", "}")
+    val minJson = jmap(results.flatMap { case (k, _) =>
+      headlineMins.get(k).map(v => k -> s4(v))
+    })
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
-    val line = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"queries_min":$minJson,"sf":"$sfDir","samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_vs_sf0.01":$ratioJson,"scaling_flagged":$flaggedJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}"""
-    println(line)
-    // belt-and-braces: the same line as a file, immune to tail capture
+    // The driver captures only the last 2,000 chars of stdout; r8 and
+    // r9 both shipped parsed:null because the full map set overran it.
+    // stdout gets the slim line (headline medians + scaling verdict);
+    // the diagnostic maps (minima, sweeps, 10× points) go to
+    // bench_out.json only.
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val line = s"""{$core,"detail":"bench_out.json"}"""
+    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}"""
+    assert(line.length < 1900,
+      s"bench stdout line is ${line.length} chars; driver tail capture is 2000")
+    // full diagnostics as a file, immune to tail capture
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
  * key-space replica — per-customer order counts, per-order line
  * counts, and per-user event counts all stay constant, and the joins,
  * window partitions, and group-bys scale exactly linearly the way 10×
- * more real customers/orders/users would. Dates shift by k days so the
- * copies aren't bit-identical rows, without moving any row across the
- * queries' date-filter boundaries at the tested factors.
+ * more real customers/orders/users would. Dates are NOT shifted: the
+ * key offsets already make copies non-identical, and a ±k-day shift
+ * would move rows across q01/q26's date-filter boundaries (the sf0.1
+ * fixture spans them), making copy cardinalities drift sub-1% and the
+ * 10× point not exactly linear.
  *
  * Copy 0 is the untouched base corpus. The blow-up writes once per
  * machine (marker file, versioned — adding tables invalidates old
@@ -38,9 +40,10 @@ import org.apache.spark.sql.functions._
  */
 object BenchData {
 
-  // bump when the set of blown-up tables changes: v2 added the
-  // relational tables for the q01/q15/q26 decade point
-  private val Version = "v2"
+  // bump when the blow-up construction changes: v2 added the
+  // relational tables for the q01/q15/q26 decade point; v3 dropped
+  // the lineitem/orders date shifts (they crossed filter boundaries)
+  private val Version = "v3"
 
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val dst = new java.io.File(
@@ -59,19 +62,15 @@ object BenchData {
 
   /** Key-shifted replicas of one table: every column in `keyCols`
     * offsets by k × (its own max + 1) so copies occupy disjoint key
-    * ranges; `dateCols` shift by k days. Everything else passes
-    * through untouched. */
-  private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String],
-                        dateCols: Seq[String] = Seq.empty): DataFrame = {
+    * ranges. Everything else passes through untouched. */
+  private def replicate(df: DataFrame, factor: Int,
+                        keyCols: Seq[String]): DataFrame = {
     val spans: Map[String, Long] = keyCols.map { c =>
       c -> (df.agg(max(col(c))).head().getLong(0) + 1L)
     }.toMap
     val copies = (0 until factor).map { k =>
-      val shifted = keyCols.foldLeft(df) { (d, c) =>
+      keyCols.foldLeft(df) { (d, c) =>
         d.withColumn(c, col(c) + lit(k * spans(c)))
-      }
-      dateCols.foldLeft(shifted) { (d, c) =>
-        d.withColumn(c, (col(c) + expr(s"INTERVAL $k DAYS")).cast(df.schema(c).dataType))
       }
     }
     copies.reduce(_ unionByName _)
@@ -88,18 +87,12 @@ object BenchData {
       .agg(max(col("c_custkey"))).head().getLong(0) + 1L
     (0 until factor).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordSpan))
-        .withColumn("l_shipdate",
-          (col("l_shipdate") + expr(s"INTERVAL $k DAYS"))
-            .cast(li.schema("l_shipdate").dataType))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     (0 until factor).map { k =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordSpan))
         .withColumn("o_custkey", col("o_custkey") + lit(k * custSpan))
-        .withColumn("o_orderdate",
-          (col("o_orderdate") - expr(s"INTERVAL $k DAYS"))
-            .cast(ord.schema("o_orderdate").dataType))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")

@@ -72,8 +72,13 @@ object QualityQueries {
     def rankOk(p: Double, s: String) =
       (col(s"below_$s") <= (lit(p) + lit(eps)) * col("n")) &&
         (col(s"atmost_$s") >= (lit(p) - lit(eps)) * col("n"))
-    ev.join(broadcast(sk), "event_type")
-      .groupBy(col("event_type"), col("approx_users"), col("exact_users"),
+    // null-safe join: the DuckDB oracle's GROUP BY retains a NULL
+    // event_type group, so an equi-join that drops it would fail the
+    // gate with a row-count mismatch if the fixture ever gains one
+    ev.alias("e").join(broadcast(sk.alias("s")),
+        col("e.event_type") <=> col("s.event_type"))
+      .groupBy(col("e.event_type").as("event_type"),
+        col("approx_users"), col("exact_users"),
         col("p50_sketch"), col("p95_sketch"))
       .agg(count(col("value")).as("n"),
         sum((col("value") < col("p50_sketch")).cast(LongType)).as("below_p50"),

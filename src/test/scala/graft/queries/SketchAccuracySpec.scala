@@ -7,20 +7,30 @@ import graft.SparkSpec
 import graft.sources.Tables
 
 /**
- * dq02's sketches are rows-only under the driver gate (HLL/KLL layouts
- * are engine-specific by construction) — so their accuracy contract is
- * asserted HERE instead: the sketch answers must sit inside the error
- * bounds the algorithms advertise, measured against exact answers on
- * real data.
+ * The sketch accuracy contract behind dq02. Since round 9 dq02 itself
+ * emits in-engine bound booleans (the raw HLL/KLL sketch values are
+ * engine-specific, so the gated output carries exact columns + bound
+ * checks) — this spec re-derives the sketches directly from the events
+ * table and asserts the SAME published error bounds against exact
+ * answers, independent of dq02's output shape, then asserts dq02's own
+ * gated booleans all come back true on the fixture.
  */
 class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private def sketches() =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+
   test("HLL approx distinct users is within the advertised relative error") {
     // approx_count_distinct defaults to rsd = 5%; 3σ ⇒ 15% is the
-    // practical hard bound. dq02 emits approx and exact side by side.
-    val rows = Registry.byName("dq02_sketch_profile").run(spark, dir)
+    // practical hard bound.
+    val rows = sketches()
       .select("event_type", "approx_users", "exact_users").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -37,7 +47,7 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
     // percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
     // verify the returned values' TRUE ranks sit near the requested
     // quantiles (±2% slack ≫ the guarantee, immune to ties)
-    val sketch = Registry.byName("dq02_sketch_profile").run(spark, dir)
+    val sketch = sketches()
       .select("event_type", "p50_value", "p95_value").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val events = Tables.events(spark, dir).select("event_type", "value")
@@ -56,5 +66,17 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
         assert(rank95 >= 0.92 && rank95 <= 0.98, s"$et: p95 rank $rank95 off")
       }
     } finally { events.unpersist(); () }
+  }
+
+  test("dq02's in-engine bound booleans are all true on the fixture") {
+    val rows = Registry.byName("dq02_sketch_profile").run(spark, dir)
+      .select("event_type", "hll_within_2rsd", "p50_within_rank_err",
+        "p95_within_rank_err").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"${r.getString(0)}: hll_within_2rsd false")
+      assert(r.getBoolean(2), s"${r.getString(0)}: p50_within_rank_err false")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p95_within_rank_err false")
+    }
   }
 }
