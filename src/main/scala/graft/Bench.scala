@@ -104,11 +104,17 @@ object Bench {
       "tx02_text_quality", "tx06_near_dup_pairs", "mm02_media_ann",
       // relational decade point: key-shifted lineitem/orders/customer/
       // events replicas (q26 carries the steepest sf0.01→sf0.1 ratio)
-      "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority")
+      "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",
+      // streaming decade point: state-store growth (watermark-bounded
+      // window state over 10× the keys) is the one axis the batch
+      // blow-up queries never exercise
+      "st01_stream_hourly")
+    var blowUpInfo: String = "null"
     val tenx: Seq[(String, Double)] =
       if (sfDir.endsWith("sf0.1"))
         try {
           val dir10 = BenchData.ensureBlowUp(spark, sfDir, factor = 10)
+          blowUpInfo = BenchData.blowUpIdentity(dir10)
           headline.filter(q => tenxQueries.contains(q.name))
             .map(q => q.name -> time(q, dir10))
         } catch { case e: Throwable =>
@@ -142,16 +148,32 @@ object Bench {
     // stdout gets the slim line (headline medians + scaling verdict);
     // the diagnostic maps (minima, sweeps, 10× points) go to
     // bench_out.json only.
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    // sfDir comes from the environment: escape it so a path containing
+    // a quote/backslash can't make the JSON unparseable
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
-    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json}"""
-    assert(line.length < 1900,
-      s"bench stdout line is ${line.length} chars; driver tail capture is 2000")
-    // full diagnostics as a file, immune to tail capture
+    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo}"""
+    // full diagnostics as a file, immune to tail capture — written FIRST
+    // so an oversized stdout line can never lose a completed run
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
-    println(line)
+    // the driver captures only the last 2,000 chars of stdout; if the
+    // slim line ever outgrows that, degrade to a minimal-but-parseable
+    // line instead of asserting away the whole run's results
+    if (line.length < 1900) println(line)
+    else {
+      System.err.println(
+        s"[bench] stdout line is ${line.length} chars; emitting fallback")
+      println(s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":{},"sf":${jstr(sfDir)},"truncated":true,"detail":"bench_out.json"}""")
+    }
     spark.stop()
   }
 }

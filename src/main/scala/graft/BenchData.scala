@@ -42,8 +42,14 @@ object BenchData {
 
   // bump when the blow-up construction changes: v2 added the
   // relational tables for the q01/q15/q26 decade point; v3 dropped
-  // the lineitem/orders date shifts (they crossed filter boundaries)
-  private val Version = "v3"
+  // the lineitem/orders date shifts (they crossed filter boundaries);
+  // v4 records the fixture's identity (version + per-table row
+  // counts) in the marker so every bench_out.json self-documents
+  // exactly what data its 10× ratios were measured against
+  private val Version = "v4"
+
+  private val tables = Seq("documents", "embeddings", "lineitem",
+    "orders", "customer", "events")
 
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val dst = new java.io.File(
@@ -55,10 +61,27 @@ object BenchData {
       writeDocuments(spark, srcDir, dst.toString, factor)
       writeEmbeddings(spark, srcDir, dst.toString, factor)
       writeRelational(spark, srcDir, dst.toString, factor)
-      marker.createNewFile()
+      // identity, computed once at build time: counting here (not per
+      // bench run) keeps reuse runs scan-free
+      val counts = tables.map { t =>
+        val n = spark.read.parquet(s"$dst/$t.parquet").count()
+        s""""$t":$n"""
+      }.mkString(",")
+      java.nio.file.Files.write(marker.toPath,
+        (s"""{"version":"$Version","factor":$factor,"rows":{$counts}}""" + "\n")
+          .getBytes("UTF-8"))
     }
     dst.toString
   }
+
+  /** The marker file's identity JSON (version + per-table row counts),
+    * for embedding into bench diagnostics; "null" if unreadable. */
+  def blowUpIdentity(dir: String): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_BLOWUP_COMPLETE")), "UTF-8").trim
+      if (s.startsWith("{")) s else "null"
+    } catch { case _: Throwable => "null" }
 
   /** Key-shifted replicas of one table: every column in `keyCols`
     * offsets by k × (its own max + 1) so copies occupy disjoint key

@@ -328,8 +328,8 @@ object MultimodalQueries {
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
       oracleGen = Some(mm02OracleGen)),
     GraftQuery("mm03_media_inventory", mm03, Some(mm03Oracle)),
-    GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle)),
-    GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle)),
+    GraftQuery("mm04_image_decode", mm04, Some(mm04Oracle), headline = true),
+    GraftQuery("mm05_image_resize", mm05, Some(mm05Oracle), headline = true),
     GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)),
     GraftQuery("mm07_feature_norms", mm07, None,
       oracleGen = Some(mm07OracleGen)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Exact._
-import graft.quality.DataQuality
+import graft.quality.{DataQuality, SketchBounds}
 import graft.sources.Tables
 
 /** The declarative data-quality surface run against the star schema —
@@ -66,9 +66,11 @@ object QualityQueries {
     val sk = ev.groupBy(col("event_type")).agg(
       approx_count_distinct(col("user_id")).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"),
-      percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_sketch"),
-      percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_sketch"))
-    val eps = 0.002
+      percentile_approx(col("value"), lit(0.5),
+        lit(SketchBounds.PercentileAccuracy)).as("p50_sketch"),
+      percentile_approx(col("value"), lit(0.95),
+        lit(SketchBounds.PercentileAccuracy)).as("p95_sketch"))
+    val eps = SketchBounds.RankEps
     def rankOk(p: Double, s: String) =
       (col(s"below_$s") <= (lit(p) + lit(eps)) * col("n")) &&
         (col(s"atmost_$s") >= (lit(p) - lit(eps)) * col("n"))
@@ -89,7 +91,7 @@ object QualityQueries {
         col("event_type"),
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * lit(0.10)).as("hll_within_2rsd"),
+          <= col("exact_users") * lit(SketchBounds.Hll2Rsd)).as("hll_within_2rsd"),
         rankOk(0.50, "p50").as("p50_within_rank_err"),
         rankOk(0.95, "p95").as("p95_within_rank_err"))
   }

@@ -110,7 +110,7 @@ object StreamingQueries {
       |WHERE session_end_us <= m.cutoff""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle)),
+    GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle), headline = true),
     GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
     GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)),
     GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)),

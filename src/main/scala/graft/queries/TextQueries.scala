@@ -483,7 +483,7 @@ object TextQueries {
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),
     GraftQuery("tx12_tfidf_terms", tx12, Some(tx12Oracle)),
     GraftQuery("tx13_jaccard_ground_truth", tx13, Some(tx13Oracle)),
-    GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle)),
+    GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle), headline = true),
     GraftQuery("tx15_lsh_cap_witness", tx15, Some(tx15Oracle)),
     GraftQuery("tx16_simhash_truth", tx16, None,
       oracleGen = Some(simhashHammingOracleGen)))

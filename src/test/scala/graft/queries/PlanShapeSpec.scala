@@ -127,6 +127,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no centroid crossJoin:\n$p")
   }
 
+  test("q17: hinted dims broadcast, fact join shuffles once, distinct agg reuses it") {
+    def count(p: String, tok: String): Int = tok.r.findAllIn(p).length
+    // 100 TB shape — customer no longer fits a broadcast (threshold off):
+    // the EXPLICIT hints must keep nation+region broadcast while
+    // orders⋈customer degrades to exactly one shuffle join, and the
+    // countDistinct partial agg must REUSE the join's c_custkey
+    // partitioning (ClusteredDistribution subset) instead of adding a
+    // fourth exchange — 3 hash exchanges total: orders side, customer
+    // side, final r_name agg
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, -1)
+      val p = plan("q17_region_revenue")
+      assert(count(p, "BroadcastHashJoin") == 2, s"hinted dims must stay broadcast:\n$p")
+      assert(count(p, "SortMergeJoin") == 1, s"exactly one shuffle join:\n$p")
+      assert(count(p, "Exchange hashpartitioning") == 3,
+        s"distinct partial agg must reuse the join partitioning:\n$p")
+      // partial+final split around the distinct: 4 HashAggregate levels
+      // (partial per (r_name, custkey), merge, partial_count(distinct), final)
+      assert(count(p, "HashAggregate") == 4, s"expected 4-level distinct agg:\n$p")
+      assert(p.contains("partial_count(distinct"), s"map-side distinct partial missing:\n$p")
+    } finally spark.conf.set(conf, saved)
+    // bench scale — customer fits the default 10 MB threshold: a silent
+    // threshold miss here would double q17's cost invisibly
+    val p2 = plan("q17_region_revenue")
+    assert(count(p2, "BroadcastHashJoin") == 3, s"customer must auto-broadcast at sf:\n$p2")
+    assert(!p2.contains("SortMergeJoin"), s"no shuffle join at bench scale:\n$p2")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

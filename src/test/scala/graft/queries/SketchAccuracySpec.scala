@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
+import graft.quality.SketchBounds
 import graft.sources.Tables
 
 /**
@@ -24,12 +25,14 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
       .groupBy(col("event_type")).agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        percentile_approx(col("value"), lit(0.5),
+          lit(SketchBounds.PercentileAccuracy)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95),
+          lit(SketchBounds.PercentileAccuracy)).as("p95_value"))
 
   test("HLL approx distinct users is within the advertised relative error") {
-    // approx_count_distinct defaults to rsd = 5%; 3σ ⇒ 15% is the
-    // practical hard bound.
+    // approx_count_distinct defaults to rsd = 5%; 3σ is the
+    // practical hard bound (shared contract: SketchBounds).
     val rows = sketches()
       .select("event_type", "approx_users", "exact_users").collect()
     assert(rows.nonEmpty)
@@ -39,7 +42,8 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
       assert(exact > 0)
       val rel = math.abs(approx - exact) / exact
       info(f"${r.getString(0)}%-12s approx=$approx%.0f exact=$exact%.0f rel=$rel%.4f")
-      assert(rel <= 0.15, f"HLL error $rel%.4f above 3σ bound for ${r.getString(0)}")
+      assert(rel <= SketchBounds.Hll3Rsd,
+        f"HLL error $rel%.4f above 3σ bound for ${r.getString(0)}")
     }
   }
 
@@ -55,7 +59,9 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
     try {
       sketch.foreach { case (et, (p50, p95)) =>
         assert(p50 <= p95, s"$et: p50 > p95")
-        val grp = events.filter(col("event_type") === et)
+        // null-safe: dq02 deliberately retains a NULL event_type
+        // group; === would match nothing for et == null (n=0, NaN ranks)
+        val grp = events.filter(col("event_type") <=> lit(et))
         val n = grp.count().toDouble
         val rank50 = grp.filter(col("value") <= p50).count() / n
         val rank95 = grp.filter(col("value") <= p95).count() / n
