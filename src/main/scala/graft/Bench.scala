@@ -27,6 +27,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Idle-gate: round-over-round deltas are dominated by whatever
+    // else the box is doing (r9/r10 both started at loadavg > 4 and no
+    // trusted number existed since the one exclusive run). Wait — capped
+    // so a never-idle box still benches — for the 1-min load to decay
+    // below 1.5 before taking ANY measurement, and capture the start
+    // load BEFORE the warmup so it documents foreign load, not the
+    // bench's own warmup spike.
+    val loadPre = loadavg()
+    var idleWaited = 0
+    while (loadavg() > 1.5 && idleWaited < 90) {
+      Thread.sleep(5000); idleWaited += 5
+    }
+    val loadStart = loadavg()
+
     // Warmup: run every headline query once at the smallest scale factor.
     // Spark's codegen cache is keyed by generated source, which is
     // identical across scale factors for the same plan shape — so the
@@ -39,15 +57,17 @@ object Bench {
         try q.run(spark, warmDir).count()
         catch { case _: Throwable => () })
     }
-    // Median of 3 samples per query: a single sample can't distinguish
+    // Median of 5 samples per query: a single sample can't distinguish
     // a real regression from machine jitter (round-over-round deltas up
-    // to 1.37× were observed on identical code). The per-query MIN is
-    // also kept: sustained concurrent load (another sbt/spark process
-    // on the box) inflates every sample, so the median absorbs it —
-    // r7's 10× sweep read 13.6 s for a query that times 2.1 s on an
-    // idle machine. min + the loadavg fields below make a contaminated
-    // run self-documenting instead of masquerading as a regression.
-    val samples = 3
+    // to 1.37× were observed on identical code, and median-of-3 still
+    // left sub-second queries' 10× ratios swinging ±25-45% between two
+    // idle-box runs). The per-query MIN is also kept: sustained
+    // concurrent load (another sbt/spark process on the box) inflates
+    // every sample, so the median absorbs it — r7's 10× sweep read
+    // 13.6 s for a query that times 2.1 s on an idle machine. min +
+    // the loadavg fields below make a contaminated run self-
+    // documenting instead of masquerading as a regression.
+    val samples = 5
     val mins = scala.collection.mutable.Map.empty[String, Double]
     def time(q: graft.queries.GraftQuery, dir: String): Double = {
       val ts = Seq.fill(samples) {
@@ -61,11 +81,6 @@ object Bench {
       if (ts.exists(_.isNaN)) -1.0
       else { mins(q.name) = ts.min; ts.sorted.apply(samples / 2) }
     }
-    def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    val loadStart = loadavg()
     val results = headline.map(q => q.name -> time(q, sfDir))
     // SNAPSHOT the headline-run minima now: time() keeps writing to
     // `mins` during the sf0.01 sweep and 10× blow-up below, and a
@@ -79,14 +94,21 @@ object Bench {
     // super-linear work — the accidental quadratic that a 100× scale-up
     // would turn into an outage. Flag ratio > 15 once above the noise
     // floor (both medians meaningful, the larger ≥ 0.5 s).
+    // Scaling ratios are computed MIN/MIN, not median/median: two
+    // idle-box runs showed per-query minima reproduce within ±12%
+    // while sub-second medians swing ±45%, turning ratio deltas into
+    // pure noise. The min is the natural cost estimate for scaling
+    // diagnostics (anything above it is scheduler/GC jitter, which
+    // does not scale with the data).
     val sweepDir = "/root/testdata/sf0.01"
     val sweep: Map[String, Double] =
       if (new java.io.File(sweepDir).isDirectory && sweepDir != sfDir)
         headline.map(q => q.name -> time(q, sweepDir)).toMap
       else Map.empty
-    val ratios = results.flatMap { case (name, t) =>
-      sweep.get(name).collect {
-        case s if s > 0 && t > 0 => name -> t / s
+    val sweepMins: Map[String, Double] = mins.toMap
+    val ratios = headlineMins.toSeq.sortBy(_._1).flatMap { case (name, t) =>
+      sweepMins.get(name).collect {
+        case s if s > 0 && t > 0 && sweep.get(name).exists(_ > 0) => name -> t / s
       }
     }
     val resMap = results.toMap
@@ -120,8 +142,13 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] 10x blow-up skipped: $e"); Seq.empty }
       else Seq.empty
+    val tenxMins: Map[String, Double] = mins.toMap
     val ratios10 = tenx.flatMap { case (name, t) =>
-      resMap.get(name).collect { case b if b > 0 && t > 0 => name -> t / b }
+      (headlineMins.get(name), tenxMins.get(name)) match {
+        case (Some(b), Some(t10)) if b > 0 && t10 > 0 && t > 0 =>
+          Some(name -> t10 / b)
+        case _ => None
+      }
     }
     // All times at 4 decimals (0.1 ms — below measurement noise).
     // Locale.ROOT: the f"" interpolator is locale-sensitive and would
@@ -157,7 +184,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
     val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
