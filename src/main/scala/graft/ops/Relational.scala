@@ -165,4 +165,44 @@ object Relational {
       .withColumn(outName, col("__offset") + col("__cum_in"))
       .drop("__pid", "__cum_in", "__offset")
   }
+
+  /**
+   * Per-group running total (prefix sum) under a per-group TOTAL
+   * ordering — `SUM(value) OVER (PARTITION BY groups ORDER BY order
+   * ROWS UNBOUNDED PRECEDING)`, but scale-correct when a single group
+   * holds an unbounded share of the rows.
+   *
+   * A plain `Window.partitionBy(groups)` funnels each whole group
+   * through ONE task — with a handful of languages over a 100 TB
+   * corpus that is a straggler by construction. Instead the range
+   * exchange spans (groups ++ order), so one group may occupy MANY
+   * order-contiguous partitions; the per-(partition, group) subtotals
+   * — at most P + G - 1 rows, the only data that converges — are
+   * prefix-summed per group and broadcast back as offsets, exactly the
+   * [[runningTotal]] recipe with the group key carried through.
+   *
+   * The ordering must be total within each group (add a key tiebreak).
+   */
+  def groupedRunningTotal(df: DataFrame, groups: Seq[String], order: Seq[Column],
+                          value: Column, outName: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val groupCols = groups.map(col)
+    val ranged = df.repartitionByRange(parts, groupCols ++ order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = ranged.groupBy(col("__pid") +: groupCols: _*)
+      .agg(sum(value).cast("long").as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__psum")).over(
+          Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid") +: groupCols :+ col("__offset"): _*)
+    val within = ranged.withColumn("__cum_in",
+      sum(value).over(Window.partitionBy(col("__pid") +: groupCols: _*)
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    within.join(broadcast(offsets), "__pid" +: groups)
+      .withColumn(outName, col("__offset") + col("__cum_in"))
+      .drop("__pid", "__cum_in", "__offset")
+  }
 }

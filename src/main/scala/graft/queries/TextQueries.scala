@@ -465,6 +465,123 @@ object TextQueries {
        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
   }
 
+  // ---- tx17: benchmark decontamination — the training-data hygiene
+  //      pass every LLM pipeline runs before the quality/dedup stages:
+  //      drop (here: flag) training documents that share long n-grams
+  //      with the evaluation set, so benchmark answers don't leak into
+  //      the corpus. The eval set is a deterministic held-out slice
+  //      (doc_id % 50 = 0); contamination = any shared 5-gram shingle.
+  //      Scale shape: the eval n-gram set is benchmark-sized (thousands
+  //      of prompts, not a corpus) → broadcast; the training side is
+  //      map-only explode + broadcast semi-join, so the corpus itself
+  //      NEVER shuffles — only the matched (doc_id, gram) rows (rare by
+  //      construction) reach the count aggregation, and the per-doc hit
+  //      table joins back broadcast. ----
+  private def tx17(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(50)) === 0
+    val evalGrams = docs.filter(isEval)
+      .select(explode(Dedup.shingleSet(col("text"), 5)).as("gram")).distinct()
+    val train = docs.filter(!isEval)
+      .select(col("doc_id"), Dedup.shingleSet(col("text"), 5).as("grams"))
+    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_grams"))
+    train.select(col("doc_id"), size(col("grams")).as("n_grams"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"),
+        (coalesce(col("n_eval_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  private val tx17Oracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 3),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2] || ' ' || str_split(text, ' ')[i+3] || ' ' || str_split(text, ' ')[i+4])) AS grams,
+      |    doc_id % 50 = 0 AS is_eval
+      |  FROM documents),
+      |eg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE is_eval),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_eval_grams
+      |  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE NOT is_eval) t
+      |  JOIN eg USING (gram) GROUP BY 1)
+      |SELECT tr.doc_id, len(tr.grams) AS n_grams,
+      |  COALESCE(h.n_eval_grams, 0) AS n_eval_grams,
+      |  COALESCE(h.n_eval_grams, 0) > 0 AS contaminated
+      |FROM g tr LEFT JOIN hits h USING (doc_id)
+      |WHERE NOT tr.is_eval""".stripMargin
+
+  // ---- tx18: per-language token-budget mixture fill — the data-mixing
+  //      step that turns "one global budget" (tx14) into a TARGET
+  //      MIXTURE: each language independently takes its best-quality
+  //      documents until its own token budget fills. Semantically
+  //      SUM OVER (PARTITION BY lang ORDER BY quality DESC), but a
+  //      plain lang-partitioned window is a straggler at scale (a
+  //      handful of languages ⇒ one task per language holding a 100 TB
+  //      corpus's biggest slice); [[graft.ops.Relational.
+  //      groupedRunningTotal]] range-partitions on (lang, quality,
+  //      id) so a single language spans many tasks, and only the
+  //      per-(partition, language) subtotals converge. ----
+  private def tx18(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"))
+    graft.ops.Relational.groupedRunningTotal(scored, Seq("lang"),
+        Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
+        "cum_tokens")
+      .filter(col("cum_tokens") <= 4000)
+      .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
+  }
+
+  private val tx18Oracle = {
+    val re = s"'${TextAnalysis.BpePattern}'"
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')))
+       |      * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality_score,
+       |    len(regexp_extract_all(text, $re)) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, quality_score, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, lang, quality_score, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM s) t
+       |WHERE cum_tokens <= 4000""".stripMargin
+  }
+
+  // ---- tx19: deterministic train/valid/test split assignment — stable
+  //      holdout sets need a split that is a pure function of the
+  //      document identity, NOT of row position or sampling state (a
+  //      re-run, a repartition, or new data must never move an old doc
+  //      across splits). Bucket = first 16 bits of md5("split:" ||
+  //      doc_id) mod 100 → 98/1/1. Pure map-side codegen'd projection:
+  //      no shuffle, no state, identical on any cluster size. md5 keeps
+  //      the oracle independent (DuckDB computes its own). ----
+  private def tx19(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast(StringType))), 1, 4), 16, 10).cast(IntegerType),
+          lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 98, lit("train"))
+          .when(col("bucket") === 98, lit("valid"))
+          .otherwise(lit("test")))
+      .select("doc_id", "bucket", "split")
+
+  private val tx19Oracle =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 98 THEN 'train' WHEN bucket = 98 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -486,5 +603,8 @@ object TextQueries {
     GraftQuery("tx14_corpus_prep", tx14, Some(tx14Oracle), headline = true),
     GraftQuery("tx15_lsh_cap_witness", tx15, Some(tx15Oracle)),
     GraftQuery("tx16_simhash_truth", tx16, None,
-      oracleGen = Some(simhashHammingOracleGen)))
+      oracleGen = Some(simhashHammingOracleGen)),
+    GraftQuery("tx17_decontam", tx17, Some(tx17Oracle)),
+    GraftQuery("tx18_mixture_fill", tx18, Some(tx18Oracle)),
+    GraftQuery("tx19_split_assign", tx19, Some(tx19Oracle)))
 }

@@ -78,6 +78,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.max == rows.map(_._3.toLong).sum) // full mass accounted
   }
 
+  test("groupedRunningTotal equals the per-group window prefix sum, at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups with heavy order ties; group sizes differ wildly so
+    // groups straddle range-partition boundaries
+    val rows = (1 to 600).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 7919) % 13, (i * 31) % 50 + 1))
+    val df = rows.toDF("id", "g", "grade", "weight").repartition(7)
+    val got = Relational.groupedRunningTotal(df, Seq("g"),
+        order = Seq(col("grade").desc, col("id")), value = col("weight"),
+        outName = "cum")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum"))).toMap
+    val want = df.withColumn("cum",
+        sum(col("weight")).over(
+          Window.partitionBy(col("g")).orderBy(col("grade").desc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum"))).toMap
+    assert(got == want)
+    assert(got.values.max < rows.map(_._4.toLong).sum) // no cross-group bleed
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")

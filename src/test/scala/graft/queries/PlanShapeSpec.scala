@@ -83,6 +83,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the per-row cumsum window keyed by partition id:\n$p")
   }
 
+  test("tx17: eval-gram and hit joins broadcast — the training corpus never shuffles") {
+    // the eval n-gram set is benchmark-sized and the per-doc hit table
+    // is contamination-sized: if either join degrades to SortMergeJoin
+    // the WHOLE corpus shuffles for a hygiene check that should be
+    // map-side
+    val p = plan("tx17_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+  }
+
+  test("tx18: mixture fill range-partitions (lang, quality) — no one-task-per-language window") {
+    // SUM OVER (PARTITION BY lang) funnels each language through one
+    // task; the grouped prefix sum must show a range exchange spanning
+    // lang AND the quality order, with the cumsum window keyed by
+    // (partition id, lang)
+    val p = plan("tx18_mixture_fill")
+    assert(p.contains("rangepartitioning(lang"),
+      s"expected a range exchange on (lang, quality, id):\n$p")
+    assert(p.contains("quality_score"), s"order must be in the exchange:\n$p")
+    assert(p.contains("__pid"),
+      s"expected the per-row cumsum window keyed by partition id:\n$p")
+  }
+
   test("io03: the IVF store scan is dynamically partition-pruned to the probed cells") {
     // the ANN probe must NOT read the whole vector store: the probe
     // side broadcasts and DPP restricts the scan to the probed cells'
