@@ -214,6 +214,60 @@ object Dedup {
    * fingerprint bit. Near-duplicates have small Hamming distance.
    * Native expression — one hash and one 64-bit vote loop per token.
    */
+  /**
+   * Connected components over an undirected pair graph — the step that
+   * turns near-duplicate PAIRS into duplicate CLUSTERS so a pipeline
+   * can keep exactly one canonical document per cluster (transitive
+   * closure matters: A~B, B~C must collapse to one keeper even when
+   * A~C was never emitted as a pair).
+   *
+   * Min-label propagation, Pregel-shaped: every node starts labeled
+   * with its own id; each round every node takes the minimum label
+   * among itself and its neighbors; converged when no label changes.
+   * Each round is ONE distributed join + aggregation on (node, label)
+   * pairs — the graph is edge-partitioned and nothing ever converges
+   * to the driver except the single `changed` count per round (the
+   * same control-flow shape GraphX/Pregel uses). Rounds are bounded
+   * by component diameter: near-dup clusters are chains/cliques of
+   * copies, diameter ≤ a few, so 3-4 rounds in practice; `maxIter`
+   * is a safety valve, and lineage is cut per round (localCheckpoint)
+   * so plans don't grow with iterations.
+   *
+   * Returns (id, cluster, is_canonical): `cluster` = min id reachable,
+   * canonical = the minimum-id member.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node's best neighbor label this round
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_canonical"))
+  }
+
   def simHash64(text: Column): Column =
     graft.expressions.HashExpressions.simhash64(TextAnalysis.tokens(text))
 

@@ -582,6 +582,49 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM b""".stripMargin
 
+  // ---- tx20: duplicate-cluster canonicalization — pairs are not
+  //      enough: A~B and B~C must collapse to ONE keeper even when A~C
+  //      never surfaced as a pair, so the near-dup pair graph needs its
+  //      transitive closure. [[Dedup.connectedComponents]] runs
+  //      Pregel-shaped min-label propagation (one distributed
+  //      join+agg per round, rounds ≤ component diameter — a few for
+  //      dup clusters; only a 1-row changed-count converges to the
+  //      driver). The pair source is the exactness-anchored tx13 set,
+  //      so the oracle can re-derive it and then compute reachability
+  //      with its own recursive CTE — two independent transitive
+  //      closures agreeing cell-exact. ----
+  private def tx20(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.allPairsJaccard(Tables.documents(spark, dir), "doc_id", "text",
+          minJaccard = 0.7),
+        "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+
+  private val tx20Oracle =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+      |  FROM documents),
+      |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |    FROM f a JOIN f b ON a.doc_id < b.doc_id) t
+      |  WHERE jaccard >= 0.7),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      |SELECT id AS doc_id, MIN(r) AS cluster,
+      |  MIN(r) = id AS is_canonical
+      |FROM reach GROUP BY id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -606,5 +649,6 @@ object TextQueries {
       oracleGen = Some(simhashHammingOracleGen)),
     GraftQuery("tx17_decontam", tx17, Some(tx17Oracle)),
     GraftQuery("tx18_mixture_fill", tx18, Some(tx18Oracle)),
-    GraftQuery("tx19_split_assign", tx19, Some(tx19Oracle)))
+    GraftQuery("tx19_split_assign", tx19, Some(tx19Oracle)),
+    GraftQuery("tx20_dedup_clusters", tx20, Some(tx20Oracle)))
 }

@@ -168,4 +168,21 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(hs(1L), hs(2L)) < 12)
     assert(hamming(hs(1L), hs(3L)) > 16)
   }
+
+  test("connectedComponents: transitive closure across a chain, disjoint components stay apart") {
+    // 5-4-3-2-1 chain (worst case for min-propagation: the min label
+    // must travel the full diameter) + a separate 2-clique + a pair
+    // whose edge arrives in (high, low) order
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false))
+    assert(got.toSeq == want)
+  }
 }
