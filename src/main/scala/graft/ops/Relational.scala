@@ -126,6 +126,28 @@ object Relational {
   }
 
   /**
+   * Top-k per group when groups are FEW and huge — the straggler-safe
+   * variant of [[topKPerGroup]]. A window partitioned by a handful of
+   * group keys funnels each whole group through one task; here every
+   * input partition first keeps its own local top-k per group (the
+   * window is keyed by (partition id, group), so the shuffle spreads
+   * uniformly across partition ids — no hot key), and only the
+   * surviving ≤ partitions × k rows per group meet in the final
+   * per-group window. The global top-k per group is always a subset
+   * of the union of per-partition top-ks, so this is exact, and ranks
+   * are recomputed in the final pass. The ordering must be total
+   * (add a key tiebreak) for deterministic results.
+   */
+  def topKPerGroupScalable(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                           k: Int, rankName: String = "rn"): DataFrame = {
+    val partial = topKPerGroup(
+        df.withColumn("__pid", spark_partition_id()),
+        "__pid" +: keys, order, k, rankName = "__prerank")
+      .drop("__prerank", "__pid")
+    topKPerGroup(partial, keys, order, k, rankName)
+  }
+
+  /**
    * Distributed running total (prefix sum) of an integral column under
    * a TOTAL ordering — the scale-correct replacement for a global
    * unpartitioned window, which funnels every row through one task.

@@ -625,6 +625,33 @@ object TextQueries {
       |  MIN(r) = id AS is_canonical
       |FROM reach GROUP BY id""".stripMargin
 
+  // ---- tx21: deterministic per-language sample — eval-set and
+  //      human-review draws need a sample that is uniform-ish yet
+  //      REPRODUCIBLE and stable under corpus growth: rank documents
+  //      per language by md5("sample:" || doc_id) (an identity-keyed
+  //      pseudo-random order, same trick as tx19's split) and keep the
+  //      first k. Languages are FEW and huge, so the ranking runs
+  //      through [[graft.ops.Relational.topKPerGroupScalable]]: local
+  //      top-k per (input partition, lang) first — no one-task-per-
+  //      language window ever sees the corpus; only ≤ partitions × k
+  //      survivors per language meet in the final tiny window. ----
+  private def tx21(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      md5(concat(lit("sample:"), col("doc_id").cast(StringType))).as("draw"))
+    graft.ops.Relational.topKPerGroupScalable(keyed, Seq("lang"),
+        Seq(col("draw"), col("doc_id")), 5, rankName = "sample_rank")
+      .select("doc_id", "lang", "sample_rank")
+  }
+
+  private val tx21Oracle =
+    """SELECT doc_id, lang, sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      |  FROM documents) t
+      |WHERE sample_rank <= 5""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -650,5 +677,6 @@ object TextQueries {
     GraftQuery("tx17_decontam", tx17, Some(tx17Oracle)),
     GraftQuery("tx18_mixture_fill", tx18, Some(tx18Oracle)),
     GraftQuery("tx19_split_assign", tx19, Some(tx19Oracle)),
-    GraftQuery("tx20_dedup_clusters", tx20, Some(tx20Oracle)))
+    GraftQuery("tx20_dedup_clusters", tx20, Some(tx20Oracle)),
+    GraftQuery("tx21_stratified_sample", tx21, Some(tx21Oracle)))
 }

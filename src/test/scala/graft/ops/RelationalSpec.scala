@@ -98,6 +98,24 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.max < rows.map(_._4.toLong).sum) // no cross-group bleed
   }
 
+  test("topKPerGroupScalable equals the naive per-group window, at any partitioning") {
+    // few groups, many rows per group, awkward physical layout — the
+    // shape where the naive window is a straggler and the two-phase
+    // partial top-k must still be exact
+    val rows = (1 to 800).map(i => (i.toLong, s"g${i % 3}", (i * 7919) % 97))
+    val df = rows.toDF("id", "g", "score").repartition(11)
+    def tuples(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "g", "score", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+        .sortBy(t => (t._2, t._4))
+    val got = tuples(Relational.topKPerGroupScalable(
+      df, Seq("g"), Seq(col("score").desc, col("id")), 7))
+    val want = tuples(Relational.topKPerGroup(
+      df, Seq("g"), Seq(col("score").desc, col("id")), 7))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 21)
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")
