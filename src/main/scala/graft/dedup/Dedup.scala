@@ -169,6 +169,52 @@ object Dedup {
   }
 
   /**
+   * Incremental near-duplicate probe: check a (small) newly-arrived
+   * `delta` against the (huge) existing `corpus` WITHOUT re-clustering
+   * the world — the steady-state shape of a production dedup pipeline,
+   * where a daily crawl is ≪ 1% of the corpus it lands in.
+   *
+   * Scale contract: the corpus NEVER shuffles. The delta's banded LSH
+   * keys broadcast, so corpus band rows are probed map-side; the
+   * surviving (delta, corpus) candidates — rare by construction — join
+   * back to the delta's shingle sets broadcast, and that tiny frame
+   * broadcasts once more into the corpus shingle scan for exact
+   * Jaccard verification. Total cost: two map-side passes over corpus
+   * projections + driver-size work on the delta.
+   *
+   * Same (k, bands, shingleWidth) parameters as [[nearDupPairs]], so
+   * an incremental probe finds exactly the pairs a full re-run would
+   * (restricted to delta × corpus).
+   */
+  def incrementalNearDups(corpus: DataFrame, delta: DataFrame,
+                          idCol: String, textCol: String,
+                          minJaccard: Double = 0.7, k: Int = 16,
+                          bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    def bandedOf(base: DataFrame): DataFrame = base
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val corpusBase = baseCache.persisted(prep(corpus))
+    val deltaBase = baseCache.persisted(prep(delta))
+    val candidates = bandedOf(corpusBase).as("c")
+      .join(broadcast(bandedOf(deltaBase).as("d")), Seq("band", "band_hash"))
+      .select(col("d.id").as("delta_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val candWithDelta = candidates
+      .join(deltaBase.select(col("id").as("delta_id"), col("sh").as("sh_d")),
+        Seq("delta_id"))
+    corpusBase.select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+      .join(broadcast(candWithDelta), Seq("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"),
+        jaccard(col("sh_d"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /**
    * Exact near-duplicate ground truth: ALL pairs with n-gram Jaccard ≥
    * `minJaccard` — the exactness anchor for the LSH path (the same
    * role sim04 plays for sim06 on embeddings). Its purpose is to make

@@ -652,6 +652,55 @@ object TextQueries {
       |  FROM documents) t
       |WHERE sample_rank <= 5""".stripMargin
 
+  // ---- tx22: incremental near-dup probe — the steady-state dedup
+  //      shape: a small newly-arrived delta (here doc_id % 10 = 7)
+  //      checked against the existing corpus without re-clustering.
+  //      The corpus never shuffles (delta band keys broadcast, then
+  //      the verified-candidate frame broadcasts into the corpus
+  //      shingle scan — PlanShapeSpec pins no-SortMergeJoin). The
+  //      oracle renders the SAME independent from-spec band keys as
+  //      tx06 (ReferenceHashes), splits them delta/corpus in SQL, and
+  //      re-runs candidate generation + exact-Jaccard verification
+  //      itself. ----
+  private def tx22(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 7
+    Dedup.incrementalNearDups(
+      docs.filter(!isDelta), docs.filter(isDelta), "doc_id", "text",
+      minJaccard = 0.7)
+  }
+
+  private def tx22OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .flatMap(r => ReferenceHashes.minhashBandKeys(r.getString(1)).toSeq
+        .flatMap(_.map { case (band, key) => s"(${r.getLong(0)}, $band, $key)" }))
+      .mkString(", ")
+    val banded = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH banded(id, band, band_hash) AS ($banded),
+       |cand AS (
+       |  SELECT DISTINCT d.id AS delta_id, c.id AS corpus_id
+       |  FROM banded d
+       |  JOIN banded c ON d.band = c.band AND d.band_hash = c.band_hash
+       |  WHERE d.id % 10 = 7 AND c.id % 10 <> 7),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+       |  FROM documents),
+       |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0)
+       |SELECT delta_id, corpus_id, jaccard FROM (
+       |  SELECT cand.delta_id, cand.corpus_id,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN f a ON a.doc_id = cand.delta_id
+       |  JOIN f b ON b.doc_id = cand.corpus_id) t
+       |WHERE jaccard >= 0.7""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -678,5 +727,7 @@ object TextQueries {
     GraftQuery("tx18_mixture_fill", tx18, Some(tx18Oracle)),
     GraftQuery("tx19_split_assign", tx19, Some(tx19Oracle)),
     GraftQuery("tx20_dedup_clusters", tx20, Some(tx20Oracle)),
-    GraftQuery("tx21_stratified_sample", tx21, Some(tx21Oracle)))
+    GraftQuery("tx21_stratified_sample", tx21, Some(tx21Oracle)),
+    GraftQuery("tx22_incremental_neardup", tx22, None,
+      oracleGen = Some(tx22OracleGen)))
 }

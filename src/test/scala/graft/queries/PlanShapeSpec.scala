@@ -106,6 +106,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the per-row cumsum window keyed by partition id:\n$p")
   }
 
+  test("tx22: incremental probe — the corpus never shuffles, both probe joins broadcast") {
+    // the delta's band keys and the verified-candidate frame both
+    // broadcast; a SortMergeJoin here means the whole corpus shuffled
+    // for a sub-1% delta probe
+    val p = plan("tx22_incremental_neardup")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+  }
+
   test("io03: the IVF store scan is dynamically partition-pruned to the probed cells") {
     // the ANN probe must NOT read the whole vector store: the probe
     // side broadcasts and DPP restricts the scan to the probed cells'
