@@ -82,6 +82,12 @@ object Bench {
       else { mins(q.name) = ts.min; ts.sorted.apply(samples / 2) }
     }
     val results = headline.map(q => q.name -> time(q, sfDir))
+    // captured right after the headline timings: the idle gate bounds
+    // the START load only — a decaying foreign process can contaminate
+    // the first timed queries and be gone by the end (observed once in
+    // round 11: first query 34×, tapering to 1.0×). start/mid/end
+    // make that profile visible in the record.
+    val loadMid = loadavg()
     // SNAPSHOT the headline-run minima now: time() keeps writing to
     // `mins` during the sf0.01 sweep and 10× blow-up below, and a
     // min taken at a different scale is not a contamination witness
@@ -123,7 +129,8 @@ object Bench {
     // terms the sf0.01→sf0.1 step hides; the blow-up is built once
     // per machine and reused.
     val tenxQueries = Seq("sim01_ann_cosine", "sim02_lsh_ann", "sim05_ivf_ann",
-      "tx02_text_quality", "tx06_near_dup_pairs", "mm02_media_ann",
+      "tx02_text_quality", "tx06_near_dup_pairs", "tx14_corpus_prep",
+      "mm02_media_ann",
       // relational decade point: key-shifted lineitem/orders/customer/
       // events replicas (q26 carries the steepest sf0.01→sf0.1 ratio)
       "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",
@@ -184,7 +191,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"loadavg_start":${s4(loadStart)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
     val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
