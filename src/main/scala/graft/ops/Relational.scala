@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
  */
 object Relational {
 
+  /** Persisted range-partitioned frames behind [[runningTotal]] /
+    * [[groupedRunningTotal]]. The persist is load-bearing for
+    * correctness, not just cost: per-row `spark_partition_id` must be
+    * identical in the offsets pass and the cumsum pass, and
+    * `repartitionByRange`'s boundary sampling is only guaranteed
+    * consistent when the frame is computed once. A bare `.persist()`
+    * here leaked one MEMORY_AND_DISK frame per invocation for the
+    * session's lifetime (observed: a benched prefix-sum query degraded
+    * every query timed after it); the LRU cache gives these frames the
+    * same bounded lifecycle as the dedup/similarity projections. */
+  private val rangedCache = new graft.util.PlanCache(maxEntries = 4)
+
+  /** Unpersist the memoized range-partitioned frames. */
+  def releaseCaches(): Unit = rangedCache.clear()
+
   /**
    * Keep exactly one row per key group: the first row under `order`
    * (ties broken by the order columns supplied — callers must make the
@@ -169,9 +184,8 @@ object Relational {
     // consumed twice (offsets + per-row cumsum): persist the ranged
     // frame once; callers pass narrow metadata projections, so the
     // cache holds (order keys, value), not full rows of a wide table
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = rangedCache.persisted(df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(value).cast("long").as("__psum"))
       .withColumn("__offset",
@@ -209,9 +223,9 @@ object Relational {
                           value: Column, outName: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val groupCols = groups.map(col)
-    val ranged = df.repartitionByRange(parts, groupCols ++ order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = rangedCache.persisted(
+      df.repartitionByRange(parts, groupCols ++ order: _*)
+        .withColumn("__pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__pid") +: groupCols: _*)
       .agg(sum(value).cast("long").as("__psum"))
       .withColumn("__offset",
