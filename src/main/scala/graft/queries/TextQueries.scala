@@ -701,6 +701,84 @@ object TextQueries {
        |WHERE jaccard >= 0.7""".stripMargin
   }
 
+  // ---- tx23: balanced shard assignment — the last step before the
+  //      trainer reads the corpus: N output shards of EQUAL row count
+  //      (hash-mod sharding balances only in expectation; stragglers
+  //      on the fat shards stall the data loader). shard =
+  //      floor((rank − 1) · N / total) where rank is the document's
+  //      position under an identity-keyed md5 draw — computed by the
+  //      distributed prefix sum, so there is NO one-task global
+  //      ROW_NUMBER anywhere; the total is one broadcast scalar. The
+  //      assignment is a pure function of the id SET, reproducible
+  //      across cluster sizes. ----
+  private def tx23(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(concat(lit("shard:"), col("doc_id").cast(StringType))).as("draw"))
+    val ranked = graft.ops.Relational.runningTotal(keyed,
+      order = Seq(col("draw"), col("doc_id")), value = lit(1L), outName = "rank")
+    ranked
+      .crossJoin(broadcast(Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("total"))))
+      .select(col("doc_id"), col("rank"),
+        floor((col("rank") - 1) * nShards / col("total")).as("shard"))
+  }
+
+  private val tx23Oracle =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+      |    COUNT(*) OVER () AS total
+      |  FROM documents)
+      |SELECT doc_id, rank,
+      |  CAST(FLOOR((rank - 1) * 8 / total) AS BIGINT) AS shard
+      |FROM r""".stripMargin
+
+  // ---- tx24: deterministic domain upsampling — data mixing's other
+  //      half: tx18 DOWN-samples rich languages to a budget; scarce
+  //      high-value domains get UP-sampled by repeating documents a
+  //      fractional number of times (e.g. 2.25× = every doc twice,
+  //      every fourth doc once more). n_copies = floor(w) + (1 if the
+  //      identity-keyed hash bucket < frac(w)·100) — reproducible,
+  //      stable under corpus growth, and pure map-side: explode of a
+  //      per-row sequence, no shuffle, no sampler state. ----
+  private def tx24(spark: SparkSession, dir: String): DataFrame = {
+    // per-source target weights: a scarce high-value tier upsampled
+    // 2.25x, a bulk tier at 1x, the rest 1.5x
+    val weight = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(2.25))
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), lit(1.0))
+      .otherwise(lit(1.5))
+    val bucket = pmod(conv(substring(md5(concat(lit("upsample:"),
+      col("doc_id").cast(StringType))), 1, 4), 16, 10).cast(IntegerType),
+      lit(100))
+    val nCopies = (floor(weight) +
+      when(bucket < round((weight - floor(weight)) * 100).cast(IntegerType), 1)
+        .otherwise(0)).cast(IntegerType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nCopies.as("n_copies"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+  }
+
+  private val tx24Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.25
+      |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+      |         ELSE 1.5 END AS wt,
+      |    CAST(('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(wt) + (CASE WHEN bucket < CAST(ROUND((wt - FLOOR(wt)) * 100, 0) AS INTEGER) THEN 1 ELSE 0 END) AS INTEGER) AS n_copies
+      |  FROM w)
+      |SELECT doc_id, source, n_copies,
+      |  CAST(UNNEST(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -729,5 +807,7 @@ object TextQueries {
     GraftQuery("tx20_dedup_clusters", tx20, Some(tx20Oracle)),
     GraftQuery("tx21_stratified_sample", tx21, Some(tx21Oracle)),
     GraftQuery("tx22_incremental_neardup", tx22, None,
-      oracleGen = Some(tx22OracleGen)))
+      oracleGen = Some(tx22OracleGen)),
+    GraftQuery("tx23_balanced_shards", tx23, Some(tx23Oracle)),
+    GraftQuery("tx24_upsample", tx24, Some(tx24Oracle)))
 }
