@@ -115,5 +115,11 @@ object StreamingQueries {
     GraftQuery("st03_stream_enrich", EventStream.enrichReplay, Some(st03Oracle)),
     GraftQuery("st04_stream_interval_join", EventStream.intervalJoinReplay, Some(st04Oracle)),
     GraftQuery("st05_stream_outer_join", EventStream.outerIntervalJoinReplay, Some(st05Oracle)),
-    GraftQuery("st06_stream_sessions", EventStream.sessionStateReplay, Some(st06Oracle)))
+    GraftQuery("st06_stream_sessions", EventStream.sessionStateReplay, Some(st06Oracle)),
+    // st07 carries tx22's oracle verbatim: the streaming probe runs the
+    // same batch plan per micro-batch over the same delta/corpus split,
+    // so its accumulated matches must equal the batch result exactly
+    GraftQuery("st07_stream_incremental_dedup",
+      graft.streaming.DocumentProbeStream.incrementalDedupReplay,
+      None, oracleGen = Some(TextQueries.tx22OracleGen)))
 }

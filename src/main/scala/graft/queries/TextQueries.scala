@@ -670,7 +670,7 @@ object TextQueries {
       minJaccard = 0.7)
   }
 
-  private def tx22OracleGen(spark: SparkSession, dir: String): String = {
+  private[queries] def tx22OracleGen(spark: SparkSession, dir: String): String = {
     val rows = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .collect()

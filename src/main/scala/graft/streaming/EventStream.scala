@@ -33,24 +33,28 @@ object EventStream {
   private val symlinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Streaming scan of an events parquet path. The file stream source
-    * requires a directory; a bare parquet file is exposed through a
-    * symlink in a temp directory, memoized per source path so repeated
-    * calls reuse one directory instead of leaking one per query. */
+  /** A directory the file stream source can scan for `path`: the file
+    * stream source requires a directory, so a bare parquet file is
+    * exposed through a symlink in a temp directory, memoized per
+    * source path so repeated calls reuse one directory instead of
+    * leaking one per query. */
+  private[streaming] def streamableDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
+    if (java.nio.file.Files.isRegularFile(p)) {
+      symlinkDirs.computeIfAbsent(p.toString, { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toFile.deleteOnExit()
+        dir.resolve(p.getFileName).toFile.deleteOnExit()
+        dir.toString
+      })
+    } else path
+  }
+
+  /** Streaming scan of an events parquet path. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val p = java.nio.file.Paths.get(path).toAbsolutePath
-    val streamPath =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        symlinkDirs.computeIfAbsent(p.toString, { _ =>
-          val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
-          java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-          dir.toFile.deleteOnExit()
-          dir.resolve(p.getFileName).toFile.deleteOnExit()
-          dir.toString
-        })
-      } else path
-    spark.readStream.schema(rawSchema).parquet(streamPath)
+    spark.readStream.schema(rawSchema).parquet(streamableDir(path))
       .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
         "user_id", "event_type", "value", "props")
   }

@@ -477,4 +477,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamSeries.map(_._1) == Seq("2025-10-01", "2025-10-02", "2025-10-03"))
     assert(streamSeries(1)._2 == 99.0) // restated by the newer version
   }
+
+  test("streaming incremental dedup probe: multi-batch arrival equals the batch probe") {
+    import graft.streaming.DocumentProbeStream
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    // two files → with maxFilesPerTrigger=1, two real micro-batches;
+    // the accumulated matches must equal the one-shot batch probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe-spec-")
+    dir.toFile.deleteOnExit()
+    delta.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$dir/part1")
+    delta.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$dir/part2")
+    Seq("part1", "part2").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(f => f.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(s"$dir/$p.parquet")))
+    }
+    val stream = spark.readStream.schema(DocumentProbeStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val streamed = DocumentProbeStream.probeWithStream(stream, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.dedup.Dedup
+      .incrementalNearDups(corpus, delta, "doc_id", "text", minJaccard = 0.7)
+      .select("delta_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
 }
