@@ -779,6 +779,170 @@ object TextQueries {
       |  CAST(UNNEST(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
       |FROM c""".stripMargin
 
+  // ---- tx25: the Gopher/RefinedWeb-style rule battery — the standard
+  //      keep/drop filter set a pre-training pipeline applies before
+  //      any model-based scoring: token-count bounds, mean-word-length
+  //      bounds, required distinct stopwords (naturalness), and
+  //      vocabulary diversity. Pure map-side flags (codegen'd array
+  //      ops, no shuffle); each rule surfaces as a column so a filter
+  //      sweep can be tuned from ONE pass over the corpus. ----
+  private def tx25(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val meanLen = (col("n_chars") - (nTok - lit(1))).cast(DoubleType) / nTok
+    val nStop = TextAnalysis.distinctStopwords(col("text"))
+    val uniq = TextAnalysis.uniqueRatio(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      nStop.as("n_stop_distinct"),
+      uniq.as("uniq_ratio"),
+      (nTok.between(20, 1000) && meanLen.between(2.0, 12.0) &&
+        (nStop >= 2) && (uniq >= 0.3)).as("keep"))
+  }
+
+  private val tx25Oracle =
+    """SELECT doc_id,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+      |    / len(str_split(text, ' ')) AS mean_word_len,
+      |  len(list_intersect(list_distinct(str_split(text, ' ')),
+      |      ['the','a','of','and','to','in'])) AS n_stop_distinct,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+      |    / len(str_split(text, ' ')) AS uniq_ratio,
+      |  (len(str_split(text, ' ')) BETWEEN 20 AND 1000)
+      |    AND (CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+      |           / len(str_split(text, ' ')) BETWEEN 2.0 AND 12.0)
+      |    AND len(list_intersect(list_distinct(str_split(text, ' ')),
+      |          ['the','a','of','and','to','in'])) >= 2
+      |    AND (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+      |           / len(str_split(text, ' ')) >= 0.3) AS keep
+      |FROM documents""".stripMargin
+
+  // ---- tx26: corpus preparation v2 — the WHOLE pipeline, composed:
+  //      benchmark decontamination (tx17's broadcast semi-join) →
+  //      rule battery (tx25) → exact dedup (min-id per fingerprint) →
+  //      near-dup CLUSTER canonicalization (tx20's connected
+  //      components — transitive, unlike tx14's pairwise drop) →
+  //      per-language token-budget mixture fill (tx18's grouped
+  //      prefix sum). Every stage keeps its individually-gated scale
+  //      shape; what tx26 adds is the evidence that they COMPOSE into
+  //      one lazily-planned DAG under a single end-to-end oracle. ----
+  private def tx26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(50)) === 0
+    // 1. decontamination
+    val evalGrams = docs.filter(isEval)
+      .select(explode(Dedup.shingleSet(col("text"), 5)).as("gram")).distinct()
+    val train = docs.filter(!isEval)
+    val contaminated = train
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 5)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id").distinct()
+    val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // 2. rule battery
+    val nTokWs = TextAnalysis.tokenCount(col("text"))
+    val meanLen = (col("n_chars") - (nTokWs - lit(1))).cast(DoubleType) / nTokWs
+    val keepRule = nTokWs.between(20, 1000) && meanLen.between(2.0, 12.0) &&
+      (TextAnalysis.distinctStopwords(col("text")) >= 2) &&
+      (TextAnalysis.uniqueRatio(col("text")) >= 0.3)
+    val kept = clean.filter(keepRule)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        size(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    // 3. exact dedup: min id per fingerprint
+    val exact = kept
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("keeper", "fp")
+    // 4. near-dup cluster canonicalization
+    val nonCanonical = Dedup.connectedComponents(
+        Dedup.allPairsJaccard(exact, "doc_id", "text", minJaccard = 0.7),
+        "id_a", "id_b")
+      .filter(!col("is_canonical"))
+      .select(col("id").as("doc_id"))
+    val unique = exact.join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+    // 5. per-language token-budget fill
+    graft.ops.Relational.groupedRunningTotal(
+        unique.select(col("doc_id"), col("lang"), col("quality_score"),
+          col("n_tokens")),
+        Seq("lang"), Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= 4000)
+      .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
+  }
+
+  private val tx26Oracle = {
+    val re = s"'${TextAnalysis.BpePattern}'"
+    s"""WITH RECURSIVE g5 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 3),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2] || ' ' || str_split(text, ' ')[i+3] || ' ' || str_split(text, ' ')[i+4])) AS grams,
+       |    doc_id % 50 = 0 AS is_eval
+       |  FROM documents),
+       |eg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g5 WHERE is_eval),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g5 WHERE NOT is_eval) t
+       |  JOIN eg USING (gram)),
+       |clean AS (
+       |  SELECT d.* FROM documents d
+       |  WHERE d.doc_id % 50 <> 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |kept AS (
+       |  SELECT doc_id, lang, text,
+       |    (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')))
+       |      * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality_score,
+       |    len(regexp_extract_all(text, $re)) AS n_tokens,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM clean
+       |  WHERE (len(str_split(text, ' ')) BETWEEN 20 AND 1000)
+       |    AND (CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+       |           / len(str_split(text, ' ')) BETWEEN 2.0 AND 12.0)
+       |    AND len(list_intersect(list_distinct(str_split(text, ' ')),
+       |          ['the','a','of','and','to','in'])) >= 2
+       |    AND (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+       |           / len(str_split(text, ' ')) >= 0.3)),
+       |exact AS (
+       |  SELECT doc_id, lang, text, quality_score, n_tokens FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM kept) k
+       |  WHERE doc_id = keeper),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+       |  FROM exact),
+       |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |    FROM f a JOIN f b ON a.doc_id < b.doc_id) t
+       |  WHERE jaccard >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |noncanon AS (
+       |  SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id),
+       |uniq AS (
+       |  SELECT doc_id, lang, quality_score, n_tokens FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))
+       |SELECT doc_id, lang, quality_score, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, lang, quality_score, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM uniq) t
+       |WHERE cum_tokens <= 4000""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -809,5 +973,7 @@ object TextQueries {
     GraftQuery("tx22_incremental_neardup", tx22, None,
       oracleGen = Some(tx22OracleGen)),
     GraftQuery("tx23_balanced_shards", tx23, Some(tx23Oracle)),
-    GraftQuery("tx24_upsample", tx24, Some(tx24Oracle)))
+    GraftQuery("tx24_upsample", tx24, Some(tx24Oracle)),
+    GraftQuery("tx25_filter_battery", tx25, Some(tx25Oracle)),
+    GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)))
 }

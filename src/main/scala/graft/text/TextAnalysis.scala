@@ -43,7 +43,14 @@ object TextAnalysis {
     * key instead of a shuffle of full document bodies. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  private val StopWords = Seq("the", "a", "of", "and", "to", "in")
+  private[graft] val StopWords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Number of DISTINCT stopwords present — the Gopher-style "contains
+    * at least 2 of the required words" naturalness signal (a stronger
+    * prose test than the ratio: boilerplate can repeat one stopword). */
+  def distinctStopwords(text: Column): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(StopWords.map(lit): _*)))
 
   /** Fraction of tokens that are stopwords — high for natural prose,
     * low for code/tables/noise. */
