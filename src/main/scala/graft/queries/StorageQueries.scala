@@ -117,11 +117,38 @@ object StorageQueries {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  // ---- io05: small-file compaction. Write lineitem the way a
+  //      many-task job does (64 tiny files), compact to a byte-sized
+  //      target with `Storage.compact` (scan → coalesce → write, no
+  //      exchange — see the Scaladoc there), then serve an aggregate
+  //      off the COMPACTED store. The oracle reads the original table:
+  //      green means the rewrite preserved every row bit-exactly,
+  //      which is the only correctness a layout operator has.
+  //      StorageSpec pins the physical claims (file count hits
+  //      ceil(bytes/target); no shuffle in the rewrite plan). ----
+  private def io05(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val tmp = Files.createTempDirectory("graft-io05-").toString
+    Tables.lineitem(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    val compacted = graft.ops.Storage.compact(
+      spark, s"$tmp/small", s"$tmp/compacted", targetBytes = 8L << 20)
+    compacted.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sumExact(dec(col("l_quantity"))).as("sum_qty"))
+  }
+
+  private val io05Oracle =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
     GraftQuery("io03_ivf_store", io03, None,
       oracleGen = Some(SimilarityQueries.sim05OracleGen)),
     GraftQuery("io04_quantized_ivf_store", io04, None,
-      oracleGen = Some(SimilarityQueries.io04OracleGen)))
+      oracleGen = Some(SimilarityQueries.io04OracleGen)),
+    GraftQuery("io05_compacted_store", io05, Some(io05Oracle)))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -943,6 +943,58 @@ object TextQueries {
        |WHERE cum_tokens <= 4000""".stripMargin
   }
 
+  // ---- tx27: corpus n-gram statistics — top-10 bigrams and trigrams
+  //      by frequency. The corpus-health readout every pipeline keeps
+  //      (boilerplate phrases, template artifacts, and benchmark
+  //      contamination all surface as over-represented n-grams long
+  //      before any per-document filter sees them). One pass over the
+  //      corpus: both gram sizes render as struct arrays inside the
+  //      same projection and explode together, the hash aggregate
+  //      collapses map-side partial counts before the (tiny, vocab²-
+  //      bounded) shuffle, and the per-size top-10 runs through the
+  //      straggler-free grouped top-k — no global sort, no one-task-
+  //      per-size window over the full gram table. ----
+
+  /** Windows of `n` consecutive tokens as "w1 w2 …" strings. zip_with
+    * pads the shorter (shifted) side with null and concat propagates
+    * it, so the n−1 trailing partial windows come out null and drop at
+    * the post-explode filter — no boundary arithmetic to get wrong. */
+  private def ngrams(toks: Column, n: Int): Column =
+    (1 until n).map(i => slice(toks, lit(i + 1), size(toks)))
+      .foldLeft(toks)((acc, nxt) =>
+        zip_with(acc, nxt, (a, b) => concat(a, lit(" "), b)))
+
+  private def tx27(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def tagged(n: Int): Column =
+      transform(ngrams(toks, n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    val counts = Tables.documents(spark, dir)
+      .select(explode(concat(tagged(2), tagged(3))).as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ops.Relational.topKPerGroupScalable(counts, Seq("n"),
+      Seq(col("cnt").desc, col("gram")), 10, rankName = "rank")
+      .select("n", "gram", "cnt", "rank")
+  }
+
+  private val tx27Oracle =
+    """WITH toks AS (SELECT str_split(text, ' ') AS ts FROM documents),
+      |g AS (
+      |  SELECT 2 AS n, UNNEST(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT 3 AS n, UNNEST(list_transform(range(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram FROM toks),
+      |c AS (SELECT n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT n, gram, cnt, rank FROM (
+      |  SELECT n, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+      |  FROM c) z
+      |WHERE rank <= 10""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -975,5 +1027,6 @@ object TextQueries {
     GraftQuery("tx23_balanced_shards", tx23, Some(tx23Oracle)),
     GraftQuery("tx24_upsample", tx24, Some(tx24Oracle)),
     GraftQuery("tx25_filter_battery", tx25, Some(tx25Oracle)),
-    GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)))
+    GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)),
+    GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)))
 }

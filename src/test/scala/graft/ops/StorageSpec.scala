@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class StorageSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def writeSmallStore(nFiles: Int): String = {
+    val tmp = Files.createTempDirectory("graft-storage-spec-").toString
+    (1 to 4000).map(i => (i.toLong, s"payload-$i", i % 7))
+      .toDF("id", "payload", "grp")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    tmp
+  }
+
+  test("compact bin-packs to ceil(bytes/target) files and preserves every row") {
+    val tmp = writeSmallStore(32)
+    val (bytes, nSmall) = Storage.dataFiles(spark, s"$tmp/small")
+    assert(nSmall == 32)
+    // a target a shade over 1/3 of the store forces exactly 3 bins —
+    // small enough to prove real bin-packing, not a collapse-to-1
+    val target = bytes / 3 + 1
+    val compacted = Storage.compact(spark, s"$tmp/small", s"$tmp/compacted", target)
+    val (cBytes, nCompact) = Storage.dataFiles(spark, s"$tmp/compacted")
+    assert(nCompact == ((bytes + target - 1) / target).toInt)
+    assert(nCompact < nSmall)
+    assert(cBytes > 0)
+    // bit-exact content: same multiset of rows back out
+    val before = spark.read.parquet(s"$tmp/small")
+      .orderBy("id").collect().toSeq
+    val after = compacted.orderBy("id").collect().toSeq
+    assert(after == before)
+  }
+
+  test("compact's rewrite plan has no exchange (coalesce, not repartition)") {
+    val tmp = writeSmallStore(16)
+    val (bytes, _) = Storage.dataFiles(spark, s"$tmp/small")
+    Storage.compact(spark, s"$tmp/small", s"$tmp/c", bytes / 2 + 1)
+    // re-derive the rewrite-side plan the way compact builds it and
+    // assert the physical plan is exchange-free: compaction of a
+    // 100 TB store must cost one read + one write, never a shuffle
+    val plan = spark.read.parquet(s"$tmp/small").coalesce(2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("degenerate splitting direction still hits the target count") {
+    val tmp = writeSmallStore(1)
+    val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
+    assert(n == 1)
+    // one oversized file, target = half its size → must SPLIT to 2
+    val compacted = Storage.compact(spark, s"$tmp/small", s"$tmp/split", bytes / 2 + 1)
+    val (_, nOut) = Storage.dataFiles(spark, s"$tmp/split")
+    assert(nOut == 2)
+    assert(compacted.count() == 4000)
+  }
+}
