@@ -327,10 +327,23 @@ object Dedup {
    * shuffle; fingerprints re-join per candidate.
    */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 8): DataFrame =
+    hammingNearDups(
+      docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh")),
+      maxHamming, bands)
+
+  /**
+   * The bit-band LSH pair search over ANY precomputed 64-bit
+   * fingerprint frame `(id, sh)` — the engine behind
+   * [[simHashNearDups]] (text) and the image aHash dedup (mm09): the
+   * pigeonhole exhaustiveness argument and the narrow
+   * (id, band, chunk) shuffle shape don't care where the 64 bits came
+   * from.
+   */
+  def hammingNearDups(base: DataFrame,
+                      maxHamming: Int, bands: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val width = 64 / bands
-    val base = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
     val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -418,4 +418,110 @@ object Multimodal {
   def sampleFrameCount(features: DataFrame, stride: Int): DataFrame =
     features.withColumn("n_sampled_frames",
       ceil(col("n_frames").cast(DoubleType) / stride).cast(IntegerType))
+
+  /**
+   * 64-bit perceptual average-hash (aHash) of an image payload, the
+   * standard image-dedup fingerprint: re-encodes, exposure shifts, and
+   * (approximately) rescales of the same picture land within a few
+   * bits, while unrelated images sit ~32 bits apart — so the SimHash
+   * Hamming-band machinery applies unchanged to image near-dup.
+   *
+   * The spec (both implementations — this one and the independent
+   * oracle re-derivation in ReferenceHashes — must realize it exactly):
+   *  - integer luma per pixel: (299·r + 587·g + 114·b) / 1000;
+   *  - an 8×8 grid assigned by the bucket formula i = ⌊y·8/h⌋,
+   *    j = ⌊x·8/w⌋ (equivalently: cell (i,j) covers
+   *    y ∈ [⌈i·h/8⌉, ⌈(i+1)·h/8⌉) × x ∈ [⌈j·w/8⌉, ⌈(j+1)·w/8⌉)) —
+   *    an exact area partition, no resampling step to make
+   *    implementation-dependent;
+   *  - bit 8·i+j set iff the cell's mean luma exceeds the global mean,
+   *    compared cross-multiplied in integers (cellSum·w·h >
+   *    totalSum·cellArea) so no division ever rounds.
+   *
+   * Returns null for undecodable payloads. One pixel scan, cell sums
+   * accumulated in a single pass.
+   */
+  def averageHash64(payload: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return null
+    val cellSum = new Array[Long](64)
+    // counted during the scan, not recomputed from boundary formulas —
+    // the binning and the area can then never disagree
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val i = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = i * 8 + (x * 8 / w)
+        cellSum(c) += lum
+        cellCnt(c) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellSum(c) * w * h > total * cellCnt(c)) bits |= (1L << c)
+      c += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** Exposure-shift an image payload: every channel moves by `delta`
+    * (clamped to [0,255]) and the result re-encodes as PNG — the
+    * perturbation aHash is designed to absorb. Non-image payloads pass
+    * through, like [[resizeImage]]. */
+  def shiftBrightness(payload: Array[Byte], delta: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return payload
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        def clamp(v: Int): Int = math.min(255, math.max(0, v))
+        val r = clamp(((rgb >> 16) & 0xff) + delta)
+        val g = clamp(((rgb >> 8) & 0xff) + delta)
+        val b = clamp((rgb & 0xff) + delta)
+        out.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Perceptual fingerprints of a media table's image rows: (id,
+    * ahash), decoded per-partition like [[extractFeatures]]. Only this
+    * narrow frame flows downstream — payloads never reach a shuffle,
+    * which is what makes banded image dedup viable at billions of
+    * images. Undecodable rows drop (they can't near-dup anything). */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "image") None
+        else Option(averageHash64(r.payload)).map(h => (r.media_id, h.longValue()))
+      })
+      .toDF("id", "ahash")
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Tables
@@ -323,6 +324,60 @@ object MultimodalQueries {
       |      ELSE GREATEST(1, strlen(text) // 256) END AS n_frames
       |  FROM documents) t""".stripMargin
 
+  // ---- mm09: perceptual image dedup — the image-side answer to
+  //      tx09's SimHash text dedup, and what actually runs before
+  //      training on web-scale image data (re-encodes and exposure
+  //      variants of one picture are duplicates no byte hash can see).
+  //      Each fixture image is paired with an exposure-shifted
+  //      re-encode (id 2k original / 2k+1 shifted — a pure map-side id
+  //      scheme, no max-key scan); aHash fingerprints extract in ONE
+  //      per-partition decode pass, and from there only (id, 64-bit
+  //      hash) rows exist — payloads never shuffle, so the
+  //      Hamming-band pair search (shared verbatim with tx09 via
+  //      Dedup.hammingNearDups) runs at billions-of-images shapes.
+  //      Gate: the oracle embeds per-id aHashes RE-DERIVED by the
+  //      independent ReferenceHashes implementation (per-cell block
+  //      loops, shift folded into the pixel read instead of a PNG
+  //      re-encode round trip) and DuckDB re-derives the pair set
+  //      with its own xor + bit_count arithmetic — the tx16 recipe
+  //      pointed at pixels. ----
+  private def mm09(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaWithRealImages(Tables.documents(spark, dir))
+      .filter(col("kind") === "image")
+    val spark2 = spark
+    import spark2.implicits._
+    val shifted = media.select("media_id", "kind", "payload", "width", "height",
+        "sample_rate_hz")
+      .as[Multimodal.MediaRow]
+      .mapPartitions(_.map(r =>
+        r.copy(payload = Multimodal.shiftBrightness(r.payload, 16))))
+      .toDF()
+    val both = media.withColumn("media_id", col("media_id") * 2)
+      .unionByName(shifted.withColumn("media_id", col("media_id") * 2 + 1))
+    Dedup.hammingNearDups(
+      Multimodal.imageHashes(both).withColumnRenamed("ahash", "sh"),
+      maxHamming = 6, bands = 8)
+  }
+
+  private def mm09OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val png = Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
+        Seq(ReferenceHashes.averageHash64(png).map(h => s"(${id * 2}, $h)"),
+          ReferenceHashes.averageHash64(png, delta = 16)
+            .map(h => s"(${id * 2 + 1}, $h)")).flatten
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH ah(id, h) AS ($vals)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |FROM ah a JOIN ah b ON a.id < b.id
+       |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -333,5 +388,7 @@ object MultimodalQueries {
     GraftQuery("mm06_audio_decode", mm06, Some(mm06Oracle)),
     GraftQuery("mm07_feature_norms", mm07, None,
       oracleGen = Some(mm07OracleGen)),
-    GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)))
+    GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)),
+    GraftQuery("mm09_image_phash_dedup", mm09, None,
+      oracleGen = Some(mm09OracleGen)))
 }

@@ -152,4 +152,45 @@ object ReferenceHashes {
     }
     out
   }
+
+  /**
+   * Independent re-derivation of the image average-hash for mm09's
+   * oracle, from the same spec as
+   * [[graft.multimodal.Multimodal.averageHash64]] but structured
+   * differently on purpose: per-cell block loops (not one scan with
+   * running bins), an optional exposure `delta` folded into the pixel
+   * read (the operator path materializes a shifted PNG and re-decodes
+   * it — lossless, so the pixels must agree), and its own clamp/luma
+   * arithmetic. None for undecodable or sub-8×8 payloads.
+   */
+  def averageHash64(payload: Array[Byte], delta: Int = 0): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) return None
+    val w = img.getWidth; val h = img.getHeight
+    def lum(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      def ch(v: Int): Int = {
+        val s = v + delta
+        if (s < 0) 0 else if (s > 255) 255 else s
+      }
+      (ch((rgb >> 16) & 0xff) * 299 + ch((rgb >> 8) & 0xff) * 587 +
+        ch(rgb & 0xff) * 114) / 1000
+    }
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) total += lum(x, y)
+    var bits = 0L
+    for (i <- 0 until 8; j <- 0 until 8) {
+      // ceil boundaries — the block form of the operator's bucket
+      // formula ⌊y·8/h⌋ = i (see the spec in Multimodal.averageHash64)
+      val (y0, y1) = ((i * h + 7) / 8, ((i + 1) * h + 7) / 8)
+      val (x0, x1) = ((j * w + 7) / 8, ((j + 1) * w + 7) / 8)
+      var cell = 0L
+      for (y <- y0 until y1; x <- x0 until x1) cell += lum(x, y)
+      if (cell * w * h > total * ((y1 - y0).toLong * (x1 - x0)))
+        bits |= (1L << (i * 8 + j))
+    }
+    Some(bits)
+  }
 }

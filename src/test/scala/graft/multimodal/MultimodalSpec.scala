@@ -119,4 +119,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val stubbed = Multimodal.ImageIoDecoder.decode("audio", "plain text".getBytes, 16)
     assert(stubbed.nFrames == Multimodal.StubDecoder.decode("audio", "plain text".getBytes, 16).nFrames)
   }
+
+  test("averageHash64: cross-implementation agreement, shift robustness, separation") {
+    val ids = (0L until 120L by 3L).toSeq
+    val hams = ids.map { id =>
+      val png = Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val op = Option(Multimodal.averageHash64(png)).map(_.longValue())
+      // the independent per-cell-loop reference must realize the exact
+      // same spec — this is the agreement the mm09 oracle gate rests on
+      assert(op == graft.queries.ReferenceHashes.averageHash64(png), s"id=$id")
+      val shifted = Multimodal.shiftBrightness(png, 16)
+      val opS = Option(Multimodal.averageHash64(shifted)).map(_.longValue())
+      assert(opS == graft.queries.ReferenceHashes.averageHash64(png, delta = 16), s"id=$id shifted")
+      java.lang.Long.bitCount(op.get ^ opS.get)
+    }
+    // exposure shift is the perturbation aHash absorbs: a few bits, max
+    assert(hams.forall(_ <= 6), s"shift hamming too high: $hams")
+    // unrelated images sit far apart — the separation that makes a
+    // hamming<=6 cutoff a near-dup test and not a noise generator
+    val distinct = ids.take(20).map(id =>
+      Multimodal.averageHash64(
+        Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)).longValue())
+    val cross = for (a <- distinct.indices; b <- distinct.indices if a < b)
+      yield java.lang.Long.bitCount(distinct(a) ^ distinct(b))
+    assert(cross.min > 6, s"unrelated pair too close: ${cross.min}")
+    // non-decodable and sub-8x8 payloads: null, not garbage bits
+    assert(Multimodal.averageHash64(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.averageHash64(Multimodal.renderPng(1L, 4, 4)) == null)
+  }
 }
