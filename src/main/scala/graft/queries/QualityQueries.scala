@@ -141,8 +141,56 @@ object QualityQueries {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---- dq04: distribution drift between cohorts — the monitor a
+  //      pipeline runs between snapshots / data sources before
+  //      anything trains on the delta (a shifted event mix is how
+  //      upstream breakage usually announces itself). Cohorts are a
+  //      deterministic identity split (even/odd user_id — stands in
+  //      for yesterday/today or sourceA/sourceB, which the fixtures
+  //      don't carry); per event_type both cohort counts come out of
+  //      ONE scan via conditional aggregation (no per-cohort passes),
+  //      the 1-row totals broadcast back, and the per-row share math
+  //      is exact-integer counts divided once in double — every value
+  //      independently recomputable. No order-dependent global TVD
+  //      row: that would sum doubles in partition order; consumers
+  //      aggregate the per-type drifts under their own tolerance. ----
+  private val driftCache = new graft.util.PlanCache(maxEntries = 4)
+
+  private def dq04(spark: SparkSession, dir: String): DataFrame = {
+    val inA = pmod(col("user_id"), lit(2)) === 0
+    // persisted (event_type-cardinality rows): the totals re-aggregate
+    // THIS frame, not the events scan — one pass over the table total,
+    // which is the difference between a cheap monitor and a 2× tax at
+    // 100 TB (static exchange reuse does not dedupe the second scan)
+    val counts = driftCache.persisted(Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b")))
+    val totals = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val pA = col("n_a").cast(DoubleType) / col("t_a")
+    val pB = col("n_b").cast(DoubleType) / col("t_b")
+    counts.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("drift"))
+  }
+
+  private val dq04Oracle =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+      |    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_b
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+      |             CAST(SUM(n_b) AS BIGINT) AS t_b FROM c)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(n_a AS DOUBLE) / t_a AS p_a,
+      |  CAST(n_b AS DOUBLE) / t_b AS p_b,
+      |  ABS(CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b) AS drift
+      |FROM c, t""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
-    GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)))
+    GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)),
+    GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)))
 }

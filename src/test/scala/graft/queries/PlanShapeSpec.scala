@@ -189,6 +189,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p2.contains("SortMergeJoin"), s"no shuffle join at bench scale:\n$p2")
   }
 
+  test("tx27: gram counts combine map-side; top-k never sorts the gram table globally") {
+    val p = plan("tx27_ngram_stats")
+    // the explode multiplies the corpus ~250×; what crosses the wire
+    // must be the partial counts over the vocab²-bounded key space
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    // per-size top-10 via the scalable grouped top-k (per-partition
+    // pre-rank), not one task per gram size over everything
+    assert(p.contains("__pid"), s"expected the partition-local pre-rank:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mm09: payloads never reach an exchange — only (id, hash) rows shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    // AQE wraps the plan and hides exchanges until stages materialize;
+    // the static shape is what this pin is about
+    val conf = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(conf)
+    val exec =
+      try {
+        spark.conf.set(conf, "false")
+        Registry.byName("mm09_image_phash_dedup").run(spark, dir)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(conf, saved)
+    // billions-of-images viability rests on the decode boundary
+    // stripping the plan to 16 bytes/row before any shuffle; a binary
+    // column in any exchange means the images themselves are moving
+    val shuffled = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffled.nonEmpty)
+    shuffled.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"binary column crosses a shuffle: ${e.output}")
+    }
+  }
+
+  test("dq04: both cohort counts come from one scan of events") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val conf = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(conf)
+    val exec =
+      try {
+        spark.conf.set(conf, "false")
+        Registry.byName("dq04_cohort_drift").run(spark, dir)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(conf, saved)
+    // the totals side must re-aggregate the persisted counts frame,
+    // not re-scan the table: zero direct file scans in the query plan
+    // (the one real scan lives inside the cached counts relation,
+    // which both sides serve from), two cache reads
+    assert(exec.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"events re-scanned outside the persisted counts:\n$exec")
+    assert(exec.collect { case s: InMemoryTableScanExec => s }.size == 2,
+      s"expected both sides served from the persisted counts:\n$exec")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
