@@ -299,6 +299,33 @@ object AdvancedQueries {
        |             ORDER BY datediff('day', DATE '1970-01-01', CAST(day AS DATE))
        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- q31: GROUPING SETS — two independent reports (per-status,
+  //      per-priority revenue) out of ONE scan and one expand, the
+  //      general form q18's ROLLUP and q27's CUBE specialize. At
+  //      100 TB this is the difference between N report queries and
+  //      one pass: the expand multiplies rows by the number of sets
+  //      BEFORE the partial aggregate, so what shuffles is one
+  //      aggregated frame per set, not N scans. ----
+  private def q31(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(dec(col("o_totalprice"))).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
+  private val q31Oracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -311,5 +338,6 @@ object AdvancedQueries {
     GraftQuery("q27_cube", q27, Some(q27Oracle)),
     GraftQuery("q28_moving_avg", q28, Some(q28Oracle)),
     GraftQuery("q29_range_frame", q29, Some(q29Oracle)),
-    GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)))
+    GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)),
+    GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)))
 }

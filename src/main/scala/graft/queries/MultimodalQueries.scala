@@ -359,7 +359,11 @@ object MultimodalQueries {
       maxHamming = 6, bands = 8)
   }
 
-  private def mm09OracleGen(spark: SparkSession, dir: String): String = {
+  /** The mm09/mm10 oracle's hash relation: per-id aHashes re-derived
+    * by the independent ReferenceHashes implementation from re-rendered
+    * payloads, as a VALUES body (both the 2k originals and the 2k+1
+    * exposure-shifted copies). */
+  private def referenceAHashValues(spark: SparkSession, dir: String): String = {
     val rows = Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
       .collect().flatMap { r =>
@@ -369,14 +373,44 @@ object MultimodalQueries {
           ReferenceHashes.averageHash64(png, delta = 16)
             .map(h => s"(${id * 2 + 1}, $h)")).flatten
       }.mkString(", ")
-    val vals = OracleSql.valuesOrEmpty(rows,
-      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
-    s"""WITH ah(id, h) AS ($vals)
+    OracleSql.valuesOrEmpty(rows, "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+  }
+
+  private def mm09OracleGen(spark: SparkSession, dir: String): String =
+    s"""WITH ah(id, h) AS (${referenceAHashValues(spark, dir)})
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
        |FROM ah a JOIN ah b ON a.id < b.id
        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
-  }
+
+  // ---- mm10: image duplicate-cluster canonicalization — mm09's pair
+  //      set closed transitively with the SAME Pregel-shaped
+  //      min-label propagation tx20 runs over text pairs
+  //      (Dedup.connectedComponents, one distributed join+agg per
+  //      round): an image re-encoded twice must collapse to ONE
+  //      keeper even when the two variants never surfaced as a direct
+  //      pair. Composition evidence across modality families; the
+  //      oracle recomputes the closure with its own recursive CTE
+  //      over the independent reference hashes. ----
+  private def mm10(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(mm09(spark, dir), "id_a", "id_b")
+      .withColumnRenamed("id", "media_id")
+
+  private def mm10OracleGen(spark: SparkSession, dir: String): String =
+    s"""WITH RECURSIVE ah(id, h) AS (${referenceAHashValues(spark, dir)}),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ah a JOIN ah b ON a.id < b.id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id AS media_id, MIN(r) AS cluster, MIN(r) = id AS is_canonical
+       |FROM reach GROUP BY id""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
@@ -390,5 +424,7 @@ object MultimodalQueries {
       oracleGen = Some(mm07OracleGen)),
     GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)),
     GraftQuery("mm09_image_phash_dedup", mm09, None,
-      oracleGen = Some(mm09OracleGen)))
+      oracleGen = Some(mm09OracleGen)),
+    GraftQuery("mm10_image_dup_clusters", mm10, None,
+      oracleGen = Some(mm10OracleGen)))
 }

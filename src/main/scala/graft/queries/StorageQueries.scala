@@ -143,6 +143,41 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- io06: schema evolution — every long-lived store ends up
+  //      written in generations (v1 rows predate a column v2 added),
+  //      and the reader must reconcile: mergeSchema unions the file
+  //      schemas and null-fills the missing column in old files. The
+  //      query serves a priority report off the two-generation store
+  //      with legacy rows bucketed under their own label; the oracle
+  //      recomputes it from the original table (generation membership
+  //      is a deterministic key split). Scale note: mergeSchema costs
+  //      a footer read per file at planning — fine per-store-read, but
+  //      a 100 TB lake pins the reconciled schema explicitly
+  //      (.schema(merged)) once it's known; the reconciliation
+  //      semantics (null-fill, by-name matching) are what this query
+  //      gates, and they are identical either way. ----
+  private def io06(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val tmp = Files.createTempDirectory("graft-io06-").toString
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(dec(col("o_totalprice"))).as("revenue"))
+  }
+
+  private val io06Oracle =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY' ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -150,5 +185,6 @@ object StorageQueries {
       oracleGen = Some(SimilarityQueries.sim05OracleGen)),
     GraftQuery("io04_quantized_ivf_store", io04, None,
       oracleGen = Some(SimilarityQueries.io04OracleGen)),
-    GraftQuery("io05_compacted_store", io05, Some(io05Oracle)))
+    GraftQuery("io05_compacted_store", io05, Some(io05Oracle)),
+    GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)))
 }
