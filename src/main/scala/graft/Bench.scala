@@ -130,7 +130,7 @@ object Bench {
     // per machine and reused.
     val tenxQueries = Seq("sim01_ann_cosine", "sim02_lsh_ann", "sim05_ivf_ann",
       "tx02_text_quality", "tx06_near_dup_pairs", "tx14_corpus_prep",
-      "mm02_media_ann",
+      "mm02_media_ann", "mm09_image_phash_dedup",
       // relational decade point: key-shifted lineitem/orders/customer/
       // events replicas (q26 carries the steepest sf0.01→sf0.1 ratio)
       "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",

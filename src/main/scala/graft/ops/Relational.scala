@@ -141,6 +141,46 @@ object Relational {
   }
 
   /**
+   * Range (band) join: attach to each probe row every `ranges` row
+   * whose [lo, hi) interval contains the probe's `valueCol` — an
+   * interval-containment lookup (value → irregular band/tier/bucket).
+   *
+   * Spark plans a bare non-equi join as BroadcastNestedLoopJoin when
+   * one side broadcasts and CartesianProduct when neither does —
+   * O(rows × ranges), an outage at scale. Decomposing each range into
+   * the fixed-width cells it overlaps turns the theta join into an
+   * EQUI join: the probe side computes its single cell map-side, the
+   * range side replicates once per overlapped cell (cost =
+   * width/cellWidth per range, bounded for bounded bands), both sides
+   * hash-join on the cell, and the exact [lo, hi) predicate prunes
+   * the cell collisions afterwards. Both sides may be arbitrarily
+   * large — the join shuffles on cell like any equi-join.
+   *
+   * Degenerate ranges (lo ≥ hi: empty by the half-open contract) are
+   * dropped up front — they match nothing, and Spark's `sequence`
+   * would otherwise run DESCENDING and replicate them to every cell
+   * between the reversed endpoints.
+   *
+   * Column names must be disjoint across the two frames (standard for
+   * a dim attach); `__cell` is reserved.
+   */
+  def rangeJoin(rows: DataFrame, valueCol: String, ranges: DataFrame,
+                loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    val probe = rows.withColumn("__cell",
+      floor(col(valueCol) / cellWidth).cast("long"))
+    val spans = ranges.filter(col(loCol) < col(hiCol))
+      .withColumn("__cell", explode(sequence(
+        floor(col(loCol) / cellWidth).cast("long"),
+        // hi is exclusive: a range ending exactly on a cell boundary
+        // must not claim the next cell — ceil(hi/w) − 1, not floor
+        (ceil(col(hiCol) / cellWidth) - 1).cast("long"))))
+    probe.join(spans, Seq("__cell"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__cell")
+  }
+
+  /**
    * Top-k per group when groups are FEW and huge — the straggler-safe
    * variant of [[topKPerGroup]]. A window partitioned by a handful of
    * group keys funnels each whole group through one task; here every

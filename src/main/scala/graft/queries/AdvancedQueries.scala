@@ -326,6 +326,37 @@ object AdvancedQueries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
 
+  // ---- q32: range (band) join — value → irregular-interval lookup
+  //      (pricing tiers, latency buckets, IP→geo bands). The band dim
+  //      derives deterministically from nation (25 overlapping,
+  //      irregular [lo, hi) intervals over the events value domain);
+  //      Relational.rangeJoin decomposes each band into fixed-width
+  //      cells so the containment join runs as a HASH join on cell —
+  //      big-big capable — instead of the BroadcastNestedLoopJoin /
+  //      CartesianProduct Spark plans for a bare theta join. Events
+  //      under overlapping bands count in each, exactly like the
+  //      oracle's theta join. ----
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.nation(spark, dir).select(
+      col("n_name").as("band"),
+      (col("n_nationkey") * 18.0).as("lo"),
+      (col("n_nationkey") * 18.0 + 18.0 + (col("n_nationkey") % 3) * 9.0).as("hi"))
+    Relational.rangeJoin(
+        Tables.events(spark, dir).select(col("event_id"), col("value")),
+        "value", bands, "lo", "hi", cellWidth = 16.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("total_value"))
+  }
+
+  private val q32Oracle =
+    """SELECT n.n_name AS band, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+      |FROM events e JOIN nation n
+      |  ON e.value >= n.n_nationkey * 18.0
+      | AND e.value < n.n_nationkey * 18.0 + 18.0 + (n.n_nationkey % 3) * 9.0
+      |GROUP BY n.n_name""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -339,5 +370,6 @@ object AdvancedQueries {
     GraftQuery("q28_moving_avg", q28, Some(q28Oracle)),
     GraftQuery("q29_range_frame", q29, Some(q29Oracle)),
     GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)),
-    GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)))
+    GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)),
+    GraftQuery("q32_range_join", q32, Some(q32Oracle)))
 }

@@ -423,7 +423,7 @@ object MultimodalQueries {
     GraftQuery("mm07_feature_norms", mm07, None,
       oracleGen = Some(mm07OracleGen)),
     GraftQuery("mm08_frame_sample", mm08, Some(mm08Oracle)),
-    GraftQuery("mm09_image_phash_dedup", mm09, None,
+    GraftQuery("mm09_image_phash_dedup", mm09, None, headline = true,
       oracleGen = Some(mm09OracleGen)),
     GraftQuery("mm10_image_dup_clusters", mm10, None,
       oracleGen = Some(mm10OracleGen)))

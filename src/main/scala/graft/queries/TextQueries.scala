@@ -943,6 +943,43 @@ object TextQueries {
        |WHERE cum_tokens <= 4000""".stripMargin
   }
 
+  // ---- tx28: training sequence packing — the step between a
+  //      prepared corpus and the trainer's data loader: documents
+  //      concatenate in a reproducible shuffled order (identity-keyed
+  //      md5 draw, like tx19/tx21/tx23 — stable under re-runs and
+  //      cluster resizes) into fixed-token-budget sequences, and each
+  //      document's sequence id is the bucket its START offset falls
+  //      in. The offset is the distributed prefix sum — no one-task
+  //      global window ever sees the corpus; packing 100 TB costs one
+  //      range exchange of (id, draw, n_tokens) metadata, never the
+  //      text. ----
+  private def tx28(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("draw"))
+    graft.ops.Relational.runningTotal(keyed,
+        order = Seq(col("draw"), col("doc_id")), value = col("n_tokens"),
+        outName = "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("start_offset"),
+        floor((col("cum_tokens") - col("n_tokens")) / seqLen).as("seq_id"))
+  }
+
+  private val tx28Oracle =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    SUM(len(str_split(text, ' '))) OVER (
+      |      ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      |  CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
+      |FROM r""".stripMargin
+
   // ---- tx27: corpus n-gram statistics — top-10 bigrams and trigrams
   //      by frequency. The corpus-health readout every pipeline keeps
   //      (boilerplate phrases, template artifacts, and benchmark
@@ -1028,5 +1065,6 @@ object TextQueries {
     GraftQuery("tx24_upsample", tx24, Some(tx24Oracle)),
     GraftQuery("tx25_filter_battery", tx25, Some(tx25Oracle)),
     GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)),
-    GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)))
+    GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)),
+    GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)))
 }

@@ -116,6 +116,46 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 21)
   }
 
+  test("rangeJoin equals the naive theta join, incl. boundary and overlap cases") {
+    val rows = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 15.5), (5L, 20.0),
+      (6L, 31.7), (7L, 44.0), (8L, 100.0)).toDF("id", "v")
+    val ranges = Seq(
+      ("a", 0.0, 10.0),    // ends exactly on a cell boundary (w=5)
+      ("b", 10.0, 20.0),
+      ("c", 12.0, 35.0),   // overlaps b — rows in both match twice
+      ("d", 40.0, 40.0),   // degenerate: empty by the half-open contract
+      ("e", 43.0, 44.5)).toDF("band", "lo", "hi")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    val got = tuples(Relational.rangeJoin(rows, "v", ranges, "lo", "hi", 5.0))
+    val want = tuples(rows.join(ranges,
+      col("v") >= col("lo") && col("v") < col("hi")))
+    assert(got == want)
+    // the boundary row 10.0 lands in b only (20.0 likewise excluded
+    // from b but inside c); 15.5 in b AND c; the degenerate d matches
+    // nothing
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (4L, "c"),
+      (5L, "c"), (6L, "c"), (7L, "e")))
+  }
+
+  test("rangeJoin plans a hash/sort equi-join even with broadcast off (big-big shape)") {
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, -1)
+      val rows = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      val ranges = spark.range(10).selectExpr("CAST(id AS STRING) AS band",
+        "id * 10.0 AS lo", "id * 10.0 + 12.0 AS hi")
+      val p = Relational.rangeJoin(rows, "v", ranges, "lo", "hi", 8.0)
+        .queryExecution.executedPlan.toString
+      // the whole point: no nested-loop fallback when nothing broadcasts
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop crept in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+      assert(p.contains("__cell"), s"expected the cell equi-join key:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")
