@@ -181,6 +181,31 @@ object Relational {
   }
 
   /**
+   * Snapshot diff: classify every key across two versions of a table
+   * as added / removed / changed / unchanged — the change-data view a
+   * lake derives between loads (what table formats surface as a
+   * change feed, computed here from plain stores). One full-outer
+   * hash join on the keys; the non-key payload compares as a single
+   * null-safe struct equality, so wide tables diff without N
+   * per-column comparisons and NULL payloads compare correctly.
+   * Requires both frames to share the schema; output carries the
+   * keys, both payload structs (`__va`/`__vb`), and `change`.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      "snapshot schemas must match")
+    val nonKey = a.columns.filterNot(keys.contains).toSeq
+    val pa = a.select((keys.map(col) :+ struct(nonKey.map(col): _*).as("__va")): _*)
+    val pb = b.select((keys.map(col) :+ struct(nonKey.map(col): _*).as("__vb")): _*)
+    pa.join(pb, keys, "full_outer")
+      .withColumn("change",
+        when(col("__va").isNull, lit("added"))
+          .when(col("__vb").isNull, lit("removed"))
+          .when(col("__va") <=> col("__vb"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
+  /**
    * Top-k per group when groups are FEW and huge — the straggler-safe
    * variant of [[topKPerGroup]]. A window partitioned by a handful of
    * group keys funnels each whole group through one task; here every

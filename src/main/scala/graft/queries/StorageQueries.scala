@@ -178,6 +178,49 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- io07: snapshot diff — the change-data view between two loads
+  //      of a table (what lake formats expose as a change feed),
+  //      computed from plain stores by Relational.snapshotDiff: one
+  //      full-outer hash join on the key, payload compared as a
+  //      single null-safe struct equality. The two versions derive
+  //      deterministically from orders (old snapshot missing the
+  //      %89 keys that "arrived later"; new snapshot missing the %97
+  //      keys "deleted since" and carrying a price bump on %13), so
+  //      the oracle rebuilds both sides and classifies with its own
+  //      full outer join. ----
+  private def io07(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val old = orders.filter(col("k") % 89 =!= 0)
+    val neu = orders.filter(col("k") % 97 =!= 0)
+      .withColumn("v", when(col("k") % 13 === 0, col("v") + 1.0)
+        .otherwise(col("v")))
+    Relational.snapshotDiff(old, neu, Seq("k"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+  }
+
+  private val io07Oracle =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+      |  WHERE o_orderkey % 89 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS v
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |d AS (
+      |  SELECT COALESCE(a.k, b.k) AS k,
+      |    CASE WHEN a.k IS NULL THEN 'added'
+      |         WHEN b.k IS NULL THEN 'removed'
+      |         WHEN a.v = b.v THEN 'unchanged' ELSE 'changed' END AS change
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT change, COUNT(*) AS n_rows,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM d GROUP BY change""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -186,5 +229,6 @@ object StorageQueries {
     GraftQuery("io04_quantized_ivf_store", io04, None,
       oracleGen = Some(SimilarityQueries.io04OracleGen)),
     GraftQuery("io05_compacted_store", io05, Some(io05Oracle)),
-    GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)))
+    GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)),
+    GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)))
 }

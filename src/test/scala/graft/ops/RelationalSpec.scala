@@ -156,6 +156,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(conf, saved)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. NULL payloads") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("w")))
+      .toDF("k", "payload")
+    val b = Seq((2L, Some("y2")), (3L, None), (4L, Some("w")), (5L, Some("new")))
+      .toDF("k", "payload")
+    val out = Relational.snapshotDiff(a, b, Seq("k"))
+      .select("k", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // 1 only in a; 2 modified; 3 NULL payload both sides (the <=>
+    // struct compare must call that unchanged, not changed); 4 equal;
+    // 5 only in b
+    assert(out == Seq((1L, "removed"), (2L, "changed"), (3L, "unchanged"),
+      (4L, "unchanged"), (5L, "added")))
+  }
+
   test("topKPerGroup returns k rows per group in rank order with tiebreak") {
     val df = Seq(("g1", 5), ("g1", 9), ("g1", 7), ("g1", 9), ("g2", 1))
       .toDF("g", "v")

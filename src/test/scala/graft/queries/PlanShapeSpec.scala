@@ -245,6 +245,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected both sides served from the persisted counts:\n$exec")
   }
 
+  test("runtime bloom filter: a selective dim filter reduces the fact scan") {
+    // the 100 TB semi-join reduction: when a join's build side is
+    // selectively filtered, Spark can inject a bloom-filter
+    // might_contain predicate on the probe side's scan, dropping most
+    // fact rows BEFORE the shuffle. Off at the tiny test scale by the
+    // application-side threshold (10 GB) — this pin proves the
+    // engine's plans light it up once the fact side is big enough,
+    // by lowering that threshold instead of faking table sizes.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val ord = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected the bloom reduction on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
