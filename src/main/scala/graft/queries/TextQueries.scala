@@ -828,7 +828,10 @@ object TextQueries {
   //      prefix sum). Every stage keeps its individually-gated scale
   //      shape; what tx26 adds is the evidence that they COMPOSE into
   //      one lazily-planned DAG under a single end-to-end oracle. ----
-  private def tx26(spark: SparkSession, dir: String): DataFrame = {
+  /** tx26's composed pipeline, exposed so tx29 can pack its output —
+    * the delivered corpus is the input to sequence packing in a real
+    * deployment, and the composition should be the same lazy DAG. */
+  private def corpusPrepV2(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val isEval = pmod(col("doc_id"), lit(50)) === 0
@@ -874,7 +877,8 @@ object TextQueries {
       .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
   }
 
-  private val tx26Oracle = {
+  /** tx26's oracle CTE chain (through `uniq`), shared with tx29. */
+  private val corpusPrepV2Ctes = {
     val re = s"'${TextAnalysis.BpePattern}'"
     s"""WITH RECURSIVE g5 AS (
        |  SELECT doc_id,
@@ -933,15 +937,57 @@ object TextQueries {
        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id),
        |uniq AS (
        |  SELECT doc_id, lang, quality_score, n_tokens FROM exact
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))
-       |SELECT doc_id, lang, quality_score, n_tokens, cum_tokens FROM (
-       |  SELECT doc_id, lang, quality_score, n_tokens,
-       |    CAST(SUM(n_tokens) OVER (
-       |      PARTITION BY lang ORDER BY quality_score DESC, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-       |  FROM uniq) t
-       |WHERE cum_tokens <= 4000""".stripMargin
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))""".stripMargin
   }
+
+  private val corpusPrepV2Select =
+    """SELECT doc_id, lang, quality_score, n_tokens, cum_tokens FROM (
+      |  SELECT doc_id, lang, quality_score, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (
+      |      PARTITION BY lang ORDER BY quality_score DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM uniq) t
+      |WHERE cum_tokens <= 4000""".stripMargin
+
+  private val tx26Oracle = s"$corpusPrepV2Ctes\n$corpusPrepV2Select"
+
+  private def tx26(spark: SparkSession, dir: String): DataFrame =
+    corpusPrepV2(spark, dir)
+
+  // ---- tx29: corpus DELIVERY — the last hop: tx26's prepared corpus
+  //      packed into fixed-token training sequences, composed as the
+  //      same lazy DAG (prep never materializes to disk between the
+  //      stages). Reproducible identity-keyed order, offsets via the
+  //      distributed prefix sum over the SURVIVORS' metadata; the
+  //      oracle reuses tx26's entire CTE chain and re-derives the
+  //      packing with a window cumsum — one end-to-end gate from raw
+  //      documents to sequence ids. ----
+  private def tx29(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512
+    val survivors = corpusPrepV2(spark, dir).select(
+      col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+      md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("draw"))
+    graft.ops.Relational.runningTotal(survivors,
+        order = Seq(col("draw"), col("doc_id")), value = col("n_tokens"),
+        outName = "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / seqLen).as("seq_id"))
+  }
+
+  private val tx29Oracle =
+    s"""$corpusPrepV2Ctes,
+       |delivered AS ($corpusPrepV2Select),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (
+       |      ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM delivered)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS seq_id
+       |FROM r""".stripMargin
 
   // ---- tx28: training sequence packing — the step between a
   //      prepared corpus and the trainer's data loader: documents
@@ -1066,5 +1112,6 @@ object TextQueries {
     GraftQuery("tx25_filter_battery", tx25, Some(tx25Oracle)),
     GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)),
     GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)),
-    GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)))
+    GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)),
+    GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)))
 }
