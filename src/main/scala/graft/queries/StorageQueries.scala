@@ -221,6 +221,43 @@ object StorageQueries {
       |  MIN(k) AS min_key, MAX(k) AS max_key
       |FROM d GROUP BY change""".stripMargin
 
+  // ---- io08: dynamic partition overwrite — the batch incremental
+  //      load: a corrected partition's rows land with
+  //      mode("overwrite"), and ONLY the partitions present in the
+  //      delta rewrite; every other partition's files stay untouched
+  //      (static overwrite mode would truncate the whole store — the
+  //      classic incremental-load data-loss foot-gun). The gate reads
+  //      the store after a one-partition correction: green means the
+  //      click partition carries the corrected values AND the other
+  //      four survived the overwrite byte-for-byte (their aggregates
+  //      still match the original table). ----
+  private def io08(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val tmp = Files.createTempDirectory("graft-io08-").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val corrected = ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") + 1.0)
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      corrected.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    } finally saved.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    spark.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("total_value"))
+  }
+
+  private val io08Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(
+      |    CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END
+      |    AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -230,5 +267,6 @@ object StorageQueries {
       oracleGen = Some(SimilarityQueries.io04OracleGen)),
     GraftQuery("io05_compacted_store", io05, Some(io05Oracle)),
     GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)),
-    GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)))
+    GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)),
+    GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)))
 }

@@ -50,6 +50,34 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("dynamic partition overwrite rewrites only the delta's partitions") {
+    val tmp = Files.createTempDirectory("graft-storage-dpo-").toString
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "a", 4.0))
+      .toDF("id", "part", "v")
+    df.write.mode("overwrite").partitionBy("part").parquet(tmp)
+    def snapshot(p: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$tmp/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    val bBefore = snapshot("b"); val cBefore = snapshot("c")
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      Seq((9L, "a", 99.0)).toDF("id", "part", "v")
+        .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    } finally saved.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    // untouched partitions: same files, same bytes, same mtimes —
+    // the static-mode overwrite would have truncated them away
+    assert(snapshot("b") == bBefore)
+    assert(snapshot("c") == cBefore)
+    // the delta's partition fully replaced (both old 'a' rows gone)
+    val out = spark.read.parquet(tmp).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("part"))).sorted.toSeq
+    assert(out == Seq((2L, "b"), (3L, "c"), (9L, "a")))
+  }
+
   test("degenerate splitting direction still hits the target count") {
     val tmp = writeSmallStore(1)
     val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
