@@ -45,16 +45,27 @@ object Storage {
     * store must cost one read + one write, never a shuffle of the
     * whole store. (`repartition` only in the degenerate splitting
     * direction, when the reader produced fewer splits than the target
-    * count asks for — e.g. one oversized file being broken up.) */
+    * count asks for — e.g. one oversized file being broken up.)
+    *
+    * For a PARTITIONED store, pass its partition columns: the rewrite
+    * then re-emits `partitionBy` so the directory layout — and every
+    * downstream partition-pruned scan — survives compaction. (A bare
+    * flat rewrite would fold `lang=en/` into a data column and destroy
+    * the pruning the layout existed for.) Note coalesce bins by read
+    * split, not by partition value, so a task may carry several
+    * partitions' rows; the writer splits them back out per directory —
+    * file counts then bound at bins × partitions-per-bin, the standard
+    * OPTIMIZE trade. */
   def compact(spark: SparkSession, src: String, dst: String,
-              targetBytes: Long): DataFrame = {
+              targetBytes: Long,
+              partitionBy: Seq[String] = Nil): DataFrame = {
     val (bytes, _) = dataFiles(spark, src)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(src)
     val splits = df.rdd.getNumPartitions
     val binned = if (splits >= nFiles) df.coalesce(nFiles)
                  else df.repartition(nFiles)
-    binned.write.mode("overwrite").parquet(dst)
+    binned.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dst)
     spark.read.parquet(dst)
   }
 }

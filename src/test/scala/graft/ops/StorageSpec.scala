@@ -78,6 +78,32 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((2L, "b"), (3L, "c"), (9L, "a")))
   }
 
+  test("compacting a partitioned store preserves the directory layout") {
+    val tmp = Files.createTempDirectory("graft-storage-part-").toString
+    (1 to 3000).map(i => (i.toLong, s"p${i % 3}", s"payload-$i"))
+      .toDF("id", "part", "payload")
+      .repartition(24)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/small")
+    val (bytes, nSmall) = Storage.dataFiles(spark, s"$tmp/small")
+    assert(nSmall > 24) // 24 tasks × up to 3 partition dirs each
+    val out = Storage.compact(spark, s"$tmp/small", s"$tmp/c",
+      bytes, partitionBy = Seq("part"))
+    // layout survives: per-value directories exist, so partition
+    // pruning still works on the compacted store
+    (0 to 2).foreach { p =>
+      assert(new java.io.File(s"$tmp/c/part=p$p").isDirectory, s"part=p$p lost")
+    }
+    val (_, nOut) = Storage.dataFiles(spark, s"$tmp/c")
+    assert(nOut <= 3, s"expected one file per partition dir, got $nOut")
+    assert(out.count() == 3000)
+    // and `part` is still a partition column, not folded into data
+    assert(out.schema.fieldNames.toSet == Set("id", "part", "payload"))
+    val pruned = out.filter(col("part") === "p1")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(part"),
+      s"pruning lost after compaction:\n$pruned")
+  }
+
   test("degenerate splitting direction still hits the target count") {
     val tmp = writeSmallStore(1)
     val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
