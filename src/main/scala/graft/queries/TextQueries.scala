@@ -1038,19 +1038,12 @@ object TextQueries {
   //      straggler-free grouped top-k — no global sort, no one-task-
   //      per-size window over the full gram table. ----
 
-  /** Windows of `n` consecutive tokens as "w1 w2 …" strings. zip_with
-    * pads the shorter (shifted) side with null and concat propagates
-    * it, so the n−1 trailing partial windows come out null and drop at
-    * the post-explode filter — no boundary arithmetic to get wrong. */
-  private def ngrams(toks: Column, n: Int): Column =
-    (1 until n).map(i => slice(toks, lit(i + 1), size(toks)))
-      .foldLeft(toks)((acc, nxt) =>
-        zip_with(acc, nxt, (a, b) => concat(a, lit(" "), b)))
-
   private def tx27(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // gram construction is the native tokenShingles expression (one
+    // tight loop per row — the same reason MinHash shingling went
+    // native); only the light size-tagging transform stays a lambda
     def tagged(n: Int): Column =
-      transform(ngrams(toks, n),
+      transform(Dedup.shingles(col("text"), w = n),
         g => struct(lit(n).as("n"), g.as("gram")))
     val counts = Tables.documents(spark, dir)
       .select(explode(concat(tagged(2), tagged(3))).as("g"))
