@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -188,9 +188,65 @@ object QualityQueries {
       |  ABS(CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b) AS drift
       |FROM c, t""".stripMargin
 
+  // ---- dq05: pairwise column correlations, exact and ORDER-FREE.
+  //      Spark's corr() folds doubles in partition-completion order —
+  //      no independent engine (nor a rerun on different partitioning)
+  //      reproduces it bit-for-bit. Instead ONE scan accumulates the
+  //      raw moments (Σx, Σx², Σxy) as exact decimals — associative,
+  //      partitioning-independent — and Pearson assembles from them in
+  //      a fixed double expression both engines evaluate identically
+  //      (each IEEE op correctly rounded from identical inputs). Same
+  //      one-scan wide-agg shape as dq03: 100 TB pays one pass for
+  //      the full matrix, not one pass per pair. ----
+  private val CorrPairs: Seq[(String, String)] = {
+    val cols = ProfileCols
+    for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+  }
+
+  private def dq05(spark: SparkSession, dir: String): DataFrame = {
+    val cols = ProfileCols
+    val aggs =
+      (count(lit(1)).cast(DoubleType).as("n") +:
+        cols.map(c => sum(dec(col(c))).cast(DoubleType).as(s"s_$c"))) ++
+        cols.map(c => sum(dec(col(c)) * dec(col(c))).cast(DoubleType).as(s"ss_$c")) ++
+        CorrPairs.map { case (a, b) =>
+          sum(dec(col(a)) * dec(col(b))).cast(DoubleType).as(s"sp_${a}_$b") }
+    def corr(a: String, b: String): Column =
+      (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(CorrPairs.map { case (a, b) => struct(
+        lit(a).as("col_a"), lit(b).as("col_b"), corr(a, b).as("corr")) }: _*))
+        .as("p"))
+      .select("p.*")
+  }
+
+  private val dq05Oracle: String = {
+    val cols = ProfileCols
+    def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val moments =
+      ("CAST(COUNT(*) AS DOUBLE) AS n" +:
+        cols.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c")) ++
+        cols.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c") ++
+        CorrPairs.map { case (a, b) =>
+          s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b" }
+    val rows = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  (n * sp_${a}_$b - s_$a * s_$b) /
+         |    (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)
+       |$rows""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
     GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)),
-    GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)))
+    GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)),
+    GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)))
 }
