@@ -156,16 +156,24 @@ object QualityQueries {
   //      aggregate the per-type drifts under their own tolerance. ----
   private val driftCache = new graft.util.PlanCache(maxEntries = 4)
 
-  private def dq04(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-(event_type, cohort) counts — dq04's stateful part, and
+    * exactly what st08's streaming aggregation maintains. */
+  private[graft] def cohortCounts(events: DataFrame): DataFrame = {
     val inA = pmod(col("user_id"), lit(2)) === 0
+    events.groupBy(col("event_type"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  /** Shares + drift derived from a counts frame — shared by dq04
+    * (batch counts) and st08 (streamed counts), so the two gates run
+    * ONE report implementation over differently-maintained state. */
+  private[graft] def driftFromCounts(counts0: DataFrame): DataFrame = {
     // persisted (event_type-cardinality rows): the totals re-aggregate
-    // THIS frame, not the events scan — one pass over the table total,
+    // THIS frame, not the upstream scan — one pass over the data total,
     // which is the difference between a cheap monitor and a 2× tax at
     // 100 TB (static exchange reuse does not dedupe the second scan)
-    val counts = driftCache.persisted(Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(!inA, 1L).otherwise(0L)).as("n_b")))
+    val counts = driftCache.persisted(counts0)
     val totals = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     val pA = col("n_a").cast(DoubleType) / col("t_a")
     val pB = col("n_b").cast(DoubleType) / col("t_b")
@@ -174,7 +182,10 @@ object QualityQueries {
         pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("drift"))
   }
 
-  private val dq04Oracle =
+  private def dq04(spark: SparkSession, dir: String): DataFrame =
+    driftFromCounts(cohortCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq04Oracle =
     """WITH c AS (
       |  SELECT event_type,
       |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,

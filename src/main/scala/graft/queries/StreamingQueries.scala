@@ -121,5 +121,10 @@ object StreamingQueries {
     // so its accumulated matches must equal the batch result exactly
     GraftQuery("st07_stream_incremental_dedup",
       graft.streaming.DocumentProbeStream.incrementalDedupReplay,
-      None, oracleGen = Some(TextQueries.tx22OracleGen)))
+      None, oracleGen = Some(TextQueries.tx22OracleGen)),
+    // st08 carries dq04's oracle verbatim: the stream maintains the
+    // cohort counters (complete mode ≡ batch aggregation) and the
+    // report is the same driftFromCounts view dq04 runs
+    GraftQuery("st08_stream_cohort_drift",
+      EventStream.cohortDriftReplay, Some(QualityQueries.dq04Oracle)))
 }

@@ -89,6 +89,30 @@ object EventStream {
   }
 
   /**
+   * Streaming cohort-drift monitor (st08): the stream maintains dq04's
+   * per-(event_type, cohort) counts — the stateful part — in complete
+   * mode, and the drift REPORT derives from the drained state in batch
+   * (shares are a read-time view over maintained counters; chaining a
+   * second stateful aggregation onto a complete-mode stream is neither
+   * supported nor the right design). One implementation of the count
+   * and share math serves both gates: `QualityQueries.cohortCounts` /
+   * `driftFromCounts` shared verbatim with dq04, whose oracle this
+   * query carries.
+   */
+  def cohortDriftReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_drift"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .cohortCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table(name)
+    counts.cache().count()
+    graft.queries.QualityQueries.driftFromCounts(counts)
+  }
+
+  /**
    * Streaming sessionization: gap-merged session windows per user with
    * a watermark bounding state. Update mode emits the session's current
    * aggregate every trigger; consumers keep the newest row per
