@@ -37,6 +37,40 @@ object Storage {
     (bytes, n)
   }
 
+  /**
+   * Range-sorted store + manifest: write `df` range-partitioned and
+   * sorted on `keyCol` (each output file then covers a disjoint key
+   * range), and derive the manifest — (file, min_key, max_key, rows)
+   * — in ONE pass over the store via `input_file_name`. This is
+   * file-level data skipping on plain parquet, the pattern table
+   * formats ship as manifests/zone-maps: a key-range query prunes the
+   * manifest first (metadata, thousands of rows) and reads only the
+   * surviving files, instead of opening every footer of a 100 TB
+   * store. Row-group pruning inside Spark's scan is invisible to the
+   * plan; the file list handed to the reader is not — which makes
+   * this variant testable end-to-end.
+   */
+  def sortedStoreWithManifest(df: org.apache.spark.sql.DataFrame,
+                              keyCol: String, dst: String,
+                              nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(dst)
+    df.sparkSession.read.parquet(dst)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** The files a [lo, hi] key-range query must read, per `manifest` —
+    * every file whose [min_key, max_key] overlaps the range. */
+  def pruneFiles(manifest: DataFrame, lo: Long, hi: Long): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    manifest.filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Rewrite the parquet store at `src` into `dst` binned to
     * ~`targetBytes` per file, and return the compacted store's frame.
     *

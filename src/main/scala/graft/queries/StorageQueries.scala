@@ -258,6 +258,39 @@ object StorageQueries {
       |    AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- io09: manifest-based file skipping — the zone-map pattern
+  //      table formats ship, realized on plain parquet: the store is
+  //      range-sorted on the key (each file covers a disjoint key
+  //      range), a one-pass manifest records per-file min/max, and a
+  //      key-range query prunes the MANIFEST first, handing the
+  //      reader only the overlapping files. At 100 TB that is the
+  //      difference between opening every footer and reading the
+  //      3 files that matter. The exact predicate still applies after
+  //      the skip (skipping is a superset guarantee, never a filter);
+  //      the oracle is the plain full-scan range aggregate, and
+  //      StorageSpec pins that the pruned file list is a strict
+  //      subset with the overlap guarantee intact. ----
+  private def io09(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    import graft.ops.Storage
+    val tmp = Files.createTempDirectory("graft-io09-").toString
+    val manifest = Storage.sortedStoreWithManifest(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey", s"$tmp/store", nFiles = 16)
+    val (lo, hi) = (1000L, 3000L)
+    val files = Storage.pruneFiles(manifest, lo, hi)
+    spark.read.parquet(files: _*)
+      .filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(dec(col("o_totalprice"))).as("revenue"))
+  }
+
+  private val io09Oracle =
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -268,5 +301,6 @@ object StorageQueries {
     GraftQuery("io05_compacted_store", io05, Some(io05Oracle)),
     GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)),
     GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)),
-    GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)))
+    GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)),
+    GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)))
 }

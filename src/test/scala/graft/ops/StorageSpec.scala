@@ -104,6 +104,29 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
       s"pruning lost after compaction:\n$pruned")
   }
 
+  test("manifest skipping: disjoint file ranges, strict pruning, superset guarantee") {
+    val tmp = Files.createTempDirectory("graft-storage-manifest-").toString
+    val df = (1L to 10000L).map(k => (k, s"payload-$k")).toDF("k", "payload")
+    val manifest = Storage.sortedStoreWithManifest(df, "k", s"$tmp/store", nFiles = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.length == 8)
+    // range-sorted store → per-file key ranges are pairwise disjoint
+    val ranges = manifest.map(m => (m._2, m._3)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+    }
+    assert(manifest.map(_._4).sum == 10000L)
+    // a narrow range prunes to few files...
+    val m = Storage.sortedStoreWithManifest(df, "k", s"$tmp/store2", 8)
+    val files = Storage.pruneFiles(m, 2000, 2600)
+    assert(files.nonEmpty && files.size <= 2, s"expected <=2 of 8 files: ${files.size}")
+    // ...and skipping is a SUPERSET guarantee: the pruned read plus the
+    // exact predicate returns exactly the full-scan answer
+    val got = spark.read.parquet(files: _*)
+      .filter(col("k").between(2000, 2600)).count()
+    assert(got == 601)
+  }
+
   test("degenerate splitting direction still hits the target count") {
     val tmp = writeSmallStore(1)
     val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
