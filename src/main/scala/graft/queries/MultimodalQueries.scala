@@ -376,6 +376,23 @@ object MultimodalQueries {
     OracleSql.valuesOrEmpty(rows, "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
   }
 
+  /** st09's oracle: the streamed fingerprints themselves, re-derived
+    * per id by the independent reference implementation (originals
+    * only — no exposure-shifted copies in the ingest stream). */
+  private[queries] def st09OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val png = Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
+        ReferenceHashes.averageHash64(png).map(h => s"($id, $h)")
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH ah(id, h) AS ($vals)
+       |SELECT id, h AS ahash FROM ah""".stripMargin
+  }
+
   private def mm09OracleGen(spark: SparkSession, dir: String): String =
     s"""WITH ah(id, h) AS (${referenceAHashValues(spark, dir)})
        |SELECT a.id AS id_a, b.id AS id_b,

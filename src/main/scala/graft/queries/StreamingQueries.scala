@@ -126,5 +126,11 @@ object StreamingQueries {
     // cohort counters (complete mode ≡ batch aggregation) and the
     // report is the same driftFromCounts view dq04 runs
     GraftQuery("st08_stream_cohort_drift",
-      EventStream.cohortDriftReplay, Some(QualityQueries.dq04Oracle)))
+      EventStream.cohortDriftReplay, Some(QualityQueries.dq04Oracle)),
+    // st09: multimodal ingest as a stream — stateless decode stages on
+    // the streaming frame; every streamed hash must equal the
+    // independent reference implementation's value for that id
+    GraftQuery("st09_stream_media_hashes",
+      graft.streaming.DocumentProbeStream.mediaHashReplay,
+      None, oracleGen = Some(MultimodalQueries.st09OracleGen)))
 }

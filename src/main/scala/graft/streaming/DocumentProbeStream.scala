@@ -52,6 +52,31 @@ object DocumentProbeStream {
       Tables.documents(spark, dir)
         .filter(pmod(col("doc_id"), lit(10)) =!= 7))
 
+  /**
+   * st09: the multimodal ingest as a stream — documents arrive as a
+   * file stream, and the media synthesis + per-partition aHash decode
+   * run as STATELESS typed stages directly on the streaming frame (no
+   * foreachBatch: decode carries no cross-batch state, so it composes
+   * with any trigger/restart policy for free), appending fingerprints
+   * to the sink as batches complete. The gate is the strongest form
+   * available: every streamed hash must equal the independent
+   * per-cell-loop reference implementation's value for that id.
+   */
+  def mediaHashReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_media_hashes"
+    spark.catalog.dropTempView(name)
+    val media = graft.multimodal.Multimodal.mediaWithRealImages(
+      readDocuments(spark, s"$dir/documents.parquet"))
+      .filter(col("kind") === "image")
+    val q = graft.multimodal.Multimodal.imageHashes(media)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
   /** Run `deltaStream` (a streaming frame of documents) through the
     * per-micro-batch probe against the static `corpus`, blocking until
     * all available input is processed; returns the accumulated
