@@ -510,4 +510,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.nonEmpty)
   }
+
+  test("st09 media-hash stream accumulates across real micro-batches") {
+    import graft.multimodal.Multimodal
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // two files → with maxFilesPerTrigger=1, two genuine micro-batches;
+    // the stateless decode must accumulate to the one-shot batch result
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-spec-")
+    dir.toFile.deleteOnExit()
+    docs.filter(col("doc_id") < 25).coalesce(1).write.parquet(s"$dir/part1")
+    docs.filter(col("doc_id") >= 25).coalesce(1).write.parquet(s"$dir/part2")
+    Seq("part1", "part2").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p"))
+        .filter(f => f.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(s"$dir/$p.parquet")))
+    }
+    val name = "graft_spec_media_stream"
+    spark.catalog.dropTempView(name)
+    val stream = spark.readStream.schema(DocumentProbeStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = Multimodal.imageHashes(
+        Multimodal.mediaWithRealImages(stream).filter(col("kind") === "image"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty micro-batches")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val streamed = tuples(spark.table(name))
+    val batch = tuples(Multimodal.imageHashes(
+      Multimodal.mediaWithRealImages(docs).filter(col("kind") === "image")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
