@@ -21,8 +21,8 @@ import graft.text.TextAnalysis
  */
 object Dedup {
 
-  /** Memoized persisted (id, shingles, signature) projections behind
-    * [[nearDupPairsWithStats]] and [[allPairsJaccard]] — same lifecycle
+  /** Memoized persisted projections behind [[nearDupPairsWithStats]],
+    * [[allPairsJaccard]] and [[hammingNearDups]] — same lifecycle
     * treatment as the similarity-side projection cache: LRU-bounded,
     * unpersist-on-evict, [[releaseCaches]] as the explicit flush. The
     * cache key is the canonicalized plan of the PROJECTED frame, so
@@ -340,9 +340,16 @@ object Dedup {
    * (id, band, chunk) shuffle shape don't care where the 64 bits came
    * from.
    */
-  def hammingNearDups(base: DataFrame,
+  def hammingNearDups(rawBase: DataFrame,
                       maxHamming: Int, bands: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    // The (id, sh) projection feeds FOUR plan positions (both sides of
+    // the banding self-join plus the two fingerprint re-joins). When the
+    // fingerprint is expensive to compute — mm09 derives it from a full
+    // image decode — an unpersisted base re-runs that work per position,
+    // so persist the narrow two-column frame once through the shared
+    // LRU cache. ~16 bytes/row: negligible next to what it saves.
+    val base = baseCache.persisted(rawBase)
     val width = 64 / bands
     val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>

@@ -471,8 +471,22 @@ object Multimodal {
     }
     var bits = 0L
     var c = 0
+    // 128-bit compare: cellSum·w·h approaches 255·(wh)²/64, which
+    // overflows Long once w·h exceeds ~1.5e9 pixels — and the oracle-side
+    // re-derivation would overflow identically, so the cross-
+    // implementation gate could never catch the silent corruption.
+    // Math.multiplyHigh + unsigned low-word compare keeps the
+    // cross-multiplied form exact at any image size.
+    val wh = w.toLong * h
     while (c < 64) {
-      if (cellSum(c) * w * h > total * cellCnt(c)) bits |= (1L << c)
+      val lhsHi = Math.multiplyHigh(cellSum(c), wh)
+      val lhsLo = cellSum(c) * wh
+      val rhsHi = Math.multiplyHigh(total, cellCnt(c))
+      val rhsLo = total * cellCnt(c)
+      val gt =
+        if (lhsHi != rhsHi) lhsHi > rhsHi
+        else java.lang.Long.compareUnsigned(lhsLo, rhsLo) > 0
+      if (gt) bits |= (1L << c)
       c += 1
     }
     java.lang.Long.valueOf(bits)

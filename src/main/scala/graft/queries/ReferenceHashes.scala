@@ -188,7 +188,12 @@ object ReferenceHashes {
       val (x0, x1) = ((j * w + 7) / 8, ((j + 1) * w + 7) / 8)
       var cell = 0L
       for (y <- y0 until y1; x <- x0 until x1) cell += lum(x, y)
-      if (cell * w * h > total * ((y1 - y0).toLong * (x1 - x0)))
+      // full-width product compare (cell·w·h overflows Long past
+      // ~1.5e9 pixels); independent of the operator-side formulation
+      val area = (y1 - y0).toLong * (x1 - x0)
+      val (lHi, lLo) = (Math.multiplyHigh(cell, w.toLong * h), cell * (w.toLong * h))
+      val (rHi, rLo) = (Math.multiplyHigh(total, area), total * area)
+      if (if (lHi != rHi) lHi > rHi else java.lang.Long.compareUnsigned(lLo, rLo) > 0)
         bits |= (1L << (i * 8 + j))
     }
     Some(bits)

@@ -239,12 +239,12 @@ object StorageQueries {
     ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     val corrected = ev.filter(col("event_type") === "click")
       .withColumn("value", col("value") + 1.0)
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(conf)
-    try {
-      spark.conf.set(conf, "dynamic")
-      corrected.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-    } finally saved.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    // writer-scoped, NOT spark.conf.set: a session-global toggle (even
+    // restored in finally) would leak dynamic-overwrite semantics into
+    // any concurrent write on the same session
+    corrected.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(tmp)
     spark.read.parquet(tmp)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

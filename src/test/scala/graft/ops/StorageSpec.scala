@@ -41,13 +41,33 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
   test("compact's rewrite plan has no exchange (coalesce, not repartition)") {
     val tmp = writeSmallStore(16)
     val (bytes, _) = Storage.dataFiles(spark, s"$tmp/small")
-    Storage.compact(spark, s"$tmp/small", s"$tmp/c", bytes / 2 + 1)
-    // re-derive the rewrite-side plan the way compact builds it and
-    // assert the physical plan is exchange-free: compaction of a
-    // 100 TB store must cost one read + one write, never a shuffle
-    val plan = spark.read.parquet(s"$tmp/small").coalesce(2)
-      .queryExecution.executedPlan.toString()
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // capture the plan compact ACTUALLY executes (not a lookalike):
+    // a QueryExecutionListener sees the write's executed plan, so a
+    // regression to repartition-always cannot slip past this test.
+    // Compaction of a 100 TB store must cost one read + one write,
+    // never a shuffle.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Storage.compact(spark, s"$tmp/small", s"$tmp/c", bytes / 2 + 1)
+      // listener delivery is async on the listener bus — poll for the
+      // write's plan instead of asserting against an empty buffer
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    val writes = plans.toArray(Array.empty[String])
+      .filter(p => p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelation"))
+    assert(writes.nonEmpty, s"no write plan captured (${plans.size} plans seen)")
+    writes.foreach(p =>
+      assert(!p.contains("Exchange"), s"unexpected shuffle in compact's plan:\n$p"))
   }
 
   test("dynamic partition overwrite rewrites only the delta's partitions") {
@@ -61,13 +81,12 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
         .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
     }
     val bBefore = snapshot("b"); val cBefore = snapshot("c")
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(conf)
-    try {
-      spark.conf.set(conf, "dynamic")
-      Seq((9L, "a", 99.0)).toDF("id", "part", "v")
-        .write.mode("overwrite").partitionBy("part").parquet(tmp)
-    } finally saved.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    // writer-scoped option, the same form io08 uses in production code:
+    // no session-global conf to leak into concurrent writes
+    Seq((9L, "a", 99.0)).toDF("id", "part", "v")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(tmp)
     // untouched partitions: same files, same bytes, same mtimes —
     // the static-mode overwrite would have truncated them away
     assert(snapshot("b") == bBefore)
