@@ -13,6 +13,28 @@ import graft.queries.Registry
  * materialization on the driver). A small warmup query runs first so
  * JIT/codegen compilation of the session isn't billed to the first
  * measured query.
+ *
+ * Contamination design (two consecutive rounds of driver artifacts were
+ * poisoned by foreign load the start-only idle gate cannot see):
+ *
+ *  - samples are INTERLEAVED round-robin — all queries take sample 1,
+ *    then all take sample 2, … — so a transient load burst spreads one
+ *    dirty sample across many queries instead of annihilating all 5
+ *    samples of whichever queries were running during it. With 5
+ *    rounds, a burst shorter than one round leaves every query ≥ 4
+ *    clean samples and the per-query min survives;
+ *  - every sample records the 1-min loadavg at its start AND the
+ *    foreign-CPU fraction over its own interval (system busy jiffies
+ *    minus this process's jiffies, per /proc) — loadavg alone cannot
+ *    distinguish foreign load from the bench's own just-finished
+ *    round (1-min decay ≫ round length), the jiffy delta can. The
+ *    full per-sample (time, loadavg, foreign) series lands in
+ *    bench_out.json — a contaminated sample is visibly contaminated
+ *    instead of masquerading as a regression;
+ *  - a short re-gate runs between sample rounds, keyed on a live
+ *    foreign-CPU probe (not loadavg, which the bench itself inflates),
+ *    so a burst that arrives mid-run delays the next round rather
+ *    than polluting it.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +53,36 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // (system busy jiffies, own-process jiffies): the delta pair over
+    // an interval attributes CPU to self vs everyone-else exactly,
+    // which the 1-min loadavg cannot (it decays too slowly to separate
+    // the bench's own just-finished work from a foreign burst)
+    def cpuSnap(): (Long, Long) =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // busy = everything except idle (idx 3) and iowait (idx 4)
+        val busy = cpu.sum - cpu(3) - (if (cpu.length > 4) cpu(4) else 0L)
+        val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        (busy, rest(11).toLong + rest(12).toLong) // utime + stime
+      } catch { case _: Throwable => (-1L, -1L) }
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    // fraction of the MACHINE's cpu capacity consumed by processes
+    // other than this one between two snapshots (USER_HZ = 100)
+    def foreignFrac(before: (Long, Long), after: (Long, Long),
+                    elapsedSec: Double): Double = {
+      if (before._1 < 0 || after._1 < 0 || elapsedSec <= 0) return -1.0
+      val foreign = (after._1 - before._1) - (after._2 - before._2)
+      math.max(0.0, foreign / (elapsedSec * 100.0 * nCpus))
+    }
+    // live foreign-load probe for the between-round re-gate: a short
+    // sleep is the measurement interval (this process burns ~0 cpu
+    // while sleeping, so busy-delta ≈ foreign during it)
+    def foreignNow(probeMs: Int = 300): Double = {
+      val b = cpuSnap(); Thread.sleep(probeMs)
+      foreignFrac(b, cpuSnap(), probeMs / 1000.0)
+    }
     // Idle-gate: round-over-round deltas are dominated by whatever
     // else the box is doing (r9/r10 both started at loadavg > 4 and no
     // trusted number existed since the one exclusive run). Wait — capped
@@ -57,61 +109,92 @@ object Bench {
         try q.run(spark, warmDir).count()
         catch { case _: Throwable => () })
     }
-    // Median of 5 samples per query: a single sample can't distinguish
-    // a real regression from machine jitter (round-over-round deltas up
-    // to 1.37× were observed on identical code, and median-of-3 still
+
+    // 5 samples per query: a single sample can't distinguish a real
+    // regression from machine jitter (round-over-round deltas up to
+    // 1.37× were observed on identical code, and median-of-3 still
     // left sub-second queries' 10× ratios swinging ±25-45% between two
-    // idle-box runs). The per-query MIN is also kept: sustained
-    // concurrent load (another sbt/spark process on the box) inflates
-    // every sample, so the median absorbs it — r7's 10× sweep read
-    // 13.6 s for a query that times 2.1 s on an idle machine. min +
-    // the loadavg fields below make a contaminated run self-
-    // documenting instead of masquerading as a regression.
+    // idle-box runs). Median is the reported time; the per-query MIN is
+    // kept for scaling ratios (minima reproduce within ±12% while
+    // sub-second medians swing ±45%).
     val samples = 5
-    val mins = scala.collection.mutable.Map.empty[String, Double]
-    def time(q: graft.queries.GraftQuery, dir: String): Double = {
-      val ts = Seq.fill(samples) {
-        val t0 = System.nanoTime()
-        try { q.run(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name}: $e"); Double.NaN }
-      }
-      // a failed sample must not masquerade as a fast run: any failure
-      // marks the query -1 instead of feeding its time-to-exception in
-      if (ts.exists(_.isNaN)) -1.0
-      else { mins(q.name) = ts.min; ts.sorted.apply(samples / 2) }
+    var regateWaited = 0
+
+    /** One timed run, or NaN on failure — a failed sample must not
+      * masquerade as a fast run. */
+    def runOnce(q: graft.queries.GraftQuery, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try { q.run(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name}: $e"); Double.NaN }
     }
-    val results = headline.map(q => q.name -> time(q, sfDir))
-    // captured right after the headline timings: the idle gate bounds
-    // the START load only — a decaying foreign process can contaminate
-    // the first timed queries and be gone by the end (observed once in
-    // round 11: first query 34×, tapering to 1.0×). start/mid/end
-    // make that profile visible in the record.
+
+    /** Interleaved sampling: one full pass over `qs` per round, with a
+      * short foreign-load re-gate before rounds 2..n. Returns, per
+      * query, the (seconds, loadavg-at-start, foreign-cpu-fraction)
+      * series in round order. */
+    def timeAll(qs: Seq[graft.queries.GraftQuery],
+                dir: String): Map[String, Seq[(Double, Double, Double)]] = {
+      val acc = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
+      var round = 0
+      while (round < samples) {
+        // Re-gate between rounds on a LIVE foreign-CPU probe: >15% of
+        // the machine busy with someone else's work means the next
+        // round would be dirty — wait (capped, so a genuinely shared
+        // box still benches; the per-sample foreign column then tells
+        // the reader which samples to distrust).
+        if (round > 0) {
+          var waited = 0.0
+          while (foreignNow() > 0.15 && waited < 20) {
+            Thread.sleep(4700); waited += 5
+          }
+          regateWaited += waited.toInt
+        }
+        qs.foreach { q =>
+          val l = loadavg()
+          val snap0 = cpuSnap()
+          val t0 = System.nanoTime()
+          val t = runOnce(q, dir)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val f = foreignFrac(snap0, cpuSnap(), elapsed)
+          acc.getOrElseUpdate(q.name,
+            scala.collection.mutable.ArrayBuffer.empty) += ((t, l, f))
+        }
+        round += 1
+      }
+      acc.view.mapValues(_.toSeq).toMap
+    }
+    def medianOf(ts: Seq[Double]): Double =
+      if (ts.exists(_.isNaN)) -1.0 else ts.sorted.apply(ts.size / 2)
+    def minOf(ts: Seq[Double]): Double =
+      if (ts.exists(_.isNaN)) -1.0 else ts.min
+
+    val headSamples = timeAll(headline, sfDir)
+    val results = headline.map(q =>
+      q.name -> medianOf(headSamples(q.name).map(_._1)))
+    // captured right after the headline timings; with interleaving the
+    // per-sample loadavg series (bench_out.json) is the real witness,
+    // start/mid/end remain as the coarse profile
     val loadMid = loadavg()
-    // SNAPSHOT the headline-run minima now: time() keeps writing to
-    // `mins` during the sf0.01 sweep and 10× blow-up below, and a
-    // min taken at a different scale is not a contamination witness
-    // for the sf0.1 medians (r8 shipped exactly that bug).
-    val headlineMins: Map[String, Double] = mins.toMap
+    val headlineMins: Map[String, Double] =
+      headSamples.view.mapValues(s => minOf(s.map(_._1))).toMap
 
     // Scale-sweep guard: time the same queries one scale factor down and
     // report the per-query scaling ratio. Data grows ~10× between the
     // dirs (docs/embeddings sublinearly), so a ratio far above 10 means
     // super-linear work — the accidental quadratic that a 100× scale-up
     // would turn into an outage. Flag ratio > 15 once above the noise
-    // floor (both medians meaningful, the larger ≥ 0.5 s).
-    // Scaling ratios are computed MIN/MIN, not median/median: two
-    // idle-box runs showed per-query minima reproduce within ±12%
-    // while sub-second medians swing ±45%, turning ratio deltas into
-    // pure noise. The min is the natural cost estimate for scaling
-    // diagnostics (anything above it is scheduler/GC jitter, which
-    // does not scale with the data).
+    // floor (both medians meaningful, the larger ≥ 0.5 s). Ratios are
+    // MIN/MIN (the min is the natural cost estimate — anything above it
+    // is scheduler/GC jitter, which does not scale with the data).
     val sweepDir = "/root/testdata/sf0.01"
-    val sweep: Map[String, Double] =
+    val sweepSamples: Map[String, Seq[(Double, Double, Double)]] =
       if (new java.io.File(sweepDir).isDirectory && sweepDir != sfDir)
-        headline.map(q => q.name -> time(q, sweepDir)).toMap
+        timeAll(headline, sweepDir)
       else Map.empty
-    val sweepMins: Map[String, Double] = mins.toMap
+    val sweep = sweepSamples.view.mapValues(s => medianOf(s.map(_._1))).toMap
+    val sweepMins = sweepSamples.view.mapValues(s => minOf(s.map(_._1))).toMap
     val ratios = headlineMins.toSeq.sortBy(_._1).flatMap { case (name, t) =>
       sweepMins.get(name).collect {
         case s if s > 0 && t > 0 && sweep.get(name).exists(_ > 0) => name -> t / s
@@ -139,17 +222,18 @@ object Bench {
       // blow-up queries never exercise
       "st01_stream_hourly")
     var blowUpInfo: String = "null"
-    val tenx: Seq[(String, Double)] =
+    val tenxSamples: Map[String, Seq[(Double, Double, Double)]] =
       if (sfDir.endsWith("sf0.1"))
         try {
           val dir10 = BenchData.ensureBlowUp(spark, sfDir, factor = 10)
           blowUpInfo = BenchData.blowUpIdentity(dir10)
-          headline.filter(q => tenxQueries.contains(q.name))
-            .map(q => q.name -> time(q, dir10))
+          timeAll(headline.filter(q => tenxQueries.contains(q.name)), dir10)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] 10x blow-up skipped: $e"); Seq.empty }
-      else Seq.empty
-    val tenxMins: Map[String, Double] = mins.toMap
+          System.err.println(s"[bench] 10x blow-up skipped: $e"); Map.empty }
+      else Map.empty
+    val tenx: Seq[(String, Double)] = tenxQueries.flatMap(n =>
+      tenxSamples.get(n).map(s => n -> medianOf(s.map(_._1))))
+    val tenxMins = tenxSamples.view.mapValues(s => minOf(s.map(_._1))).toMap
     val ratios10 = tenx.flatMap { case (name, t) =>
       (headlineMins.get(name), tenxMins.get(name)) match {
         case (Some(b), Some(t10)) if b > 0 && t10 > 0 && t > 0 =>
@@ -167,6 +251,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jmap(kvs: Iterable[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-sample series, round order: [[sec, loadavg, foreign], ...] —
+    // the contamination witness (foreign = fraction of machine CPU
+    // consumed by other processes during that sample; >0.05-0.10 marks
+    // the sample dirty). NaN (failed sample) serializes as -1.
+    def jsamples(ss: Map[String, Seq[(Double, Double, Double)]]): String =
+      jmap(ss.toSeq.sortBy(_._1).map { case (k, s) =>
+        k -> s.map { case (t, l, f) =>
+          s"[${s4(if (t.isNaN) -1.0 else t)},${s2(l)},${s2(f)}]"
+        }.mkString("[", ",", "]")
+      })
     val tenxJson = jmap(tenx.map { case (k, v) => k -> s4(v) })
     val ratio10Json = jmap(ratios10.map { case (k, v) => k -> s2(v) })
     val qs = jmap(results.map { case (k, v) => k -> s4(v) })
@@ -180,8 +274,8 @@ object Bench {
     // The driver captures only the last 2,000 chars of stdout; r8 and
     // r9 both shipped parsed:null because the full map set overran it.
     // stdout gets the slim line (headline medians + scaling verdict);
-    // the diagnostic maps (minima, sweeps, 10× points) go to
-    // bench_out.json only.
+    // the diagnostic maps (minima, sweeps, 10× points, per-sample
+    // series) go to bench_out.json only.
     // sfDir comes from the environment: escape it so a path containing
     // a quote/backslash can't make the JSON unparseable
     def jstr(s: String): String =
@@ -191,9 +285,9 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
-    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo}"""
+    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
     // so an oversized stdout line can never lose a completed run
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

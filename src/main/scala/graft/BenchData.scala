@@ -45,11 +45,17 @@ object BenchData {
   // the lineitem/orders date shifts (they crossed filter boundaries);
   // v4 records the fixture's identity (version + per-table row
   // counts) in the marker so every bench_out.json self-documents
-  // exactly what data its 10× ratios were measured against
-  private val Version = "v4"
+  // exactly what data its 10× ratios were measured against; v5 copies
+  // the dimension tables verbatim so the DuckDB ORACLE gate can run
+  // at this tier too (dims deliberately do NOT scale with the facts —
+  // 10× more orders does not mean 10× more nations, and the
+  // key-shifted fact replicas reference the original dim keys)
+  private val Version = "v5"
+
+  private val dims = Seq("region", "nation", "supplier", "part")
 
   private val tables = Seq("documents", "embeddings", "lineitem",
-    "orders", "customer", "events")
+    "orders", "customer", "events") ++ dims
 
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val dst = new java.io.File(
@@ -61,6 +67,10 @@ object BenchData {
       writeDocuments(spark, srcDir, dst.toString, factor)
       writeEmbeddings(spark, srcDir, dst.toString, factor)
       writeRelational(spark, srcDir, dst.toString, factor)
+      dims.foreach { t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
       // identity, computed once at build time: counting here (not per
       // bench run) keeps reuse runs scan-free
       val counts = tables.map { t =>

@@ -267,23 +267,35 @@ object Dedup {
    * closure matters: A~B, B~C must collapse to one keeper even when
    * A~C was never emitted as a pair).
    *
-   * Min-label propagation, Pregel-shaped: every node starts labeled
-   * with its own id; each round every node takes the minimum label
-   * among itself and its neighbors; converged when no label changes.
-   * Each round is ONE distributed join + aggregation on (node, label)
-   * pairs — the graph is edge-partitioned and nothing ever converges
-   * to the driver except the single `changed` count per round (the
-   * same control-flow shape GraphX/Pregel uses). Rounds are bounded
-   * by component diameter: near-dup clusters are chains/cliques of
-   * copies, diameter ≤ a few, so 3-4 rounds in practice; `maxIter`
-   * is a safety valve, and lineage is cut per round (localCheckpoint)
-   * so plans don't grow with iterations.
+   * Min-label propagation with pointer-jumping, Pregel-shaped: every
+   * node starts labeled with its own id; each round every node takes
+   * the minimum label among itself and its neighbors, then compresses
+   * by following its label to that node's label (hash-to-min style).
+   * Each round is one distributed join + aggregation on (node, label)
+   * pairs plus one narrow label self-join — the graph is
+   * edge-partitioned and nothing ever converges to the driver except
+   * the single `changed` count per round (the same control-flow shape
+   * GraphX/Pregel uses). The compression step makes rounds
+   * O(log diameter), not O(diameter): near-dup clusters are usually
+   * chains/cliques of copies (3-4 rounds), but a pathological 64-deep
+   * chain converges in ~7 rounds instead of 64 — at 100 TB, shuffle
+   * rounds are the cost, so the decay matters. `maxIter` is a safety
+   * valve, and lineage is cut per round (localCheckpoint) so plans
+   * don't grow with iterations.
    *
    * Returns (id, cluster, is_canonical): `cluster` = min id reachable,
    * canonical = the minimum-id member.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the scale diagnostic (each round is one join +
+    * agg + compression self-join over the narrow label frame). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
+                                    bCol: String,
+                                    maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -298,20 +310,35 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val updated = labels.join(nbr, Seq("id"), "left")
+      val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
+      // pointer-jumping (path compression): follow each node's label to
+      // THAT node's label and take the min — every cluster value is
+      // itself a node id (labels are minima over ids), so the self-join
+      // is total. Neighbor-min alone moves a label one hop per round,
+      // making a diameter-D chain cost D shuffle rounds (the 100 TB
+      // pathology: a 64-deep dup chain = 64 shuffles); with compression
+      // the reach roughly doubles per round — O(log D) rounds, the
+      // hash-to-min bound. One extra equi-join of the narrow
+      // (id, cluster) frame per round buys exponential round decay.
+      val jumped = stepped.join(
+        stepped.select(col("id").as("cluster"), col("cluster").as("parent")),
+        Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("parent"), col("cluster")))
+            .as("cluster"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+      val changed = jumped.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") < col("old")).limit(1).count()
-      labels = updated
+      labels = jumped
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("cluster"),
-      (col("id") === col("cluster")).as("is_canonical"))
+    (labels.select(col("id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_canonical")), i)
   }
 
   def simHash64(text: Column): Column =

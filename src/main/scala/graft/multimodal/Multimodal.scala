@@ -446,6 +446,15 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException => null }
     if (img == null) return null
+    averageHash64(img)
+  }
+
+  /** [[averageHash64]] over an already-decoded frame — the shared core
+    * for the payload form above and per-frame hashing of multi-frame
+    * containers ([[videoFrameHashes]]), where one payload decodes to
+    * many frames and re-encoding each back to bytes just to re-decode
+    * them would be waste. */
+  def averageHash64(img: java.awt.image.BufferedImage): java.lang.Long = {
     val w = img.getWidth; val h = img.getHeight
     if (w < 8 || h < 8) return null
     val cellSum = new Array[Long](64)
@@ -520,6 +529,135 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", baos)
     baos.toByteArray
+  }
+
+  /** The per-(seed, frame) LCG start for [[renderGif]]'s pixel stream —
+    * part of the fixture SPEC: frame `f` of GIF `seed` is fully
+    * determined by this value and the row-major LCG step, so an
+    * independent engine can predict any frame's pixels (and therefore
+    * its aHash) without ever touching a GIF codec. */
+  def gifFrameSeed(seed: Long, frame: Int): Long =
+    seed * 1000003L + frame.toLong * 2654435761L
+
+  /**
+   * Render a deterministic ANIMATED GIF: `nFrames` frames of `w`×`h`
+   * grayscale pixels, each frame's grays drawn row-major from an LCG
+   * started at [[gifFrameSeed]] (gray = bits 40..47 of the state, the
+   * same extraction as [[renderPng]]), written as one multi-frame GIF
+   * through the JDK writer's sequence API. Grayscale is load-bearing,
+   * twice over: a 256-gray palette makes GIF's palette encoding
+   * LOSSLESS (arbitrary RGB would be color-quantized and the decoded
+   * pixels would no longer match the formula), and integer luma of
+   * gray v is exactly v ((299+587+114)·v/1000), so the aHash an
+   * independent engine predicts from the formula equals the aHash of
+   * the decoded pixels bit-for-bit. Fixture side of mm11's real
+   * multi-frame decode gate (mirrors [[renderPng]]/[[renderWav]]).
+   */
+  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var s = gifFrameSeed(seed, f)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            raster.setSample(x, y, 0, ((s >>> 40) & 0xff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Decoded frame count a correct multi-frame GIF decode must find
+    * for video row `id` — the fixture formula mm11's oracle recomputes
+    * (mirrors [[wavSampleCount]] for audio). */
+  def gifFrameCount(id: Long): Int = 2 + (id % 5).toInt
+
+  /** Media table with REAL multi-frame video payloads: the video-kind
+    * doc ids (id % 3 == 2) carry an animated GIF ([[renderGif]],
+    * dimensions from the image-row formulas, [[gifFrameCount]] frames).
+    * Complements [[mediaWithRealImages]] — which keeps video rows
+    * behind the stub boundary so its established byte/frame oracles
+    * stay stable — for the operators that exercise true multi-frame
+    * decode. */
+  def mediaWithRealVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].filter(_ % 3 == 2).map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      MediaRow(id, "video", renderGif(id, w, h, gifFrameCount(id)), w, h, 0)
+    }.toDF()
+  }
+
+  /**
+   * Per-frame perceptual fingerprints of a media table's video rows:
+   * (media_id, frame_idx, n_frames, frame_hash), decoded in ONE
+   * per-partition pass — the reader opens once per payload, every
+   * frame hashes from its decoded pixels via the [[averageHash64]]
+   * core, and only the narrow hash rows leave the partition (payloads
+   * never shuffle, the same property [[imageHashes]] has). Undecodable
+   * payloads and sub-8×8 frames drop. This is the real form of frame
+   * sampling/dedup at scale: a downstream `frame_idx % stride` filter
+   * or a Hamming band join over `frame_hash` both run on rows of ~24
+   * bytes, regardless of video size.
+   */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "video") Iterator.empty
+        else {
+          val iis =
+            try javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (iis == null) Iterator.empty
+          else {
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Iterator.empty
+              else {
+                val reader = readers.next()
+                reader.setInput(iis)
+                try {
+                  val n = reader.getNumImages(true)
+                  (0 until n).flatMap { f =>
+                    Option(averageHash64(reader.read(f)))
+                      .map(hash => (r.media_id, f, n, hash.longValue()))
+                  }.iterator
+                } finally reader.dispose()
+              }
+            } catch {
+              case _: java.io.IOException => Iterator.empty
+            } finally iis.close()
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "n_frames", "frame_hash")
   }
 
   /** Perceptual fingerprints of a media table's image rows: (id,

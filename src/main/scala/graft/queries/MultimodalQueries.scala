@@ -429,6 +429,40 @@ object MultimodalQueries {
        |SELECT id AS media_id, MIN(r) AS cluster, MIN(r) = id AS is_canonical
        |FROM reach GROUP BY id""".stripMargin
 
+  // ---- mm11: REAL multi-frame video decode — the video-kind rows
+  //      carry genuine animated GIFs (the one multi-frame container
+  //      the JDK decodes), and the operator opens each payload once
+  //      per partition, reads every frame, and fingerprints the
+  //      DECODED pixels per frame. The oracle is the strongest gate in
+  //      the registry: per-frame aHashes predicted from the fixture's
+  //      pixel FORMULA alone (256-gray palette is lossless in GIF and
+  //      gray luma = gray value, so ReferenceHashes needs no image
+  //      library at all) — the operator must round-trip real GIF bytes
+  //      through a real codec and land on formula-exact values, frame
+  //      count included. This closes the frame-extraction gap mm08's
+  //      metadata math left open. ----
+  private def mm11(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameHashes(
+      Multimodal.mediaWithRealVideos(Tables.documents(spark, dir)))
+
+  private def mm11OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val n = Multimodal.gifFrameCount(id)
+        (0 until n).flatMap(f =>
+          ReferenceHashes.gifFrameHash64(id, w, h, f)
+            .map(hash => s"($id, $f, $n, $hash)"))
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH fh(media_id, frame_idx, n_frames, frame_hash) AS ($vals)
+       |SELECT media_id, frame_idx, n_frames, frame_hash FROM fh""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -443,5 +477,7 @@ object MultimodalQueries {
     GraftQuery("mm09_image_phash_dedup", mm09, None, headline = true,
       oracleGen = Some(mm09OracleGen)),
     GraftQuery("mm10_image_dup_clusters", mm10, None,
-      oracleGen = Some(mm10OracleGen)))
+      oracleGen = Some(mm10OracleGen)),
+    GraftQuery("mm11_gif_frame_hashes", mm11, None,
+      oracleGen = Some(mm11OracleGen)))
 }

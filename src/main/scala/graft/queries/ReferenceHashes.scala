@@ -198,4 +198,40 @@ object ReferenceHashes {
     }
     Some(bits)
   }
+
+  /**
+   * Predicted aHash of frame `frame` of fixture GIF `seed` — computed
+   * from the documented pixel FORMULA alone, never from a codec: the
+   * fixture writes 256-gray palette frames (lossless in GIF) whose
+   * grays come row-major from an LCG, and integer luma of gray v is
+   * exactly v, so the hash is a pure function of (seed, w, h, frame).
+   * This is a STRONGER independence than the mm04/mm09 oracles (which
+   * share `javax.imageio` with the operator): the operator must decode
+   * real GIF bytes and reproduce values this side derives with no
+   * image library at all. None for sub-8×8 (matches the operator's
+   * aHash bound).
+   */
+  def gifFrameHash64(seed: Long, w: Int, h: Int, frame: Int): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    val lum = Array.ofDim[Int](h, w)
+    var s = seed * 1000003L + frame.toLong * 2654435761L
+    for (y <- 0 until h; x <- 0 until w) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      lum(y)(x) = ((s >>> 40) & 0xff).toInt
+    }
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) total += lum(y)(x)
+    var bits = 0L
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val (y0, y1) = ((i * h + 7) / 8, ((i + 1) * h + 7) / 8)
+      val (x0, x1) = ((j * w + 7) / 8, ((j + 1) * w + 7) / 8)
+      var cell = 0L
+      for (y <- y0 until y1; x <- x0 until x1) cell += lum(y)(x)
+      // fixture frames are tiny (≤ 16×14): plain Long math cannot
+      // overflow here, unlike the arbitrary-size payload path above
+      if (cell * w * h > total * ((y1 - y0).toLong * (x1 - x0)))
+        bits |= (1L << (i * 8 + j))
+    }
+    Some(bits)
+  }
 }

@@ -147,4 +147,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.averageHash64(Array[Byte](1, 2, 3)) == null)
     assert(Multimodal.averageHash64(Multimodal.renderPng(1L, 4, 4)) == null)
   }
+
+  test("renderGif: lossless multi-frame round trip, formula-exact frame hashes") {
+    (2L until 60L by 3L).foreach { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val n = Multimodal.gifFrameCount(id)
+      val gif = Multimodal.renderGif(id, w, h, n)
+      // GIF magic: a genuine encoded container, not a fingerprint of text
+      assert(new String(gif.take(3), "US-ASCII") == "GIF", s"id=$id")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      // frame count survives the container round trip
+      assert(reader.getNumImages(true) == n, s"id=$id")
+      (0 until n).foreach { f =>
+        val img = reader.read(f)
+        // palette encoding is lossless: every decoded pixel equals the
+        // formula's gray exactly (this is what lets the mm11 oracle
+        // predict hashes with no codec at all)
+        var s = Multimodal.gifFrameSeed(id, f)
+        var y = 0
+        var ok = true
+        while (y < h && ok) {
+          var x = 0
+          while (x < w && ok) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            val v = ((s >>> 40) & 0xff).toInt
+            ok = (img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        assert(ok, s"id=$id frame=$f decoded pixels diverge from formula")
+        // decoded-pixel aHash == formula-predicted aHash, bit for bit
+        assert(Option(Multimodal.averageHash64(img)).map(_.longValue()) ==
+          graft.queries.ReferenceHashes.gifFrameHash64(id, w, h, f),
+          s"id=$id frame=$f")
+      }
+      reader.dispose(); iis.close()
+    }
+  }
+
+  test("videoFrameHashes: one decode pass, per-frame formula-exact hashes, non-video drops") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(id => (id, s"doc-$id")).toDF("doc_id", "text")
+    val got = Multimodal.videoFrameHashes(Multimodal.mediaWithRealVideos(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = (0L until 30L).filter(_ % 3 == 2).flatMap { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val n = Multimodal.gifFrameCount(id)
+      (0 until n).map(f => (id, f, n,
+        graft.queries.ReferenceHashes.gifFrameHash64(id, w, h, f).get))
+    }
+    assert(got.toSeq == want)
+    // image/audio/undecodable rows never leak into the frame stream
+    val mixed = Multimodal.mediaWithRealImages(docs)
+    assert(Multimodal.videoFrameHashes(mixed.filter($"kind" =!= "video")).isEmpty)
+  }
 }

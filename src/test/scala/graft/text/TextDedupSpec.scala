@@ -185,4 +185,30 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       (20L, 20L, true), (21L, 20L, false))
     assert(got.toSeq == want)
   }
+
+  test("connectedComponents: adversarial diameter — 64-path converges in O(log D) rounds") {
+    // A path graph of diameter 64 is the pathology for plain min-label
+    // propagation (the min travels ONE hop per round → 64 shuffle
+    // rounds); pointer-jumping must collapse it in ~log2(64)+c rounds.
+    // A same-size star rides along to prove the compression step
+    // doesn't disturb an already-shallow component, plus a singleton
+    // edge for the trivial case.
+    val n = 64
+    val path = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+    val star = (1 to n).map(i => (1000L, 1000L + i))
+    val pairs = (path ++ star :+ (5000L, 5001L)).toDF("id_a", "id_b")
+    val (labelled, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b", maxIter = 20)
+    val got = labelled.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    // every path node collapses to 0, every star node to the hub's min
+    assert(got.filter(_._1 <= n).forall(t => t._2 == 0L && (t._3 == (t._1 == 0L))))
+    assert(got.filter(t => t._1 >= 1000L && t._1 <= 1000L + n)
+      .forall(t => t._2 == 1000L && (t._3 == (t._1 == 1000L))))
+    assert(got.filter(_._1 >= 5000L).forall(_._2 == 5000L))
+    // the scale claim: logarithmic rounds, not diameter rounds. log2(64)
+    // = 6; +4 slack for the convergence-detection round and join
+    // asymmetry. A regression to one-hop propagation reads ~64 here.
+    assert(rounds <= 10, s"expected O(log D) rounds for diameter $n, got $rounds")
+  }
 }

@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""One-command evidence refresh: correctness gates at three scale tiers
+plus the interleaved bench, collapsed into a single EVIDENCE.json that
+the driver and judge both read.
+
+Usage: python3 tools/evidence.py [--skip-bench] [--skip-10x]
+
+Stages (each records ok/fail and continues — a broken stage must not
+hide the others' evidence):
+  1. sbt compile
+  2. Verify + selfcheck at sf0.01           (full registry — the
+     driver's own gate, replayed locally)
+  3. Verify + selfcheck at sf0.1            (the scalable-oracle
+     subset: everything except the deliberately-quadratic all-pairs
+     anchors and corpus-sized-literal generated oracles)
+  4. BlowUp build + Verify + selfcheck at the 10x tier (the sf0.1
+     subset minus decode-literal media oracles and the one 6M-row
+     row-preserving compare — wall-clock, not correctness, exclusions;
+     fixture identity from the blow-up marker is embedded)
+  5. graft.Bench (interleaved sampling; bench_out.json is inlined)
+
+Output: EVIDENCE.json in the repo root.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Oracles that cannot scale past the driver's sf0.01 gate: quadratic
+# all-pairs anchors (the declared exactness baselines) and oracles whose
+# SQL is generated as corpus-sized literal VALUES lists at verify time.
+EXCLUDE_SF01_SWEEP = {
+    "tx06_near_dup_pairs", "tx07_simhash", "tx09_simhash_near_dup",
+    "tx13_jaccard_ground_truth", "tx16_simhash_truth", "tx20_dedup_clusters",
+    "tx22_incremental_neardup", "tx26_corpus_prep_v2", "tx29_corpus_delivery",
+    "sim01_ann_cosine", "sim02_lsh_ann", "sim03_label_stats",
+    "sim04_embedding_near_dup", "sim05_ivf_ann", "sim06_bucketed_near_dup",
+    "sim07_quantize", "sim08_quantized_ann",
+    "io03_ivf_store", "io04_quantized_ivf_store",
+    "mm01_media_features", "mm02_media_ann", "mm07_feature_norms",
+    "mm09_image_phash_dedup", "mm10_image_dup_clusters",
+    "st07_stream_incremental_dedup",
+}
+
+# Additional 10x-tier exclusions — wall-clock, not correctness: the
+# media decode oracles render one literal row per image (17k images at
+# this tier), and q13 is a row-preserving scan whose 6M-row cell-exact
+# pandas compare dominates the gate's runtime while exercising no
+# exchange machinery.
+EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
+    "mm04_image_decode", "mm05_image_resize", "mm06_audio_decode",
+    "mm08_frame_sample", "st09_stream_media_hashes", "mm03_media_inventory",
+    "q13_line_metrics",
+}
+
+SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
+
+
+def run(cmd, **kw):
+    print(f"[evidence] $ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
+
+
+def gate(sf_dir, out_dir, names=None):
+    """Run Verify (optionally restricted to `names`) then selfcheck;
+    return the structured gate record."""
+    t0 = time.time()
+    rec = {"sf_dir": sf_dir}
+    args = f"runMain graft.Verify {sf_dir} {out_dir}"
+    if names:
+        args += " " + " ".join(sorted(names))
+        rec["n_requested"] = len(names)
+    v = run(["sbt", "-batch", args])
+    verify_errs = [l for l in v.stderr.splitlines() if "[verify]" in l]
+    rec["verify_ok"] = v.returncode == 0
+    rec["verify_errors"] = verify_errs[:20]
+    s = run(["python3", "tools/selfcheck.py", sf_dir, out_dir])
+    rec["selfcheck_output_tail"] = s.stdout.splitlines()[-3:]
+    m = SELFCHECK_TAIL.search(s.stdout)
+    if m:
+        rec["checked"], rec["failures"] = int(m.group(1)), int(m.group(2))
+    else:
+        rec["checked"], rec["failures"] = 0, -1
+    rec["failed_queries"] = [
+        l.split()[1].rstrip(":") for l in s.stdout.splitlines()
+        if l.startswith("FAIL ")]
+    rec["rows_only"] = sum(
+        1 for l in s.stdout.splitlines() if "[rows-only]" in l)
+    rec["wall_sec"] = round(time.time() - t0, 1)
+    return rec
+
+
+def main():
+    skip_bench = "--skip-bench" in sys.argv
+    skip_10x = "--skip-10x" in sys.argv
+    evidence = {"generated_unix": int(time.time())}
+    head = run(["git", "rev-parse", "HEAD"])
+    evidence["commit"] = head.stdout.strip()
+    dirty = run(["git", "status", "--porcelain"])
+    evidence["tree_dirty"] = bool(dirty.stdout.strip())
+
+    c = run(["sbt", "-batch", "compile"])
+    evidence["compile_ok"] = c.returncode == 0
+    if not evidence["compile_ok"]:
+        evidence["compile_tail"] = c.stdout.splitlines()[-15:]
+        _write(evidence)
+        return 1
+
+    evidence["gates"] = {}
+    evidence["gates"]["sf0.01"] = gate(
+        "/root/testdata/sf0.01", "/tmp/evidence_sf0.01")
+    # the full-registry run just dumped every query: its output dirs +
+    # oracle keys ARE the registry — no separate name-discovery pass
+    with open("/tmp/evidence_sf0.01/oracle_sql.json") as f:
+        names = set(json.load(f))
+    names |= {d for d in os.listdir("/tmp/evidence_sf0.01")
+              if os.path.isdir(os.path.join("/tmp/evidence_sf0.01", d))}
+    evidence["registry_size"] = len(names)
+    evidence["gates"]["sf0.1"] = gate(
+        "/root/testdata/sf0.1", "/tmp/evidence_sf0.1",
+        names - EXCLUDE_SF01_SWEEP)
+
+    if not skip_10x:
+        b = run(["sbt", "-batch", "runMain graft.BlowUp /root/testdata/sf0.1"])
+        m = re.search(r"BLOWUP_DIR=(\S+)", b.stdout)
+        ident = re.search(r"BLOWUP_IDENTITY=(.*)", b.stdout)
+        if m:
+            rec = gate(m.group(1), "/tmp/evidence_10x", names - EXCLUDE_10X)
+            if ident:
+                try:
+                    rec["fixture"] = json.loads(ident.group(1))
+                except ValueError:
+                    rec["fixture"] = ident.group(1)
+            evidence["gates"]["10x"] = rec
+        else:
+            evidence["gates"]["10x"] = {
+                "verify_ok": False,
+                "error": "blow-up build failed",
+                "tail": b.stdout.splitlines()[-10:]}
+
+    if not skip_bench:
+        t0 = time.time()
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+                   SPARK_GRAFT_CPUS="32")
+        bench = run(["sbt", "-batch", "runMain graft.Bench"], env=env)
+        bo = os.path.join(REPO, "bench_out.json")
+        if bench.returncode == 0 and os.path.exists(bo):
+            with open(bo) as f:
+                evidence["bench"] = json.load(f)
+        else:
+            evidence["bench"] = {"error": "bench failed",
+                                 "tail": bench.stdout.splitlines()[-10:]}
+        evidence.setdefault("bench", {})["wall_sec"] = round(time.time() - t0, 1)
+
+    _write(evidence)
+    bad = [k for k, g in evidence["gates"].items() if g.get("failures") != 0]
+    print(f"[evidence] gates: " + ", ".join(
+        f"{k}={g.get('checked', '?')} checked/{g.get('failures', '?')} fail"
+        for k, g in evidence["gates"].items()), flush=True)
+    return 1 if bad else 0
+
+
+def _write(evidence):
+    path = os.path.join(REPO, "EVIDENCE.json")
+    with open(path, "w") as f:
+        json.dump(evidence, f, indent=1)
+        f.write("\n")
+    print(f"[evidence] wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

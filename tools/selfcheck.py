@@ -35,8 +35,33 @@ def cells_equal(a, b) -> bool:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+
+    def src(t):
+        # driver fixtures are single parquet FILES; Spark-derived dirs
+        # (the 10x blow-up) are DIRECTORIES of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        view = f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src(t)}')"
+        if t == "events":
+            # The driver fixture stores ts as parquet TIMESTAMP(NANOS);
+            # Spark-derived copies (the 10x blow-up) re-emit it as plain
+            # INT64 nanos. Oracles are written against a timestamp ts,
+            # so when the file carries BIGINT, convert in the view the
+            # same way the Spark loader does (integer floor-div to
+            # micros — never float, nanos exceed 2^53).
+            info = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src(t)}')"
+            ).fetchall()
+            if any(c == "ts" and ty == "BIGINT" for c, ty, *_ in info):
+                cols = ", ".join(
+                    "make_timestamp(ts // 1000) AS ts" if c == "ts" else c
+                    for c, _, *_ in info
+                )
+                view = (f"CREATE VIEW events AS SELECT {cols} "
+                        f"FROM read_parquet('{src(t)}')")
+        con.execute(view)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
