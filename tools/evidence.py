@@ -50,11 +50,16 @@ EXCLUDE_SF01_SWEEP = {
 # media decode oracles render one literal row per image (17k images at
 # this tier), and q13 is a row-preserving scan whose 6M-row cell-exact
 # pandas compare dominates the gate's runtime while exercising no
-# exchange machinery.
+# exchange machinery. tx14/tx15 are quadratic BY CONSTRUCTION in their
+# DuckDB oracles (both re-run the unpruned a<b shingle-list self-join —
+# the declared all-pairs exactness anchor — which is ~1.25e9
+# list-intersections at this tier's 50k docs); their scale machinery
+# (distributed prefix sum, grouped fill, the LSH cap counters) is gated
+# at this tier by tx18/tx23/tx28, and both stay gated at sf0.01 + sf0.1.
 EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     "mm04_image_decode", "mm05_image_resize", "mm06_audio_decode",
     "mm08_frame_sample", "st09_stream_media_hashes", "mm03_media_inventory",
-    "q13_line_metrics",
+    "q13_line_metrics", "tx14_corpus_prep", "tx15_lsh_cap_witness",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
