@@ -660,6 +660,64 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "n_frames", "frame_hash")
   }
 
+  /**
+   * Per-frame energy profile of a media table's audio rows: the
+   * decoded 16-bit PCM stream cut into fixed `frameSize`-sample frames
+   * (last frame partial), each summarized as (n_samples, energy =
+   * Σ sample², peak = max |sample|) — the windowed feature pass VAD /
+   * silence-trim / loudness normalization start from. One
+   * per-partition decode pass ([[videoFrameHashes]]' shape for audio):
+   * the WAV parses once per payload, and only ~32-byte frame rows
+   * leave the partition — payloads never shuffle, so a downstream
+   * silence filter or loudness join runs on frame metadata regardless
+   * of audio length. Integer arithmetic throughout (energy ≤
+   * frameSize · 32767² ≈ 1.4e11 ≪ Long.MaxValue): no float fold
+   * order to make results partitioning-dependent, which is what lets
+   * an independent engine reproduce every cell. Undecodable payloads
+   * and non-audio kinds drop.
+   */
+  def audioFrameEnergies(media: DataFrame, frameSize: Int): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "audio") Iterator.empty
+        else {
+          val samples =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                val bytes = in.readAllBytes()
+                val out = new Array[Int](bytes.length / 2)
+                var i = 0
+                while (i < out.length) { // 16-bit little-endian signed PCM
+                  out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+                  i += 1
+                }
+                out
+              } finally in.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (samples == null) Iterator.empty
+          else samples.grouped(frameSize).zipWithIndex.map { case (frame, idx) =>
+            var energy = 0L
+            var peak = 0
+            frame.foreach { v =>
+              energy += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+            }
+            (r.media_id, idx, frame.length, energy, peak)
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
+  }
+
   /** Perceptual fingerprints of a media table's image rows: (id,
     * ahash), decoded per-partition like [[extractFeatures]]. Only this
     * narrow frame flows downstream — payloads never reach a shuffle,

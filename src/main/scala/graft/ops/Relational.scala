@@ -285,25 +285,42 @@ object Relational {
    * The ordering must be total within each group (add a key tiebreak).
    */
   def groupedRunningTotal(df: DataFrame, groups: Seq[String], order: Seq[Column],
-                          value: Column, outName: String): DataFrame = {
+                          value: Column, outName: String): DataFrame =
+    groupedRunningTotals(df, groups, order, Seq(value -> outName))
+
+  /**
+   * [[groupedRunningTotal]] for SEVERAL value columns under ONE
+   * ordering: all prefix sums share the single range exchange, the one
+   * subtotals frame (now P + G - 1 rows × k sums), and one window pass
+   * — where k separate calls would pay k exchanges. Needed whenever a
+   * downstream expression combines two cumulatives of the same ordered
+   * frame (e.g. the two cohort CDFs a KS statistic compares).
+   */
+  def groupedRunningTotals(df: DataFrame, groups: Seq[String], order: Seq[Column],
+                           values: Seq[(Column, String)]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val groupCols = groups.map(col)
     val ranged = rangedCache.persisted(
       df.repartitionByRange(parts, groupCols ++ order: _*)
         .withColumn("__pid", spark_partition_id()))
+    val offsetWindow = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("__pid") +: groupCols: _*)
-      .agg(sum(value).cast("long").as("__psum"))
-      .withColumn("__offset",
-        coalesce(sum(col("__psum")).over(
-          Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid") +: groupCols :+ col("__offset"): _*)
-    val within = ranged.withColumn("__cum_in",
-      sum(value).over(Window.partitionBy(col("__pid") +: groupCols: _*)
-        .orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
-    within.join(broadcast(offsets), "__pid" +: groups)
-      .withColumn(outName, col("__offset") + col("__cum_in"))
-      .drop("__pid", "__cum_in", "__offset")
+      .agg(values.map { case (v, n) => sum(v).cast("long").as(s"__psum_$n") }.head,
+        values.tail.map { case (v, n) => sum(v).cast("long").as(s"__psum_$n") }: _*)
+      .select(col("__pid") +: groupCols ++: values.map { case (_, n) =>
+        coalesce(sum(col(s"__psum_$n")).over(offsetWindow), lit(0L))
+          .as(s"__offset_$n") }: _*)
+    val cumWindow = Window.partitionBy(col("__pid") +: groupCols: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = values.foldLeft(ranged) { case (acc, (v, n)) =>
+      acc.withColumn(s"__cum_in_$n", sum(v).over(cumWindow).cast("long"))
+    }
+    values.foldLeft(within.join(broadcast(offsets), "__pid" +: groups)) {
+      case (acc, (_, n)) =>
+        acc.withColumn(n, col(s"__offset_$n") + col(s"__cum_in_$n"))
+          .drop(s"__offset_$n", s"__cum_in_$n")
+    }.drop("__pid")
   }
 }

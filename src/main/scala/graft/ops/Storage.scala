@@ -71,6 +71,71 @@ object Storage {
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /**
+   * Bit-interleaved (Morton / Z-order) key of two non-negative 32-bit
+   * dimensions — the multi-column clustering key table formats expose
+   * as ZORDER BY. A store sorted on ONE column skips perfectly on that
+   * column and not at all on any other; sorting on the interleaved key
+   * gives each file a compact axis-aligned box in BOTH dimensions, so
+   * 2-D range queries prune files on either (or both) predicates.
+   * Built from the classic mask-spread — five shift/and rounds per
+   * dimension, all codegen'd builtin expressions, no UDF.
+   */
+  def interleaveBits(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def spread(x: Column): Column = {
+      // spread the low 32 bits so input bit i lands at output bit 2i
+      val m = Seq(
+        0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
+        0x0F0F0F0F0F0F0F0FL -> 4, 0x3333333333333333L -> 2,
+        0x5555555555555555L -> 1)
+      m.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+        case (v, (mask, s)) =>
+          v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(mask))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /**
+   * 2-D clustered store + manifest: write `df` range-partitioned and
+   * sorted on the interleaved key of (`colA`, `colB`), so each output
+   * file covers a compact box in both dimensions, and derive the
+   * manifest — (file, min/max of BOTH columns, rows) — in one pass.
+   * [[sortedStoreWithManifest]]'s zone-map pattern, generalized to the
+   * second dimension a single-column sort cannot serve.
+   */
+  def clusteredStoreWithManifest(df: DataFrame, colA: String, colB: String,
+                                 dst: String, nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val z = interleaveBits(col(colA), col(colB))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dst)
+    df.sparkSession.read.parquet(dst)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** The files a 2-D box query must read, per a
+    * [[clusteredStoreWithManifest]] manifest — every file whose box
+    * overlaps BOTH ranges (superset guarantee; the exact predicate
+    * still applies after the skip). */
+  def pruneFiles2D(manifest: DataFrame, loA: Long, hiA: Long,
+                   loB: Long, hiB: Long): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    manifest.filter(
+        col("max_a") >= loA && col("min_a") <= hiA &&
+        col("max_b") >= loB && col("min_b") <= hiB)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Rewrite the parquet store at `src` into `dst` binned to
     * ~`targetBytes` per file, and return the compacted store's frame.
     *

@@ -357,6 +357,53 @@ object AdvancedQueries {
       | AND e.value < n.n_nationkey * 18.0 + 18.0 + (n.n_nationkey % 3) * 9.0
       |GROUP BY n.n_name""".stripMargin
 
+  // ---- q33: calendar gap-fill / daily resample — the sparse
+  //      high-value observation series (days where an event type saw
+  //      any value ≥ 200; genuinely gappy at every fixture scale)
+  //      densified onto each type's own [min, max] calendar with
+  //      zero-filled counts and a forward-filled peak gauge. The spine
+  //      explodes map-side per key, the ffill window runs over the
+  //      bounded daily grain (dates per key, never fact rows), and
+  //      every filled value is a COPY of an exact input (count zeros,
+  //      carried doubles) — nothing is interpolated, so the gate is
+  //      cell-exact. ----
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value") >= 200.0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("peak"))
+    graft.ops.TimeSeries.gapFill(daily, Seq("event_type"), "day",
+        ffillCols = Seq("peak"), zeroFillCols = Seq("n_events"))
+      .select(col("event_type"),
+        // VARCHAR day at the gate boundary (house convention: parquet
+        // DATE and DuckDB DATE reach pandas as different dtypes)
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("peak"), col("is_observed"))
+  }
+
+  private val q33Oracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    COUNT(*) AS n_events, MAX(value) AS peak
+      |  FROM events WHERE value >= 200.0 GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      |        FROM daily GROUP BY 1) b),
+      |j AS (
+      |  SELECT s.event_type, s.day, d.n_events, d.peak,
+      |    d.day IS NOT NULL AS is_observed
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  last_value(peak IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+      |  is_observed
+      |FROM j""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -371,5 +418,6 @@ object AdvancedQueries {
     GraftQuery("q29_range_frame", q29, Some(q29Oracle)),
     GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)),
     GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)),
-    GraftQuery("q32_range_join", q32, Some(q32Oracle)))
+    GraftQuery("q32_range_join", q32, Some(q32Oracle)),
+    GraftQuery("q33_gap_fill", q33, Some(q33Oracle)))
 }

@@ -463,6 +463,48 @@ object MultimodalQueries {
        |SELECT media_id, frame_idx, n_frames, frame_hash FROM fh""".stripMargin
   }
 
+  // ---- mm12: per-frame audio energy — the windowed feature pass
+  //      (VAD / silence trim / loudness normalization) run on REAL
+  //      decoded PCM: each audio payload parses once per partition and
+  //      cuts into 128-sample frames summarized by integer
+  //      (n_samples, Σ sample², max |sample|), so every cell is
+  //      fold-order-free. The oracle is the mm11 recipe for audio:
+  //      frame stats predicted from the fixture's sample FORMULA alone
+  //      (ReferenceHashes.wavFrameStats touches no audio library), and
+  //      DuckDB re-derives the frame SPINE from the sample-count
+  //      formula — an operator that miscounts frames breaks the join's
+  //      row count, one that misdecodes PCM breaks the cells. ----
+  private val Mm12FrameSize = 128
+
+  private def mm12(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameEnergies(
+      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
+      frameSize = Mm12FrameSize)
+
+  private def mm12OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        ReferenceHashes.wavFrameStats(id, Mm12FrameSize).map {
+          case (idx, n, energy, peak) => s"($id, $idx, $n, $energy, $peak)"
+        }
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS INT))")
+    s"""WITH ref(media_id, frame_idx, n_samples, energy, peak) AS ($vals),
+       |spine AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(unnest(range(0, CAST(CEIL(
+       |      CAST(256 + (doc_id % 7) * 64 AS DOUBLE) / $Mm12FrameSize)
+       |      AS BIGINT))) AS INT) AS frame_idx
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT s.media_id, s.frame_idx, r.n_samples, r.energy, r.peak
+       |FROM spine s JOIN ref r
+       |  ON s.media_id = r.media_id AND s.frame_idx = r.frame_idx""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -479,5 +521,7 @@ object MultimodalQueries {
     GraftQuery("mm10_image_dup_clusters", mm10, None,
       oracleGen = Some(mm10OracleGen)),
     GraftQuery("mm11_gif_frame_hashes", mm11, None,
-      oracleGen = Some(mm11OracleGen)))
+      oracleGen = Some(mm11OracleGen)),
+    GraftQuery("mm12_audio_frame_energy", mm12, None,
+      oracleGen = Some(mm12OracleGen)))
 }

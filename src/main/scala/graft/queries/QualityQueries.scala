@@ -254,10 +254,72 @@ object QualityQueries {
        |$rows""".stripMargin
   }
 
+  // ---- dq06: two-sample Kolmogorov–Smirnov drift — dq04 compares the
+  //      categorical event MIX; this compares the full CONTINUOUS value
+  //      distribution per event type between the same identity cohorts
+  //      (a shifted upstream can keep its category shares while its
+  //      value distribution moves). Exact and order-free: per-value
+  //      cohort counts are integers out of one conditional-agg scan;
+  //      both empirical CDFs ride ONE range exchange via
+  //      groupedRunningTotals (a plain per-type window would funnel
+  //      each type's full distinct-value set — row-scale data at
+  //      100 TB — through one task); each row's |F_a − F_b| is a fixed
+  //      double expression of exact integers, and MAX over doubles is
+  //      fold-order-independent, so DuckDB reproduces the statistic
+  //      bit-for-bit. Totals re-aggregate the persisted counts frame
+  //      (the dq04 recipe — no second fact scan). ----
+  private val ksCache = new graft.util.PlanCache(maxEntries = 2)
+
+  private def dq06(spark: SparkSession, dir: String): DataFrame = {
+    val inA = pmod(col("user_id"), lit(2)) === 0
+    val counts = ksCache.persisted(
+      Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!inA, 1L).otherwise(0L)).as("n_b")))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val cums = graft.ops.Relational.groupedRunningTotals(
+      counts, Seq("event_type"), Seq(col("value")),
+      Seq(col("n_a") -> "cum_a", col("n_b") -> "cum_b"))
+    cums.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("t_a"), col("t_b"),
+        abs(col("cum_a").cast(DoubleType) / col("t_a").cast(DoubleType) -
+          col("cum_b").cast(DoubleType) / col("t_b").cast(DoubleType)).as("d"))
+      .groupBy(col("event_type"), col("t_a"), col("t_b"))
+      .agg(max(col("d")).as("ks_stat"))
+      .select(col("event_type"), col("t_a").as("n_a"), col("t_b").as("n_b"),
+        col("ks_stat"))
+  }
+
+  private val dq06Oracle =
+    """WITH c AS (
+      |  SELECT event_type, value,
+      |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+      |    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_b
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type, value),
+      |t AS (SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS t_a,
+      |             CAST(SUM(n_b) AS BIGINT) AS t_b
+      |      FROM c GROUP BY event_type),
+      |cum AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(n_a) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(n_b) OVER w AS BIGINT) AS cum_b
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT cum.event_type, t.t_a AS n_a, t.t_b AS n_b,
+      |  MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(t_a AS DOUBLE) -
+      |          CAST(cum_b AS DOUBLE) / CAST(t_b AS DOUBLE))) AS ks_stat
+      |FROM cum JOIN t ON cum.event_type = t.event_type
+      |GROUP BY cum.event_type, t.t_a, t.t_b""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
     GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)),
     GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)),
-    GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)))
+    GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)),
+    GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)))
 }

@@ -234,4 +234,38 @@ object ReferenceHashes {
     }
     Some(bits)
   }
+
+  /**
+   * Predicted per-frame (n_samples, energy, peak) of fixture WAV `id`
+   * at `frameSize`-sample frames — computed from the documented sample
+   * FORMULA alone, never by parsing WAV bytes (the gifFrameHash64
+   * independence recipe for audio): the fixture pins sample 0 to
+   * +32767 and draws sample i > 0 from the i-th state of the LCG
+   * s ← s·6364136223846793005 + 1442695040888963407 seeded at the id
+   * (one warm-up step before the loop), taking ((s >>> 24) mod 65535)
+   * − 32767. The operator must decode real RIFF/PCM bytes with
+   * `javax.sound.sampled` and land on integers this side derives with
+   * no audio library at all.
+   */
+  def wavFrameStats(id: Long, frameSize: Int): Seq[(Int, Int, Long, Int)] = {
+    val n = 256 + (id % 7).toInt * 64 // the fixture's sample-count formula
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    val samples = new Array[Int](n)
+    samples(0) = 32767
+    var i = 1
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      samples(i) = ((s >>> 24) % 65535L).toInt - 32767
+      i += 1
+    }
+    samples.grouped(frameSize).zipWithIndex.map { case (frame, idx) =>
+      var energy = 0L
+      var peak = 0
+      frame.foreach { v =>
+        energy += v.toLong * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+      }
+      (idx, frame.length, energy, peak)
+    }.toSeq
+  }
 }

@@ -291,6 +291,50 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin
 
+  // ---- io10: 2-D clustered (Z-order) file skipping — io09's zone-map
+  //      pattern generalized to the second dimension. The store sorts
+  //      on the bit-interleaved key of (customer, order day), so each
+  //      file covers a compact box in BOTH dimensions; a
+  //      customer-range × date-range query prunes the manifest on both
+  //      predicates and reads only the overlapping files. A store
+  //      sorted on customer alone would serve the same date predicate
+  //      from EVERY file (StorageSpec pins exactly that contrast).
+  //      Skipping stays a superset guarantee: the exact predicate
+  //      applies after the skip, and the oracle is the plain full-scan
+  //      2-D aggregate. ----
+  private def io10(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    import graft.ops.Storage
+    val tmp = Files.createTempDirectory("graft-io10-").toString
+    val manifest = Storage.clusteredStoreWithManifest(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("o_day")),
+      "o_custkey", "o_day", s"$tmp/store", nFiles = 16)
+    val (loCust, hiCust) = (30L, 80L)   // present at every fixture scale
+    val (loDay, hiDay) = (9862L, 10226L) // 1997-01-01 .. 1997-12-31
+    val files = Storage.pruneFiles2D(manifest, loCust, hiCust, loDay, hiDay)
+    // an empty prune is a legitimate answer (the box misses the store
+    // entirely) — read the store's own schema with an always-false
+    // split rather than asking parquet to infer from zero files
+    val pruned =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(s"$tmp/store").filter(lit(false))
+    pruned
+      .filter(col("o_custkey").between(loCust, hiCust) &&
+        col("o_day").between(loDay, hiDay))
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(dec(col("o_totalprice"))).as("revenue"))
+  }
+
+  private val io10Oracle =
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey BETWEEN 30 AND 80
+      |  AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      BETWEEN 9862 AND 10226""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -302,5 +346,6 @@ object StorageQueries {
     GraftQuery("io06_schema_evolution", io06, Some(io06Oracle)),
     GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)),
     GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)),
-    GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)))
+    GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)),
+    GraftQuery("io10_zorder_skipping", io10, Some(io10Oracle)))
 }

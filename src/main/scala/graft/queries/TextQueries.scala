@@ -1071,6 +1071,58 @@ object TextQueries {
       |  FROM c) z
       |WHERE rank <= 10""".stripMargin
 
+  // ---- tx30: overlapping context-window chunking — the step between
+  //      a prepared corpus and a RAG / long-context loader: each
+  //      document splits into fixed-width token windows (W = 64) with
+  //      stride S = 48, so consecutive chunks share W − S = 16 tokens
+  //      of overlap and no token is more than S away from a chunk
+  //      start. Chunk count and boundaries are pure functions of the
+  //      document's own token count — map-side sequence explode, zero
+  //      shuffles, embarrassingly parallel at any corpus size. The
+  //      chunk content is gated as md5 of the exact token slice, which
+  //      both engines derive independently from the raw text. ----
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  private def tx30(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = when(col("n_tok") <= ChunkW, lit(1)).otherwise(
+      ceil((col("n_tok") - ChunkW).cast(DoubleType) / ChunkS).cast(IntegerType) + 1)
+    val start = col("chunk_id") * ChunkS
+    val len = least(col("n_tok") - start, lit(ChunkW))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        start.as("start_tok"),
+        len.as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), start + 1, len))).as("chunk_hash"))
+  }
+
+  private val tx30Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, str_split(text, ' ') AS toks,
+       |    CAST(len(str_split(text, ' ')) AS INT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CASE WHEN n_tok <= $ChunkW THEN 1
+       |         ELSE CAST(CEIL(CAST(n_tok - $ChunkW AS DOUBLE) / $ChunkS) AS INT) + 1
+       |    END AS n_chunks
+       |  FROM d),
+       |e AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+       |  FROM c)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkS AS start_tok,
+       |  LEAST(n_tok - chunk_id * $ChunkS, $ChunkW) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $ChunkS + 1,
+       |    chunk_id * $ChunkS + LEAST(n_tok - chunk_id * $ChunkS, $ChunkW)), ' '))
+       |    AS chunk_hash
+       |FROM e""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1106,5 +1158,6 @@ object TextQueries {
     GraftQuery("tx26_corpus_prep_v2", tx26, Some(tx26Oracle)),
     GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)),
     GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)),
-    GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)))
+    GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)),
+    GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)))
 }

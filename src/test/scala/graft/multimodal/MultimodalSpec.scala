@@ -209,4 +209,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val mixed = Multimodal.mediaWithRealImages(docs)
     assert(Multimodal.videoFrameHashes(mixed.filter($"kind" =!= "video")).isEmpty)
   }
+
+  test("audioFrameEnergies: formula-exact frames, partial tail, non-audio drops") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(id => (id, s"doc-$id")).toDF("doc_id", "text")
+    val media = Multimodal.mediaWithRealImages(docs)
+    val got = Multimodal.audioFrameEnergies(media, frameSize = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    // the independent from-spec prediction (no audio library)
+    val want = (0L until 30L).filter(_ % 3 == 1).flatMap { id =>
+      graft.queries.ReferenceHashes.wavFrameStats(id, 100).map {
+        case (idx, n, energy, peak) => (id, idx, n, energy, peak)
+      }
+    }
+    assert(got.toSeq == want)
+    // a frameSize that doesn't divide any sample count (256 + k·64)
+    // forces a partial tail frame on every row — pin its arithmetic
+    got.groupBy(_._1).foreach { case (id, frames) =>
+      val total = frames.map(_._3).sum
+      assert(total == 256 + (id % 7).toInt * 64, s"sample mass for $id")
+      assert(frames.init.forall(_._3 == 100) && frames.last._3 == total % 100)
+    }
+    // frame 0 carries the fixture's pinned +32767 peak sample
+    assert(got.filter(_._2 == 0).forall(_._5 == 32767))
+    // image/video/undecodable rows never leak into the frame stream
+    assert(Multimodal.audioFrameEnergies(
+      media.filter($"kind" =!= "audio"), frameSize = 100).isEmpty)
+  }
 }

@@ -98,6 +98,30 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.max < rows.map(_._4.toLong).sum) // no cross-group bleed
   }
 
+  test("groupedRunningTotals: k cumulatives under one ordering each equal their window") {
+    import org.apache.spark.sql.expressions.Window
+    // two value columns whose cumulatives must advance in lockstep
+    // (the KS-statistic shape) — same adversarial layout as above
+    val rows = (1 to 600).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 7919) % 13, (i * 31) % 50 + 1, (i * 17) % 9))
+    val df = rows.toDF("id", "g", "grade", "wa", "wb").repartition(7)
+    val got = Relational.groupedRunningTotals(df, Seq("g"),
+        order = Seq(col("grade").desc, col("id")),
+        values = Seq(col("wa") -> "cum_a", col("wb") -> "cum_b"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), (r.getAs[Long]("cum_a"), r.getAs[Long]("cum_b"))))
+      .toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("grade").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum_a", sum(col("wa")).over(w))
+      .withColumn("cum_b", sum(col("wb")).over(w))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), (r.getAs[Long]("cum_a"), r.getAs[Long]("cum_b"))))
+      .toMap
+    assert(got == want)
+  }
+
   test("topKPerGroupScalable equals the naive per-group window, at any partitioning") {
     // few groups, many rows per group, awkward physical layout — the
     // shape where the naive window is a straggler and the two-phase
