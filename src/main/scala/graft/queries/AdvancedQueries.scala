@@ -404,6 +404,108 @@ object AdvancedQueries {
       |  is_observed
       |FROM j""".stripMargin
 
+  // ---- q34: ordered-step conversion funnel (view → click →
+  //      purchase) — each step's entry time is the user's EARLIEST
+  //      qualifying event strictly after the previous step's, so a
+  //      click before any view never converts. Sequential dependence
+  //      means step k can't fold into one conditional aggregate with
+  //      step k−1; instead each stage is a hash-agg + equi-join ON THE
+  //      SAME user_id key, so every exchange in the chain shuffles the
+  //      same way (no re-keying) and only user-grain step times — not
+  //      fact rows — flow between stages. Step-duration averages are
+  //      double divisions of exact integer micros (sum fits int64 at
+  //      any fixture scale; declared, like q21's count bound). ----
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    def stageAfter(prev: DataFrame, prevT: String, step: String, outT: String) =
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("tus") > col(prevT))
+        .groupBy("user_id").agg(min(col("tus")).as(outT))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val t2 = stageAfter(t1, "t1", "click", "t2")
+    val t3 = stageAfter(t2, "t2", "purchase", "t3")
+    val f = t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+    val s = f.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+      count(col("t3")).as("n3"),
+      sum(col("t2") - col("t1")).as("s2"),
+      sum(col("t3") - col("t2")).as("s3"))
+    s.select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users"),
+          lit(null).cast(DoubleType).as("avg_step_us")),
+        struct(lit("2_click").as("step"), col("n2").as("n_users"),
+          when(col("n2") > 0, col("s2").cast(DoubleType) / col("n2").cast(DoubleType))
+            .as("avg_step_us")),
+        struct(lit("3_purchase").as("step"), col("n3").as("n_users"),
+          when(col("n3") > 0, col("s3").cast(DoubleType) / col("n3").cast(DoubleType))
+            .as("avg_step_us")))).as("r"))
+      .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
+        col("r.avg_step_us").as("avg_step_us"))
+  }
+
+  private val q34Oracle =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |t1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(e.tus) AS t2 FROM ev e
+      |       JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'click' AND e.tus > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(e.tus) AS t3 FROM ev e
+      |       JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.tus > t2.t2 GROUP BY 1),
+      |f AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3 FROM t1
+      |      LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |      LEFT JOIN t3 ON t1.user_id = t3.user_id),
+      |s AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3,
+      |             SUM(t2 - t1) AS s2, SUM(t3 - t2) AS s3 FROM f)
+      |SELECT '1_view' AS step, n1 AS n_users, CAST(NULL AS DOUBLE) AS avg_step_us FROM s
+      |UNION ALL
+      |SELECT '2_click', n2, CASE WHEN n2 > 0
+      |  THEN CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM s
+      |UNION ALL
+      |SELECT '3_purchase', n3, CASE WHEN n3 > 0
+      |  THEN CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) END FROM s""".stripMargin
+
+  // ---- q35: weekly cohort retention matrix — users grouped by their
+  //      first-seen week; each later week counts how many came back.
+  //      Deduplicate (user, week) FIRST: the week-grain activity frame
+  //      is what shuffles from there on, so the matrix costs one
+  //      distinct over the facts plus user-grain joins/aggs — never a
+  //      COUNT(DISTINCT) expand over raw events (at 100 TB the distinct
+  //      activity frame is orders of magnitude smaller than the fact
+  //      table, and each user appears once per active week, so the
+  //      final cell count is a plain COUNT(*)). Both engines truncate
+  //      weeks to Monday; offsets are exact multiples of 7 days. ----
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType)
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  private val q35Oracle =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+      |SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+      |  CAST(datediff('day', c.cohort_week, w.week) / 7 AS INT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -419,5 +521,7 @@ object AdvancedQueries {
     GraftQuery("q30_correlated_subquery", q30, Some(q30Sql)),
     GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)),
     GraftQuery("q32_range_join", q32, Some(q32Oracle)),
-    GraftQuery("q33_gap_fill", q33, Some(q33Oracle)))
+    GraftQuery("q33_gap_fill", q33, Some(q33Oracle)),
+    GraftQuery("q34_funnel", q34, Some(q34Oracle)),
+    GraftQuery("q35_retention", q35, Some(q35Oracle)))
 }

@@ -270,14 +270,23 @@ object QualityQueries {
   //      (the dq04 recipe — no second fact scan). ----
   private val ksCache = new graft.util.PlanCache(maxEntries = 2)
 
-  private def dq06(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-(event_type, value) cohort counts — dq06's stateful part,
+    * and exactly what st10's streaming aggregation maintains (the
+    * dq04/st08 split, applied to the KS statistic). */
+  private[graft] def ksCounts(events: DataFrame): DataFrame = {
     val inA = pmod(col("user_id"), lit(2)) === 0
-    val counts = ksCache.persisted(
-      Tables.events(spark, dir)
-        .filter(col("value").isNotNull)
-        .groupBy(col("event_type"), col("value"))
-        .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
-          sum(when(!inA, 1L).otherwise(0L)).as("n_b")))
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  /** KS statistic derived from a counts frame — shared by dq06 (batch
+    * counts) and st10 (streamed counts): ONE report implementation over
+    * differently-maintained state, so the stream must equal the batch
+    * cell-for-cell under the same oracle. */
+  private[graft] def ksFromCounts(counts0: DataFrame): DataFrame = {
+    val counts = ksCache.persisted(counts0)
     val totals = counts.groupBy(col("event_type"))
       .agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     val cums = graft.ops.Relational.groupedRunningTotals(
@@ -293,7 +302,10 @@ object QualityQueries {
         col("ks_stat"))
   }
 
-  private val dq06Oracle =
+  private def dq06(spark: SparkSession, dir: String): DataFrame =
+    ksFromCounts(ksCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq06Oracle =
     """WITH c AS (
       |  SELECT event_type, value,
       |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,

@@ -132,5 +132,10 @@ object StreamingQueries {
     // independent reference implementation's value for that id
     GraftQuery("st09_stream_media_hashes",
       graft.streaming.DocumentProbeStream.mediaHashReplay,
-      None, oracleGen = Some(MultimodalQueries.st09OracleGen)))
+      None, oracleGen = Some(MultimodalQueries.st09OracleGen)),
+    // st10 carries dq06's oracle verbatim: the stream maintains the
+    // per-(type, value) cohort counters and the KS statistic is the
+    // same ksFromCounts view dq06 runs over batch counts
+    GraftQuery("st10_stream_ks_drift",
+      EventStream.ksDriftReplay, Some(QualityQueries.dq06Oracle)))
 }

@@ -113,6 +113,32 @@ object EventStream {
   }
 
   /**
+   * Streaming two-sample KS drift: the stream maintains dq06's
+   * per-(event_type, value) cohort counters (complete mode ≡ batch
+   * aggregation — the counts frame is the ONLY stateful part of the KS
+   * computation, and it is a plain streaming aggregate), and the
+   * statistic is the same `ksFromCounts` view dq06 runs — CDF prefix
+   * sums, totals, and the max-|F_a − F_b| all happen on the bounded
+   * counts snapshot, never on the stream. st08's recipe applied to the
+   * continuous-distribution monitor.
+   */
+  def ksDriftReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ks"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .ksCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager) rather than cache: ksFromCounts
+    // self-joins the counts frame, and attribute dedup cannot clone a
+    // MemorySink-backed view's leaf (Spark resolves the conflicting
+    // references only for re-instantiable leaves like LogicalRDD)
+    val counts = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.ksFromCounts(counts)
+  }
+
+  /**
    * Streaming sessionization: gap-merged session windows per user with
    * a watermark bounding state. Update mode emits the session's current
    * aggregate every trigger; consumers keep the newest row per
