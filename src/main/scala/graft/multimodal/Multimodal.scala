@@ -718,6 +718,38 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
   }
 
+  /**
+   * Contiguous above-threshold runs of an [[audioFrameEnergies]] frame
+   * stream — the silence-trim / voice-activity segmentation every
+   * audio corpus-prep pass needs. A frame is active when
+   * energy ≥ threshold · n_samples (a mean-energy test kept in exact
+   * integer arithmetic — no division, so no float boundary to disagree
+   * over); consecutive active frame indices merge into one segment via
+   * gap-based sessionization on the frame SPINE (q21's recipe applied
+   * to frames). Runs on frame METADATA only — the per-media window is
+   * bounded by audio length ÷ frameSize, never by payload bytes, and
+   * payloads were already dropped one operator upstream. Output per
+   * segment: [start_frame, end_frame], frame count, summed energy,
+   * peak — all integers.
+   */
+  def activeSegments(frames: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.filter(col("energy") >= lit(threshold) * col("n_samples"))
+      .withColumn("__prev", lag(col("frame_idx"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("frame_idx") - col("__prev") > 1, 1)
+          .otherwise(0))
+      .withColumn("seg_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("media_id"), col("seg_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).as("peak"))
+  }
+
   /** Perceptual fingerprints of a media table's image rows: (id,
     * ahash), decoded per-partition like [[extractFeatures]]. Only this
     * narrow frame flows downstream — payloads never reach a shuffle,

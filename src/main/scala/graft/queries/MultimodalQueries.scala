@@ -505,6 +505,63 @@ object MultimodalQueries {
        |  ON s.media_id = r.media_id AND s.frame_idx = r.frame_idx""".stripMargin
   }
 
+  // ---- mm13: silence-trim / VAD segmentation — mm12's frame stream
+  //      composed with relational windows: a frame is ACTIVE when
+  //      energy ≥ threshold · n_samples (exact integer mean-energy
+  //      test, no division), and consecutive active frames merge into
+  //      segments by gap sessionization on the frame spine. This is
+  //      the payoff of decoding to frame METADATA: the segmentation is
+  //      a pure relational query over ~32-byte rows, so it runs at any
+  //      corpus scale regardless of audio length. The threshold sits
+  //      at the fixture's per-sample mean energy (E[v²] ≈ 65536²/12),
+  //      so frames split both ways and segments exercise real gap
+  //      structure. Oracle: the mm12 literal recipe (frame stats
+  //      predicted from the sample formula, no audio library) with the
+  //      identical window chain in DuckDB SQL. ----
+  private val Mm13Threshold = 357913941L // ≈ 65536² / 12, the sample-mean energy
+
+  private def mm13(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.activeSegments(
+      Multimodal.audioFrameEnergies(
+        Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
+        frameSize = Mm12FrameSize),
+      threshold = Mm13Threshold)
+
+  private def mm13OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        ReferenceHashes.wavFrameStats(id, Mm12FrameSize).map {
+          case (idx, n, energy, peak) => s"($id, $idx, $n, $energy, $peak)"
+        }
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS INT))")
+    s"""WITH ref(media_id, frame_idx, n_samples, energy, peak) AS ($vals),
+       |act AS (
+       |  SELECT * FROM ref
+       |  WHERE energy >= CAST($Mm13Threshold AS BIGINT) * n_samples),
+       |s AS (
+       |  SELECT media_id, frame_idx, energy, peak,
+       |    LAG(frame_idx) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+       |  FROM act),
+       |m AS (
+       |  SELECT media_id, frame_idx, energy, peak,
+       |    CASE WHEN prev IS NULL OR frame_idx - prev > 1 THEN 1 ELSE 0 END AS new_s
+       |  FROM s),
+       |g AS (
+       |  SELECT media_id, frame_idx, energy, peak,
+       |    CAST(SUM(new_s) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+       |  FROM m)
+       |SELECT media_id, seg_id, MIN(frame_idx) AS start_frame,
+       |  MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+       |  CAST(SUM(energy) AS BIGINT) AS total_energy, MAX(peak) AS peak
+       |FROM g GROUP BY media_id, seg_id""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -523,5 +580,7 @@ object MultimodalQueries {
     GraftQuery("mm11_gif_frame_hashes", mm11, None,
       oracleGen = Some(mm11OracleGen)),
     GraftQuery("mm12_audio_frame_energy", mm12, None,
-      oracleGen = Some(mm12OracleGen)))
+      oracleGen = Some(mm12OracleGen)),
+    GraftQuery("mm13_audio_segments", mm13, None,
+      oracleGen = Some(mm13OracleGen)))
 }

@@ -327,11 +327,64 @@ object QualityQueries {
       |FROM cum JOIN t ON cum.event_type = t.event_type
       |GROUP BY cum.event_type, t.t_a, t.t_b""".stripMargin
 
+  // ---- dq07: EXACT distributed percentiles — dq02's sketch profile
+  //      gives approximate quantiles with declared error; this is the
+  //      exact twin, built from the same machinery as dq06: per-value
+  //      counts out of one scan, ONE range exchange for the cumulative
+  //      counts (never a global sort of the data, never one task per
+  //      group), then each percentile is MIN(value | cum ≥ rank) from
+  //      a single aggregate pass — rank = CEIL(p·n) (SQL-standard
+  //      percentile_disc), an identical IEEE multiply+ceil in both
+  //      engines. Every output value is a COPY of an input double, so
+  //      the gate is cell-exact — the property approximate quantiles
+  //      can never offer. ----
+  private val pctCache = new graft.util.PlanCache(maxEntries = 2)
+
+  private def dq07(spark: SparkSession, dir: String): DataFrame = {
+    val counts = pctCache.persisted(
+      Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt")))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val cums = graft.ops.Relational.groupedRunningTotals(
+      counts, Seq("event_type"), Seq(col("value")),
+      Seq(col("cnt") -> "cum"))
+    def rank(p: Double): Column =
+      ceil(lit(p) * col("n").cast(DoubleType)).cast(LongType)
+    def pick(p: Double): Column =
+      min(when(col("cum") >= rank(p), col("value")))
+    cums.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"))
+  }
+
+  private val dq07Oracle =
+    """WITH c AS (
+      |  SELECT event_type, value, COUNT(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type, value),
+      |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      |      FROM c GROUP BY event_type),
+      |cum AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT cum.event_type, t.n,
+      |  MIN(value) FILTER (WHERE cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) AS p50,
+      |  MIN(value) FILTER (WHERE cum >= CAST(CEIL(0.9 * CAST(n AS DOUBLE)) AS BIGINT)) AS p90,
+      |  MIN(value) FILTER (WHERE cum >= CAST(CEIL(0.99 * CAST(n AS DOUBLE)) AS BIGINT)) AS p99
+      |FROM cum JOIN t ON cum.event_type = t.event_type
+      |GROUP BY cum.event_type, t.n""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
     GraftQuery("dq03_column_profile", dq03, Some(dq03Oracle)),
     GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)),
     GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)),
-    GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)))
+    GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)),
+    GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle)))
 }

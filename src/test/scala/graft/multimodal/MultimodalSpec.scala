@@ -238,4 +238,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.audioFrameEnergies(
       media.filter($"kind" =!= "audio"), frameSize = 100).isEmpty)
   }
+
+  test("activeSegments: segments are exactly the maximal active runs") {
+    import spark.implicits._
+    val thr = 357913941L
+    val docs = (0L until 60L).map(id => (id, s"doc-$id")).toDF("doc_id", "text")
+    val frames = Multimodal.audioFrameEnergies(
+      Multimodal.mediaWithRealImages(docs), frameSize = 128)
+    val got = Multimodal.activeSegments(frames, thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+      .sortBy(t => (t._1, t._2))
+    // independent reconstruction: group the from-spec frame stats into
+    // maximal consecutive runs with plain Scala, no Spark windows
+    val want = (0L until 60L).filter(_ % 3 == 1).flatMap { id =>
+      val active = graft.queries.ReferenceHashes.wavFrameStats(id, 128)
+        .filter { case (_, n, e, _) => e >= thr * n }
+      val runs = active.foldLeft(List.empty[List[(Int, Int, Long, Int)]]) {
+        case (acc, f @ (idx, _, _, _)) => acc match {
+          case head :: tail if head.head._1 == idx - 1 => (f :: head) :: tail
+          case _ => List(f) :: acc
+        }
+      }.reverse.map(_.reverse)
+      runs.zipWithIndex.map { case (run, i) =>
+        (id, (i + 1).toLong, run.head._1, run.last._1,
+          run.size.toLong, run.map(_._3).sum, run.map(_._4).max)
+      }
+    }
+    assert(got.toSeq == want)
+    // and the segmentation is non-trivial on this fixture: some media
+    // have gaps (≥ 2 segments), some are entirely silent
+    val perMedia = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perMedia.values.exists(_ >= 2))
+    assert(perMedia.size < 20) // 60 docs → 20 audio; at least one silent
+  }
 }

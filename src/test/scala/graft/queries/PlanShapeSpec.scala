@@ -273,6 +273,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q34: the funnel chain re-keys nothing — every hash exchange is on user_id") {
+    // 100 TB shape (broadcasts off): the three stage aggregates and the
+    // four stage joins must all hash-partition on the SAME user_id key,
+    // so AQE/exchange-reuse can co-locate the whole chain; the only
+    // non-user exchange allowed is the final single-row summary
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, -1)
+      val p = plan("q34_funnel")
+      val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(keys.nonEmpty, s"expected shuffle joins with broadcasts off:\n$p")
+      keys.foreach(k =>
+        assert(k.contains("user_id"), s"non-user_id hash exchange [$k] in:\n$p"))
+      assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+
+  test("q35: retention counts the week-grain frame, never a distinct expand") {
+    val p = plan("q35_retention")
+    // the (user, week) dedup is a plain two-level hash aggregate; a
+    // COUNT(DISTINCT user_id) formulation would show Expand / a
+    // count(distinct …) aggregate — the shape that re-shuffles raw
+    // events per matrix cell at 100 TB
+    assert(!p.contains("Expand"), s"distinct-then-count must not expand:\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      s"no count-distinct aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
