@@ -522,6 +522,6 @@ object AdvancedQueries {
     GraftQuery("q31_grouping_sets", q31, Some(q31Oracle)),
     GraftQuery("q32_range_join", q32, Some(q32Oracle)),
     GraftQuery("q33_gap_fill", q33, Some(q33Oracle)),
-    GraftQuery("q34_funnel", q34, Some(q34Oracle)),
+    GraftQuery("q34_funnel", q34, Some(q34Oracle), headline = true),
     GraftQuery("q35_retention", q35, Some(q35Oracle)))
 }

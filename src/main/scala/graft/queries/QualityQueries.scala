@@ -386,5 +386,5 @@ object QualityQueries {
     GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)),
     GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)),
     GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)),
-    GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle)))
+    GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle), headline = true))
 }
