@@ -112,6 +112,26 @@ object Relational {
   }
 
   /**
+   * Type-2 history build (SCD2) from a change log: collapse each key's
+   * consecutive repeats of `state` and effective-date the survivors as
+   * `[valid_from, valid_to)` intervals (`valid_to` NULL = current row).
+   * Both window passes declare the SAME `(key; ts, tie)` spec and the
+   * filter between them preserves partitioning and ordering, so the
+   * whole operator costs ONE exchange + ONE sort of the change log —
+   * never two (pinned in PlanShapeSpec). `tie` must be unique per
+   * `(key, ts)` for the history to be deterministic.
+   */
+  def scd2(df: DataFrame, key: String, state: String,
+           ts: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    df.withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(state))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(state), col(ts).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /**
    * Skew-resistant equi-join: the (skewed) left side is spread across
    * `salt` sub-keys deterministically; the right side is replicated
    * `salt` times. Semantically identical to a plain inner equi-join —

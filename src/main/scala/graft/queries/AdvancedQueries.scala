@@ -506,6 +506,40 @@ object AdvancedQueries {
       |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- q36: type-2 history build (SCD2) from a change log — each
+  //      user's event_type stream collapses into effective-dated
+  //      [valid_from, valid_to) intervals: consecutive repeats of the
+  //      same state merge, valid_to is the next change's timestamp,
+  //      and the open interval is the current state. The operator is
+  //      [[Relational.scd2]]; event_id breaks same-microsecond ties
+  //      deterministically. Scale shape: one shuffle of the change
+  //      log serves both the lag() change detector and the lead()
+  //      interval closer (single-exchange pin in PlanShapeSpec). ----
+  private def q36(spark: SparkSession, dir: String): DataFrame =
+    Relational.scd2(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("tus"), col("event_id")),
+      key = "user_id", state = "state", ts = "tus", tie = "event_id")
+      .select(col("user_id"), col("state"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"), col("is_current"))
+
+  private val q36Oracle =
+    """WITH o AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, state, tus, event_id FROM o
+      |       WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, state, tus AS valid_from_us,
+      |  LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    AS valid_to_us,
+      |  LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+      |    AS is_current
+      |FROM ch""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -523,5 +557,6 @@ object AdvancedQueries {
     GraftQuery("q32_range_join", q32, Some(q32Oracle)),
     GraftQuery("q33_gap_fill", q33, Some(q33Oracle)),
     GraftQuery("q34_funnel", q34, Some(q34Oracle), headline = true),
-    GraftQuery("q35_retention", q35, Some(q35Oracle)))
+    GraftQuery("q35_retention", q35, Some(q35Oracle)),
+    GraftQuery("q36_scd2_history", q36, Some(q36Oracle)))
 }

@@ -379,6 +379,66 @@ object QualityQueries {
       |FROM cum JOIN t ON cum.event_type = t.event_type
       |GROUP BY cum.event_type, t.n""".stripMargin
 
+  // ---- dq08: Benford first-digit drift — the classic anomaly screen
+  //      for "organically grown" numeric columns (amounts, volumes):
+  //      a synthetic or tampered column's leading-digit distribution
+  //      departs from log10(1 + 1/d). One map-side digit projection +
+  //      a 9-group hash aggregate; the final share/deviation math runs
+  //      on the 9-row digit spine (a window over ≤9 rows — scale-free
+  //      by construction). The expected shares are computed ONCE in
+  //      Scala and embedded as identical double literals in both
+  //      engines (Double.toString round-trips exactly), so the gate
+  //      never compares two independent libm log10 evaluations.
+  //      Population: rows with floor(value) >= 1 — fractional and
+  //      non-positive values have no well-defined first digit. ----
+
+  private val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+
+  private def dq08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expCol = map(benfordExpected.flatMap {
+      case (d, e) => Seq(lit(d), lit(e)) }: _*)
+    val counts = Tables.events(spark, dir)
+      .select(floor(col("value")).cast(LongType).as("v"))
+      .filter(col("v") >= 1)
+      .select(substring(col("v").cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast(IntegerType).as("digit"))
+    val obs = col("n").cast(DoubleType) / col("total").cast(DoubleType)
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(lit(1))))
+      .select(col("digit"), col("n"), obs.as("obs_pct"),
+        element_at(expCol, col("digit")).as("exp_pct"),
+        abs(obs - element_at(expCol, col("digit"))).as("abs_dev"))
+  }
+
+  private val dq08Oracle = {
+    // String-cast literals, not bare decimals: DuckDB unifies a bare
+    // VALUES list to one DECIMAL type and its DECIMAL→DOUBLE cast is
+    // not correctly rounded (int/10^scale in floating point — two
+    // roundings), which flipped digit 3's last ulp. CAST('…' AS
+    // DOUBLE) goes through strtod, which round-trips Double.toString
+    // exactly.
+    val values = benfordExpected
+      .map { case (d, e) => s"($d, CAST('${e.toString}' AS DOUBLE))" }.mkString(", ")
+    s"""WITH v AS (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+       |           WHERE FLOOR(value) >= 1),
+       |c AS (SELECT CAST(LEFT(CAST(v AS VARCHAR), 1) AS INT) AS digit,
+       |        COUNT(*) AS n FROM v GROUP BY 1),
+       |s AS (SELECT CAST(UNNEST(range(1, 10)) AS INT) AS digit),
+       |e(digit, exp_pct) AS (VALUES $values),
+       |j AS (SELECT s.digit, COALESCE(c.n, 0) AS n
+       |      FROM s LEFT JOIN c USING (digit)),
+       |t AS (SELECT SUM(n) AS total FROM j)
+       |SELECT j.digit, j.n,
+       |  CAST(j.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_pct,
+       |  e.exp_pct,
+       |  ABS(CAST(j.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.exp_pct) AS abs_dev
+       |FROM j CROSS JOIN t JOIN e USING (digit)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -386,5 +446,6 @@ object QualityQueries {
     GraftQuery("dq04_cohort_drift", dq04, Some(dq04Oracle)),
     GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)),
     GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)),
-    GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle), headline = true))
+    GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle), headline = true),
+    GraftQuery("dq08_benford", dq08, Some(dq08Oracle)))
 }

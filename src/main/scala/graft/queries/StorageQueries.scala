@@ -335,6 +335,47 @@ object StorageQueries {
       |  AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |      BETWEEN 9862 AND 10226""".stripMargin
 
+  /** io11: runtime Bloom-filter join pruning — the big-big join scale
+    * path when neither side broadcasts: Spark's InjectRuntimeFilter
+    * builds a Bloom filter over the SELECTIVE side's join keys (the
+    * filtered part scan) and pushes `might_contain` into the fact
+    * scan, so ~93% of lineitem rows die before the shuffle instead of
+    * after it. Confs are set on an isolated `newSession` (cloned
+    * state, shared context) — never mutating the registry's shared
+    * session (the io08 lesson): the application-side size threshold
+    * drops to 0 because the gate fixture is far below the 10 GiB
+    * default that models "big enough to be worth filtering", and
+    * autoBroadcast turns off to model both sides at cluster scale.
+    * False positives cost nothing semantically — the exact equi-join
+    * still runs behind the filter — so the oracle is the plain join.
+    * Exposed (not private) with a `bloom` toggle so the plan spec can
+    * assert the filter lands in the fact-side scan stage AND that
+    * turning it off removes it (the pin can't pass vacuously). */
+  def bloomJoin(spark: SparkSession, dir: String, bloom: Boolean): DataFrame = {
+    import graft.ops.Exact._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom.toString)
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_size") <= 3)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sumExact(dec(col("l_extendedprice"))).as("revenue"))
+  }
+
+  private def io11(spark: SparkSession, dir: String): DataFrame =
+    bloomJoin(spark, dir, bloom = true)
+
+  private val io11Oracle =
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size <= 3
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -347,5 +388,6 @@ object StorageQueries {
     GraftQuery("io07_snapshot_diff", io07, Some(io07Oracle)),
     GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)),
     GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)),
-    GraftQuery("io10_zorder_skipping", io10, Some(io10Oracle)))
+    GraftQuery("io10_zorder_skipping", io10, Some(io10Oracle)),
+    GraftQuery("io11_bloom_join", io11, Some(io11Oracle)))
 }

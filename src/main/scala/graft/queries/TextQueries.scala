@@ -1123,6 +1123,48 @@ object TextQueries {
        |    AS chunk_hash
        |FROM e""".stripMargin
 
+  // ---- tx31: bigram-rarity quality scoring — the in-engine stand-in
+  //      for LM-perplexity filtering: a document whose bigrams are all
+  //      corpus-rare is likely gibberish / OCR noise, one whose
+  //      bigrams are all corpus-common is likely boilerplate. The
+  //      "language model" is the corpus's own bigram frequency table,
+  //      built in one hash aggregate (map-side partial counts; the
+  //      shuffled gram table is vocab²-bounded, orders of magnitude
+  //      smaller than the corpus), then joined back to each document's
+  //      bigrams on the gram key. Scoring is pure integer/rational
+  //      arithmetic — counts, a min, and two int64/int64 divisions —
+  //      deliberately NOT ln()-based perplexity, because libm log
+  //      differs across engines in the last ulp and would break the
+  //      cell-exact gate; the rational statistics carry the same
+  //      filtering signal. Documents under 2 tokens have no bigrams
+  //      and drop out in both engines (inner-join semantics). ----
+
+  private def tx31(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), w = 2)).as("gram"))
+    val lm = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    grams.join(lm, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        min(col("cnt")).as("min_freq"),
+        (sum(col("cnt")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("mean_freq"),
+        (sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("novel_rate"))
+  }
+
+  private val tx31Oracle =
+    """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(ts)),
+      |        i -> ts[i] || ' ' || ts[i+1])) AS gram FROM toks),
+      |lm AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_bigrams, MIN(cnt) AS min_freq,
+      |  CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq,
+      |  CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novel_rate
+      |FROM g JOIN lm USING (gram) GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1159,5 +1201,6 @@ object TextQueries {
     GraftQuery("tx27_ngram_stats", tx27, Some(tx27Oracle)),
     GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)),
     GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)),
-    GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)))
+    GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)),
+    GraftQuery("tx31_bigram_rarity", tx31, Some(tx31Oracle)))
 }

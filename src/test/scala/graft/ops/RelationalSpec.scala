@@ -204,4 +204,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val top = out.filter(col("g") === "g1" && col("rn") === 1).collect().head
     assert(top.getAs[Int]("v") == 9)
   }
+
+  test("scd2: repeats collapse, intervals chain, ties break on the tie column") {
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 40L, 4L), (2L, "x", 10L, 5L),
+      (3L, "p", 10L, 7L), (3L, "q", 10L, 6L) // same ts: tie decides order
+    ).toDF("k", "s", "t", "id")
+    val got = Relational.scd2(log, "k", "s", "t", "id")
+      .orderBy("k", "valid_from", "is_current").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10L, 30L, false),   // repeat at t=20 collapsed
+      (1L, "b", 30L, 40L, false),
+      (1L, "a", 40L, -1L, true),    // back to a: NEW interval, current
+      (2L, "x", 10L, -1L, true),
+      (3L, "q", 10L, 10L, false),   // id=6 first
+      (3L, "p", 10L, -1L, true)))
+  }
 }

@@ -245,32 +245,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected both sides served from the persisted counts:\n$exec")
   }
 
-  test("runtime bloom filter: a selective dim filter reduces the fact scan") {
+  test("io11: runtime bloom filter prunes the fact scan; absent when disabled") {
     // the 100 TB semi-join reduction: when a join's build side is
     // selectively filtered, Spark can inject a bloom-filter
     // might_contain predicate on the probe side's scan, dropping most
     // fact rows BEFORE the shuffle. Off at the tiny test scale by the
-    // application-side threshold (10 GB) — this pin proves the
-    // engine's plans light it up once the fact side is big enough,
-    // by lowering that threshold instead of faking table sizes.
-    import org.apache.spark.sql.functions._
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val li = graft.sources.Tables.lineitem(spark, dir)
-      val ord = graft.sources.Tables.orders(spark, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)))
-        .queryExecution.executedPlan.toString
-      assert(p.contains("might_contain"),
-        s"expected the bloom reduction on the fact side:\n$p")
-    } finally saved.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // application-side threshold (10 GB) — io11 lights it up by
+    // lowering that threshold on an isolated newSession instead of
+    // faking table sizes. The A/B control (bloom = false removes the
+    // filter) keeps the pin from passing vacuously on a plan string
+    // that mentions might_contain for some unrelated reason.
+    val on = StorageQueries.bloomJoin(spark, dir, bloom = true)
+      .queryExecution.executedPlan.toString
+    assert(on.contains("might_contain"),
+      s"expected the bloom reduction on the fact side:\n$on")
+    val off = StorageQueries.bloomJoin(spark, dir, bloom = false)
+      .queryExecution.executedPlan.toString
+    assert(!off.contains("might_contain"),
+      "A/B control: bloom off must remove the filter")
+  }
+
+  test("q36: one exchange and one sort serve both SCD2 window passes") {
+    // the lag() change detector and the lead() interval closer declare
+    // the same (user_id; tus, event_id) window spec, and the filter
+    // between them preserves partitioning and ordering — so the whole
+    // history build must cost ONE shuffle + ONE sort of the change
+    // log. A second exchange/sort here would double the operator's
+    // 100 TB cost for nothing.
+    val p = plan("q36_scd2_history")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val nSort = raw"\bSort \[".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly one exchange:\n$p")
+    assert(nSort == 1, s"expected exactly one sort:\n$p")
   }
 
   test("q34: the funnel chain re-keys nothing — every hash exchange is on user_id") {
