@@ -140,10 +140,14 @@ object MultimodalQueries {
       .mkString(", ")
     val vals = OracleSql.valuesOrEmpty(rows,
       "(CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(28,4)))")
+    // the DECIMAL sum leaves DuckDB through VARCHAR: its direct
+    // DECIMAL→DOUBLE cast is not correctly rounded (the dq05 lesson) —
+    // safe at sf0.01 magnitudes but one decade of growth from silently
+    // disagreeing with Spark's BigDecimal.doubleValue
     s"""WITH nrm(media_id, kind, nrm) AS ($vals)
        |SELECT kind, COUNT(*) AS n_media,
-       |  CAST(SUM(CAST(nrm AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
-       |    AS avg_feature_norm
+       |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+       |    / COUNT(*) AS avg_feature_norm
        |FROM nrm GROUP BY kind""".stripMargin
   }
 

@@ -238,12 +238,19 @@ object QualityQueries {
   private val dq05Oracle: String = {
     val cols = ProfileCols
     def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    // DECIMAL sums leave DuckDB THROUGH VARCHAR: its direct
+    // DECIMAL→DOUBLE cast is not correctly rounded (at sf0.1 the ss_*
+    // sums land 1 ulp low — e.g. 2224071148386123.169 → …123.0 where
+    // strtod and Spark's BigDecimal.doubleValue both give …123.2),
+    // while VARCHAR→DOUBLE is strtod, which is. Same engine defect
+    // dq08 designs around for its expected-share literals.
+    def asDouble(expr: String) = s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
     val moments =
       ("CAST(COUNT(*) AS DOUBLE) AS n" +:
-        cols.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c")) ++
-        cols.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c") ++
+        cols.map(c => s"${asDouble(s"SUM(${d(c)})")} AS s_$c")) ++
+        cols.map(c => s"${asDouble(s"SUM(${d(c)} * ${d(c)})")} AS ss_$c") ++
         CorrPairs.map { case (a, b) =>
-          s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b" }
+          s"${asDouble(s"SUM(${d(a)} * ${d(b)})")} AS sp_${a}_$b" }
     val rows = CorrPairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
          |  (n * sp_${a}_$b - s_$a * s_$b) /

@@ -74,6 +74,13 @@ def gate(sf_dir, out_dir, names=None):
     """Run Verify (optionally restricted to `names`) then selfcheck;
     return the structured gate record."""
     t0 = time.time()
+    # selfcheck walks every query dir under out_dir, so leftovers from
+    # an earlier (killed/partial) run would be compared against fresh
+    # oracles — a stale tx15 dump cost one phantom 10x failure this
+    # round. Start each gate from an empty out_dir.
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     rec = {"sf_dir": sf_dir}
     args = f"runMain graft.Verify {sf_dir} {out_dir}"
     if names:
