@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -480,11 +480,15 @@ object AdvancedQueries {
   //      table, and each user appears once per active week, so the
   //      final cell count is a plain COUNT(*)). Both engines truncate
   //      weeks to Monday; offsets are exact multiples of 7 days. ----
-  private def q35(spark: SparkSession, dir: String): DataFrame = {
+  /** The week-grain truncation both retention legs share (Monday). */
+  private[graft] def weekOf(ts: Column): Column =
+    date_trunc("week", ts).cast("date")
+
+  /** q35's matrix over an already-distinct (user_id, week) activity
+    * frame — shared verbatim with the streaming twin (st11), which
+    * maintains the same frame as its streaming state. */
+  private[graft] def retentionFromWeeks(weeks: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.IntegerType
-    val weeks = Tables.events(spark, dir)
-      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-      .distinct()
     val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     weeks.join(cohorts, "user_id")
       .groupBy(col("cohort_week"),
@@ -495,7 +499,13 @@ object AdvancedQueries {
         col("week_offset"), col("n_users"))
   }
 
-  private val q35Oracle =
+  private def q35(spark: SparkSession, dir: String): DataFrame =
+    retentionFromWeeks(
+      Tables.events(spark, dir)
+        .select(col("user_id"), weekOf(col("ts")).as("week"))
+        .distinct())
+
+  private[graft] val q35Oracle =
     """WITH weeks AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
       |  FROM events),
@@ -540,6 +550,139 @@ object AdvancedQueries {
       |    AS is_current
       |FROM ch""".stripMargin
 
+  // ---- q37: peak concurrent sessions per day — interval-overlap
+  //      counting done the scalable way: a sweep line over session
+  //      boundaries instead of an interval self-join (which at 100 TB
+  //      is a quadratic range join). Sessions (30-minute gap rule,
+  //      time-ordered with event_id tie-break) become ±1 deltas at the
+  //      [start, end+1) boundaries; deltas are summed PER DISTINCT
+  //      INSTANT first, making the result independent of any
+  //      within-instant ordering, and the global cumulative count then
+  //      rides [[Relational.runningTotal]]'s single range exchange
+  //      (distributed prefix sum) — no window over an unpartitioned
+  //      frame anywhere, and the delta frame is session-grain, orders
+  //      smaller than the fact table. The report reads concurrency at
+  //      change points (a day with no boundary reports nothing —
+  //      declared, matching the oracle). Day rendering is tz-free
+  //      INTEGER division on the micros epoch, not double division:
+  //      at ~2e7 days-magnitude a double quotient's ulp (~4e-9) can
+  //      absorb a 1-µs-before-midnight boundary (1.2e-11 below the
+  //      integer) and round floor() into the wrong day. ----
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("s"), max(col("tus")).as("e"))
+    val deltas = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select((col("e") + 1).as("t"), lit(-1L).as("d")))
+    val byInstant = deltas.groupBy(col("t")).agg(sum(col("d")).as("d"))
+    Relational.runningTotal(byInstant, Seq(col("t")), col("d"), "conc")
+      .groupBy(expr("t DIV 86400000000").as("day_idx"))
+      .agg(max(col("conc")).as("peak_concurrency"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
+        col("peak_concurrency"))
+  }
+
+  private val q37Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, tus, event_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |iv AS (SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e
+      |       FROM sess GROUP BY 1, 2),
+      |deltas AS (SELECT s AS t, 1 AS d FROM iv
+      |           UNION ALL SELECT e + 1, -1 FROM iv),
+      |byt AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY 1),
+      |cum AS (SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+      |        FROM byt)
+      |SELECT strftime(DATE '1970-01-01' + CAST(t // 86400000000 AS INTEGER),
+      |         '%Y-%m-%d') AS day,
+      |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- q38: exact quantile bucketing — NTILE without the global
+  //      sort. NTILE's physical plan is a full sort of the frame
+  //      feeding ONE window task — the single-task shape this engine
+  //      bans. Instead the decile BOUNDARIES come from dq07's
+  //      exact-percentile machinery (per-value counts, one range
+  //      exchange for the CDF, one aggregate pass) and every user then
+  //      takes a broadcast join against the 9 boundary values:
+  //      decile = 1 + |{p : spend > b_p}|, ties landing in the lower
+  //      bucket. percentile_disc boundaries ARE data values (exact
+  //      int64 cents), so the comparisons — and the gate — are exact.
+  //      NTILE itself would differ on ties by construction; declared.
+  //      ----
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast(LongType)).as("cents"))
+    val counts = spend.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = Relational.runningTotal(counts, Seq(col("cents")), col("cnt"), "cum")
+    val n = spend.agg(count(lit(1)).as("n"))
+    def pick(p: Int) =
+      min(when(col("cum") >=
+        ceil(lit(p / 10.0) * col("n").cast(DoubleType)).cast(LongType),
+        col("cents"))).as(s"b$p")
+    val bounds = cum.crossJoin(broadcast(n))
+      .agg(pick(1), pick(2), pick(3), pick(4), pick(5),
+        pick(6), pick(7), pick(8), pick(9))
+    val decile = (1 to 9).map(i => (col("cents") > col(s"b$i")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    spend.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("cents"), decile.as("decile"))
+  }
+
+  private val q38Oracle =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM spend),
+      |cnts AS (SELECT cents, COUNT(*) AS cnt FROM spend GROUP BY 1),
+      |cum AS (SELECT cents,
+      |    SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM cnts),
+      |b AS (SELECT
+      |    MIN(CASE WHEN cum >= CEIL(0.1 * n) THEN cents END) AS b1,
+      |    MIN(CASE WHEN cum >= CEIL(0.2 * n) THEN cents END) AS b2,
+      |    MIN(CASE WHEN cum >= CEIL(0.3 * n) THEN cents END) AS b3,
+      |    MIN(CASE WHEN cum >= CEIL(0.4 * n) THEN cents END) AS b4,
+      |    MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cents END) AS b5,
+      |    MIN(CASE WHEN cum >= CEIL(0.6 * n) THEN cents END) AS b6,
+      |    MIN(CASE WHEN cum >= CEIL(0.7 * n) THEN cents END) AS b7,
+      |    MIN(CASE WHEN cum >= CEIL(0.8 * n) THEN cents END) AS b8,
+      |    MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN cents END) AS b9
+      |  FROM cum CROSS JOIN nn)
+      |SELECT s.user_id, s.cents,
+      |  1 + CAST(s.cents > b.b1 AS INT) + CAST(s.cents > b.b2 AS INT)
+      |    + CAST(s.cents > b.b3 AS INT) + CAST(s.cents > b.b4 AS INT)
+      |    + CAST(s.cents > b.b5 AS INT) + CAST(s.cents > b.b6 AS INT)
+      |    + CAST(s.cents > b.b7 AS INT) + CAST(s.cents > b.b8 AS INT)
+      |    + CAST(s.cents > b.b9 AS INT) AS decile
+      |FROM spend s CROSS JOIN b""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -558,5 +701,7 @@ object AdvancedQueries {
     GraftQuery("q33_gap_fill", q33, Some(q33Oracle)),
     GraftQuery("q34_funnel", q34, Some(q34Oracle), headline = true),
     GraftQuery("q35_retention", q35, Some(q35Oracle)),
-    GraftQuery("q36_scd2_history", q36, Some(q36Oracle)))
+    GraftQuery("q36_scd2_history", q36, Some(q36Oracle)),
+    GraftQuery("q37_peak_concurrency", q37, Some(q37Oracle)),
+    GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)))
 }

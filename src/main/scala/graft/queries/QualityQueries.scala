@@ -446,6 +446,91 @@ object QualityQueries {
        |FROM j CROSS JOIN t JOIN e USING (digit)""".stripMargin
   }
 
+  // ---- dq09: exact equi-width histogram per event type — the fourth
+  //      leg of the profiling family (dq02 sketches, dq03 moments,
+  //      dq07 exact percentiles): ONE hash aggregate on (type, bin)
+  //      builds every histogram in a single pass; bin edges and shares
+  //      are a view over the aggregated frame, whose size is
+  //      types × bins — plan constants, not data volume. Bin width is
+  //      fixed (25.0), so there is no min/max pre-pass; binning is
+  //      floor(value / width), an IEEE-correctly-rounded division on
+  //      identical doubles in both engines, and NULL values/types
+  //      survive as NULL bins/groups in both. The counts/report split
+  //      exists so the streaming twin (st12) can maintain the counts
+  //      as its only state. ----
+  private[graft] def histCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        floor(col("value") / lit(25.0)).cast(LongType).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"))
+
+  private[graft] def histFromCounts(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    h.withColumn("bin_lo", col("bin").cast(DoubleType) * lit(25.0))
+      .withColumn("share",
+        col("n_events").cast(DoubleType) /
+          sum(col("n_events")).over(Window.partitionBy(col("event_type")))
+            .cast(DoubleType))
+  }
+
+  private def dq09(spark: SparkSession, dir: String): DataFrame =
+    histFromCounts(histCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq09Oracle =
+    """WITH b AS (SELECT event_type,
+      |             CAST(FLOOR(value / 25.0) AS BIGINT) AS bin FROM events),
+      |h AS (SELECT event_type, bin, COUNT(*) AS n_events
+      |      FROM b GROUP BY 1, 2)
+      |SELECT event_type, bin, CAST(bin AS DOUBLE) * 25.0 AS bin_lo, n_events,
+      |  CAST(n_events AS DOUBLE) /
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+      |FROM h""".stripMargin
+
+  // ---- dq10: row-level quarantine router — the load-time shape dq01
+  //      (table-level violation counts) doesn't cover: EVERY row is
+  //      routed with its failure reasons in one map-only pass. The
+  //      validation is a pure projection — no shuffle at all — so it
+  //      runs at ingest wire speed, composes with any downstream sink,
+  //      and its streaming twin (st13) is completely stateless. Rules
+  //      evaluate in a fixed order into a comma-joined reason string
+  //      (concat_ws skips NULL arms identically in both engines);
+  //      is_valid ≡ no reason fired. The structural guards (null
+  //      value/user, unknown type) are part of the contract even
+  //      though this fixture never trips them; the outlier and
+  //      error-event rules fire on real rows so the gate exercises
+  //      both routes and compound reasons. ----
+  private[graft] def quarantineRoute(events: DataFrame): DataFrame = {
+    val known = Seq("view", "click", "purchase", "signup", "refund", "error")
+    events.select(
+      col("event_id"),
+      concat_ws(",",
+        when(col("value").isNull, lit("null_value")),
+        when(col("value") < 0, lit("negative_value")),
+        when(col("value") > 195.0, lit("extreme_value")),
+        when(col("user_id").isNull, lit("null_user")),
+        when(col("event_type").isNull ||
+          !col("event_type").isin(known: _*), lit("unknown_type")),
+        when(col("event_type") === "error", lit("error_event"))
+      ).as("reasons"))
+      .withColumn("is_valid", col("reasons") === lit(""))
+  }
+
+  private def dq10(spark: SparkSession, dir: String): DataFrame =
+    quarantineRoute(Tables.events(spark, dir))
+
+  private[graft] val dq10Oracle =
+    """SELECT event_id, reasons, reasons = '' AS is_valid FROM (
+      |  SELECT event_id, CONCAT_WS(',',
+      |    CASE WHEN value IS NULL THEN 'null_value' END,
+      |    CASE WHEN value < 0 THEN 'negative_value' END,
+      |    CASE WHEN value > 195.0 THEN 'extreme_value' END,
+      |    CASE WHEN user_id IS NULL THEN 'null_user' END,
+      |    CASE WHEN event_type IS NULL OR event_type NOT IN
+      |      ('view','click','purchase','signup','refund','error')
+      |      THEN 'unknown_type' END,
+      |    CASE WHEN event_type = 'error' THEN 'error_event' END
+      |  ) AS reasons FROM events) t""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -454,5 +539,7 @@ object QualityQueries {
     GraftQuery("dq05_correlation_matrix", dq05, Some(dq05Oracle)),
     GraftQuery("dq06_ks_drift", dq06, Some(dq06Oracle)),
     GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle), headline = true),
-    GraftQuery("dq08_benford", dq08, Some(dq08Oracle)))
+    GraftQuery("dq08_benford", dq08, Some(dq08Oracle)),
+    GraftQuery("dq09_histogram", dq09, Some(dq09Oracle)),
+    GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)))
 }

@@ -137,5 +137,18 @@ object StreamingQueries {
     // per-(type, value) cohort counters and the KS statistic is the
     // same ksFromCounts view dq06 runs over batch counts
     GraftQuery("st10_stream_ks_drift",
-      EventStream.ksDriftReplay, Some(QualityQueries.dq06Oracle)))
+      EventStream.ksDriftReplay, Some(QualityQueries.dq06Oracle)),
+    // st11 carries q35's oracle verbatim: the stream maintains the
+    // distinct (user, week) activity frame (complete mode ≡ batch
+    // distinct) and the report is the same retentionFromWeeks view
+    GraftQuery("st11_stream_retention",
+      EventStream.retentionReplay, Some(AdvancedQueries.q35Oracle)),
+    // st12 carries dq09's oracle verbatim: the stream maintains the
+    // (type, bin) histogram counters, the report view is shared
+    GraftQuery("st12_stream_histogram",
+      EventStream.histogramReplay, Some(QualityQueries.dq09Oracle)),
+    // st13 carries dq10's oracle verbatim: the router is a stateless
+    // projection, so streaming it is append mode with no state at all
+    GraftQuery("st13_stream_quarantine",
+      EventStream.quarantineReplay, Some(QualityQueries.dq10Oracle)))
 }

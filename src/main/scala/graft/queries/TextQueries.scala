@@ -1165,6 +1165,43 @@ object TextQueries {
       |    / CAST(COUNT(*) AS DOUBLE) AS novel_rate
       |FROM g JOIN lm USING (gram) GROUP BY 1""".stripMargin
 
+  // ---- tx32: character-level fuzzy dedup — blocking + verify, the
+  //      record-linkage classic that complements the token-set LSH
+  //      family: MinHash (tx06) keys on shingle SETS, so it misses
+  //      character-level corruption (OCR noise, truncation, joined
+  //      words) that edit distance catches. Candidate pairs come from
+  //      ONE equi-join on a short deterministic blocking key (the
+  //      first 12 characters) — never an all-pairs expand; block
+  //      sizes are data-bounded, and a hot block would take the q20
+  //      salting treatment. Verification is codegen'd levenshtein
+  //      over a 256-char prefix: bounded per-pair cost, a declared
+  //      approximation for megabyte documents (the prefix IS the
+  //      blocking-stage contract; a full-text verify would be a
+  //      second, rarer pass downstream). ----
+  private def tx32(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("blk"),
+        substring(col("text"), 1, 256).as("pre"))
+    val a = docs.select(col("doc_id").as("id_a"), col("blk"),
+      col("pre").as("pre_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("blk"),
+      col("pre").as("pre_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pre_a"), col("pre_b")).cast(LongType)
+          .as("edit_distance"))
+      .filter(col("edit_distance") <= 64)
+  }
+
+  private val tx32Oracle =
+    """WITH b AS (SELECT doc_id, substr(text, 1, 12) AS blk,
+      |             substr(text, 1, 256) AS pre FROM documents)
+      |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |  levenshtein(a.pre, c.pre) AS edit_distance
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.pre, c.pre) <= 64""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1202,5 +1239,6 @@ object TextQueries {
     GraftQuery("tx28_sequence_pack", tx28, Some(tx28Oracle)),
     GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)),
     GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)),
-    GraftQuery("tx31_bigram_rarity", tx31, Some(tx31Oracle)))
+    GraftQuery("tx31_bigram_rarity", tx31, Some(tx31Oracle)),
+    GraftQuery("tx32_fuzzy_dedup", tx32, Some(tx32Oracle)))
 }

@@ -139,6 +139,74 @@ object EventStream {
   }
 
   /**
+   * st12: streaming histogram monitor — the stream maintains dq09's
+   * (event_type, bin) counters (complete mode ≡ batch aggregation;
+   * the counts frame is the ONLY state, bounded by types × bins, not
+   * by stream length), and bin edges/shares are the same
+   * histFromCounts view dq09 runs, over the drained snapshot. dq09's
+   * oracle carries verbatim.
+   */
+  def histogramReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hist"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .histCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table(name)
+    counts.cache().count()
+    graft.queries.QualityQueries.histFromCounts(counts)
+  }
+
+  /**
+   * st13: streaming quarantine router — dq10's validation is a pure
+   * projection, so the streaming leg is STATELESS: append mode, no
+   * watermark, no state store at all, O(1) memory regardless of
+   * stream length — the shape that routes a firehose row-by-row with
+   * failure reasons at ingest wire speed. dq10's oracle carries
+   * verbatim.
+   */
+  def quarantineReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_quarantine"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .quarantineRoute(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
+  /**
+   * st11: streaming weekly retention — the stream maintains q35's
+   * distinct (user_id, week) activity frame as its ONLY state (a
+   * streaming aggregation in complete mode: the stream-side analogue
+   * of q35's "dedup the facts to week grain FIRST", so state is
+   * bounded by active (user, week) pairs, not by event volume), and
+   * the retention matrix is the same `retentionFromWeeks` view q35
+   * runs, over the drained snapshot. q35's oracle carries verbatim.
+   */
+  def retentionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_retention"
+    spark.catalog.dropTempView(name)
+    val q = readEvents(spark, s"$dir/events.parquet")
+      .groupBy(col("user_id"),
+        graft.queries.AdvancedQueries.weekOf(col("ts")).as("week"))
+      .agg(count(lit(1)).as("__n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache: retentionFromWeeks self-joins
+    // the weeks frame (cohorts derive from it), and attribute dedup
+    // cannot clone a MemorySink-backed view's leaf (the st10 lesson)
+    val weeks = spark.table(name).select("user_id", "week").localCheckpoint()
+    graft.queries.AdvancedQueries.retentionFromWeeks(weeks)
+  }
+
+  /**
    * Streaming sessionization: gap-merged session windows per user with
    * a watermark bounding state. Update mode emits the session's current
    * aggregate every trigger; consumers keep the newest row per

@@ -310,6 +310,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q37: the sweep line rides one range exchange — no unpartitioned window") {
+    // the global cumulative concurrency must be the distributed prefix
+    // sum (range exchange + __pid-keyed window), never a
+    // SinglePartition window over the delta frame — the one-task shape
+    // that serializes the whole timeline at 100 TB
+    val p = plan("q37_peak_concurrency")
+    assert(p.contains("rangepartitioning(t"),
+      s"expected the sweep ordered by a range exchange on t:\n$p")
+    assert(p.contains("__pid"),
+      s"expected the per-row cumsum window keyed by partition id:\n$p")
+    // the only single-partition stage allowed is runningTotal's
+    // per-partition OFFSETS frame (one row per shuffle partition —
+    // metadata-sized); the row-scale delta frame must never funnel
+    // through one window task, which the __psum marker distinguishes
+    assert(!p.contains("windowspecdefinition(t"),
+      s"no unpartitioned window over the delta frame itself:\n$p")
+  }
+
+  test("q38: quantile bucketing broadcasts 9 boundaries — no NTILE global sort") {
+    val p = plan("q38_quantile_buckets")
+    // the CDF is the distributed prefix sum over per-value counts;
+    // users then compare against broadcast boundary values — NTILE's
+    // plan (global sort + one window task over every user) must not
+    // appear
+    assert(p.contains("rangepartitioning(cents"),
+      s"expected the CDF's range exchange on cents:\n$p")
+    assert(p.contains("__pid"),
+      s"expected the per-row cumsum window keyed by partition id:\n$p")
+    assert(!p.toLowerCase.contains("ntile"), s"no NTILE window:\n$p")
+    assert(p.contains("Broadcast"),
+      s"expected the boundary row to broadcast:\n$p")
+  }
+
+  test("dq10: the quarantine router is map-only — zero exchanges") {
+    // the validation is a pure projection; any Exchange here would be
+    // a regression that turns a wire-speed ingest filter into a
+    // shuffle of the full fact table
+    val p = plan("dq10_quarantine")
+    assert(!p.contains("Exchange"), s"expected a map-only routing plan:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

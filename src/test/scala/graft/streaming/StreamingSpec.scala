@@ -38,6 +38,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("st11/st12/st13 replays equal their batch twins row-for-row") {
+    def batch(name: String) =
+      graft.queries.Registry.byName(name).run(spark, sf)
+    val retention = EventStream.retentionReplay(spark, sf)
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    assert(retention.nonEmpty)
+    assert(retention == batch("q35_retention")
+      .orderBy("cohort_week", "week_offset").collect().toSeq)
+    val hist = EventStream.histogramReplay(spark, sf)
+      .orderBy("event_type", "bin").collect().toSeq
+    assert(hist.nonEmpty)
+    assert(hist == batch("dq09_histogram")
+      .orderBy("event_type", "bin").collect().toSeq)
+    val routed = EventStream.quarantineReplay(spark, sf)
+      .orderBy("event_id").collect().toSeq
+    assert(routed.nonEmpty)
+    assert(routed == batch("dq10_quarantine")
+      .orderBy("event_id").collect().toSeq)
+    // the router must route, not rubber-stamp: both verdicts present
+    assert(routed.exists(r => r.getAs[Boolean]("is_valid")))
+    assert(routed.exists(r => !r.getAs[Boolean]("is_valid")))
+  }
+
   test("watermark drops events later than the allowed delay") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(ts: Timestamp, event_type: String, value: Double)

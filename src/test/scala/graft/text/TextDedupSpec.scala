@@ -211,4 +211,39 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     // asymmetry. A regression to one-hop propagation reads ~64 here.
     assert(rounds <= 10, s"expected O(log D) rounds for diameter $n, got $rounds")
   }
+
+  test("tx32 fuzzy dedup: blocked pairs only, ordered ids, bounded distances") {
+    // semantics spot-check on the fixture corpus (the oracle gate holds
+    // the full contract): every emitted pair shares the 12-char
+    // blocking prefix, ids are canonically ordered, and the verify
+    // stage's threshold binds
+    val out = graft.queries.Registry.byName("tx32_fuzzy_dedup")
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(out.forall { case (_, _, d) => d >= 0 && d <= 64 })
+    val byId = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(out.forall { case (a, b, _) =>
+      byId(a).take(12) == byId(b).take(12) })
+    // edit distance 0 pairs are prefix-identical — the verify stage
+    // must agree with a direct recomputation on at least one pair
+    val (a, b, d) = out.head
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(x.length)
+    }
+    assert(lev(byId(a).take(256), byId(b).take(256)) == d)
+  }
 }
