@@ -750,6 +750,47 @@ object Multimodal {
         max(col("peak")).as("peak"))
   }
 
+  /**
+   * Per-channel pixel statistics of a media table's image rows: one
+   * per-partition decode pass emits (id, width, height, sum_r, sum_g,
+   * sum_b) — exact integer channel totals read out of the DECODED
+   * pixels, the per-image profile a curation pipeline filters on
+   * (all-black frames, washed-out scans, channel-dead captures). As
+   * with [[imageHashes]], only this ~40-byte frame flows downstream;
+   * payloads never reach a shuffle. Sums are Long: 255 · w · h stays
+   * under 2⁶³ until w·h ≈ 3.6e16 pixels — declared bound, far past any
+   * real image. Undecodable rows drop.
+   */
+  def channelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "image") None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some((r.media_id, img.getWidth, img.getHeight, sr, sg, sb))
+          }
+        }
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Perceptual fingerprints of a media table's image rows: (id,
     * ahash), decoded per-partition like [[extractFeatures]]. Only this
     * narrow frame flows downstream — payloads never reach a shuffle,

@@ -683,6 +683,48 @@ object AdvancedQueries {
       |    + CAST(s.cents > b.b9 AS INT) AS decile
       |FROM spend s CROSS JOIN b""".stripMargin
 
+  /** q39's stateful part — each user's first-seen HOUR (hour grain so
+    * the fixture, whose users all surface within day one, still
+    * exercises a real curve): a plain min aggregation, shared verbatim
+    * with the streaming twin (st14), which maintains it as its only
+    * state (bounded by users, not events). */
+  private[graft] def firstSeen(events: DataFrame): DataFrame =
+    events.select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("user_id")).agg(min(col("hour")).as("first_hour"))
+
+  /** q39's report over the user-grain first-seen frame: per-hour new
+    * users plus the cumulative count via the distributed prefix sum. */
+  private[graft] def growthFromFirstSeen(firstHours: DataFrame): DataFrame = {
+    val perHour = firstHours.groupBy(col("first_hour"))
+      .agg(count(lit(1)).as("new_users"))
+    Relational.runningTotal(perHour, Seq(col("first_hour")),
+        col("new_users"), "cumulative_users")
+      .select(date_format(col("first_hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("new_users"), col("cumulative_users"))
+  }
+
+  // ---- q39: user-growth curve — per-hour NEW users and the running
+  //      cumulative total, the canonical "distinct users to date"
+  //      report done without a rolling COUNT(DISTINCT): dedup to each
+  //      user's FIRST-seen hour (one user-grain hash aggregate — the
+  //      q35 recipe), count per hour (hour-grain frame, plan-constant
+  //      size), and let the cumulative ride
+  //      [[Relational.runningTotal]]'s single range exchange. A
+  //      windowed COUNT(DISTINCT user_id) OVER (ORDER BY hour) would
+  //      re-expand the fact table per bucket; this never touches
+  //      event-grain data after the first aggregate. ----
+  private def q39(spark: SparkSession, dir: String): DataFrame =
+    growthFromFirstSeen(firstSeen(Tables.events(spark, dir)))
+
+  private[graft] val q39Oracle =
+    """WITH f AS (SELECT user_id, MIN(date_trunc('hour', ts)) AS first_hour
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT first_hour, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT strftime(first_hour, '%Y-%m-%d %H:00') AS hour, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY first_hour
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+      |FROM d""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -703,5 +745,6 @@ object AdvancedQueries {
     GraftQuery("q35_retention", q35, Some(q35Oracle)),
     GraftQuery("q36_scd2_history", q36, Some(q36Oracle)),
     GraftQuery("q37_peak_concurrency", q37, Some(q37Oracle)),
-    GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)))
+    GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)),
+    GraftQuery("q39_user_growth", q39, Some(q39Oracle)))
 }

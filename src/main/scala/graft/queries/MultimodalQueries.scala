@@ -509,6 +509,45 @@ object MultimodalQueries {
        |  ON s.media_id = r.media_id AND s.frame_idx = r.frame_idx""".stripMargin
   }
 
+  // ---- mm14: per-channel pixel statistics over REAL decoded PNGs —
+  //      the image-curation profile (dead channels, washed-out scans,
+  //      brightness outliers) as one per-partition decode pass
+  //      emitting exact integer channel totals; only the ~40-byte
+  //      stats frame flows downstream. Gated on the gifFrameHash64
+  //      independence recipe: the oracle derives every sum from the
+  //      fixture's LCG pixel FORMULA with no image library at all
+  //      ([[ReferenceHashes.pngChannelSums]]), so the operator must
+  //      decode genuine PNG bytes and land on integers predicted
+  //      without a codec. mean_brightness is the one double — an
+  //      identical integer division both engines evaluate from the
+  //      gated integer cells. ----
+  private def mm14(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.channelStats(
+      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)))
+      .withColumn("mean_brightness",
+        (col("sum_r") + col("sum_g") + col("sum_b")).cast("double") /
+          (col("width") * col("height") * lit(3)).cast("double"))
+
+  private def mm14OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val (sr, sg, sb) = ReferenceHashes.pngChannelSums(id, w, h)
+        s"($id, $w, $h, $sr, $sg, $sb)"
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH ref(media_id, width, height, sum_r, sum_g, sum_b) AS ($vals)
+       |SELECT media_id, width, height, sum_r, sum_g, sum_b,
+       |  CAST(sum_r + sum_g + sum_b AS DOUBLE) /
+       |    CAST(width * height * 3 AS DOUBLE) AS mean_brightness
+       |FROM ref""".stripMargin
+  }
+
   // ---- mm13: silence-trim / VAD segmentation — mm12's frame stream
   //      composed with relational windows: a frame is ACTIVE when
   //      energy ≥ threshold · n_samples (exact integer mean-energy
@@ -586,5 +625,7 @@ object MultimodalQueries {
     GraftQuery("mm12_audio_frame_energy", mm12, None,
       oracleGen = Some(mm12OracleGen)),
     GraftQuery("mm13_audio_segments", mm13, None,
-      oracleGen = Some(mm13OracleGen)))
+      oracleGen = Some(mm13OracleGen)),
+    GraftQuery("mm14_channel_stats", mm14, None,
+      oracleGen = Some(mm14OracleGen)))
 }

@@ -247,6 +247,30 @@ object ReferenceHashes {
    * `javax.sound.sampled` and land on integers this side derives with
    * no audio library at all.
    */
+  /**
+   * Predicted per-channel pixel sums of fixture PNG `seed` at `w`×`h` —
+   * computed from the documented pixel FORMULA alone, never from a
+   * codec (the gifFrameHash64 independence recipe): the fixture warms
+   * the LCG once from the seed, then draws each row-major pixel as
+   * ((s >>> 40) & 0xffffff) with R/G/B in the usual byte lanes, and
+   * PNG is lossless, so a correct decode must read back exactly these
+   * integers. The operator (`Multimodal.channelStats`) goes through
+   * real PNG bytes and `javax.imageio`; this side touches no image
+   * library at all.
+   */
+  def pngChannelSums(seed: Long, w: Int, h: Int): (Long, Long, Long) = {
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < w * h) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = ((s >>> 40) & 0xffffff).toInt
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
   def wavFrameStats(id: Long, frameSize: Int): Seq[(Int, Int, Long, Int)] = {
     val n = 256 + (id % 7).toInt * 64 // the fixture's sample-count formula
     var s = id * 6364136223846793005L + 1442695040888963407L

@@ -150,5 +150,9 @@ object StreamingQueries {
     // st13 carries dq10's oracle verbatim: the router is a stateless
     // projection, so streaming it is append mode with no state at all
     GraftQuery("st13_stream_quarantine",
-      EventStream.quarantineReplay, Some(QualityQueries.dq10Oracle)))
+      EventStream.quarantineReplay, Some(QualityQueries.dq10Oracle)),
+    // st14 carries q39's oracle verbatim: the stream maintains each
+    // user's first-seen day, the growth-curve view is shared
+    GraftQuery("st14_stream_user_growth",
+      EventStream.userGrowthReplay, Some(AdvancedQueries.q39Oracle)))
 }

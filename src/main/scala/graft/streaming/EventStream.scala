@@ -139,6 +139,28 @@ object EventStream {
   }
 
   /**
+   * st14: streaming user-growth monitor — the stream maintains q39's
+   * per-user first-seen day (a plain min aggregation in complete
+   * mode; state bounded by the user population, not event volume),
+   * and the growth curve is the same growthFromFirstSeen view q39
+   * runs, over the drained snapshot. q39's oracle carries verbatim.
+   */
+  def userGrowthReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_growth"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.AdvancedQueries
+      .firstSeen(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager): runningTotal re-reads the ranged frame
+    // for its offsets pass, and a MemorySink-backed view's leaf can't
+    // be re-instantiated for attribute dedup (the st10 lesson)
+    val firstDays = spark.table(name).localCheckpoint()
+    graft.queries.AdvancedQueries.growthFromFirstSeen(firstDays)
+  }
+
+  /**
    * st12: streaming histogram monitor — the stream maintains dq09's
    * (event_type, bin) counters (complete mode ≡ batch aggregation;
    * the counts frame is the ONLY state, bounded by types × bins, not

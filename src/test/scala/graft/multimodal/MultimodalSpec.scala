@@ -273,4 +273,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(perMedia.values.exists(_ >= 2))
     assert(perMedia.size < 20) // 60 docs → 20 audio; at least one silent
   }
+
+  test("channelStats: decoded channel sums equal the codec-free formula") {
+    import spark.implicits._
+    val docs = Seq((0L, "img a"), (3L, "img b"), (6L, "img c"),
+      (1L, "audio"), (2L, "video"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(5))
+    val got = Multimodal.channelStats(Multimodal.mediaWithRealImages(docs))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // image ids only (id % 3 == 0); audio/video rows must drop
+    assert(got.keySet == Set(0L, 3L, 6L))
+    got.foreach { case (id, (w, h, sr, sg, sb)) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + (id % 7).toInt)
+      val (er, eg, eb) =
+        graft.queries.ReferenceHashes.pngChannelSums(id, w, h)
+      assert((sr, sg, sb) == ((er, eg, eb)),
+        s"channel sums for image $id diverge from the pixel formula")
+      // sanity: sums sit strictly inside (0, 255·w·h) for LCG noise
+      assert(sr > 0 && sr < 255L * w * h)
+    }
+  }
 }

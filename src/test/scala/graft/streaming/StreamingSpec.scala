@@ -59,6 +59,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the router must route, not rubber-stamp: both verdicts present
     assert(routed.exists(r => r.getAs[Boolean]("is_valid")))
     assert(routed.exists(r => !r.getAs[Boolean]("is_valid")))
+    val growth = EventStream.userGrowthReplay(spark, sf)
+      .orderBy("hour").collect().toSeq
+    assert(growth.size > 1, "fixture must yield a real multi-point curve")
+    assert(growth == batch("q39_user_growth")
+      .orderBy("hour").collect().toSeq)
   }
 
   test("watermark drops events later than the allowed delay") {

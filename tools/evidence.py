@@ -59,6 +59,7 @@ EXCLUDE_SF01_SWEEP = {
 EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     "mm04_image_decode", "mm05_image_resize", "mm06_audio_decode",
     "mm08_frame_sample", "st09_stream_media_hashes", "mm03_media_inventory",
+    "mm14_channel_stats",
     "q13_line_metrics", "tx14_corpus_prep", "tx15_lsh_cap_witness",
 }
 
