@@ -531,6 +531,52 @@ object QualityQueries {
       |    CASE WHEN event_type = 'error' THEN 'error_event' END
       |  ) AS reasons FROM events) t""".stripMargin
 
+  // ---- dq11: z-score outlier flagging — train-then-score anomaly
+  //      detection as two relational stages: the per-type moments
+  //      (n, Σx, Σx²) come from ONE exact-decimal aggregate (the dq05
+  //      machinery — order-free, so the "model" is bit-reproducible on
+  //      any partitioning), broadcast back, and every row is scored
+  //      map-side with a fixed double expression both engines evaluate
+  //      identically from identical inputs. The factoring into
+  //      zStats / scoreAgainst is the streaming story (st15): fit the
+  //      stats on history, score a live stream with a stateless
+  //      stream-static broadcast join. Decimal sums leave DuckDB via
+  //      VARCHAR (the dq05 cast lesson). ----
+  private[graft] def zStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(col("value")).cast(DoubleType).as("n"),
+      sum(dec(col("value"))).cast(DoubleType).as("s"),
+      sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"))
+
+  private[graft] def scoreAgainst(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("value") - col("s") / col("n")) /
+          (sqrt(col("n") * col("ss") - col("s") * col("s")) / col("n")))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"),
+        (abs(col("z")) > 3.0).as("is_outlier"))
+
+  private def dq11(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    scoreAgainst(ev, zStats(ev))
+  }
+
+  private[graft] val dq11Oracle =
+    """WITH st AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(value) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+      |      AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))
+      |      * CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS ss
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, event_type, value, z, ABS(z) > 3.0 AS is_outlier
+      |FROM (
+      |  SELECT e.event_id, e.event_type, e.value,
+      |    (e.value - s.s / s.n)
+      |      / (SQRT(s.n * s.ss - s.s * s.s) / s.n) AS z
+      |  FROM events e JOIN st s ON e.event_type = s.event_type) t""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -541,5 +587,6 @@ object QualityQueries {
     GraftQuery("dq07_exact_percentiles", dq07, Some(dq07Oracle), headline = true),
     GraftQuery("dq08_benford", dq08, Some(dq08Oracle)),
     GraftQuery("dq09_histogram", dq09, Some(dq09Oracle)),
-    GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)))
+    GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)),
+    GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)))
 }

@@ -381,6 +381,45 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  // ---- sim09: metadata-filtered ANN — cosine top-5 restricted to
+  //      candidates sharing the query's label (the tenant/category
+  //      predicate of production vector search). The filter rides the
+  //      broadcast join condition, so ineligible candidates never
+  //      reach the scoring expression or the per-query heap; the
+  //      oracle is sim01's with the same label-equality predicate. ----
+  private def sim09(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.filteredTopK(e, e.filter(col("id") < 10), "label", k = 5)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  private val sim09Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |      AND c.label = q.label) z
+      |  GROUP BY query_id, cand_id),
+      |scored AS (
+      |  SELECT p.query_id, p.cand_id,
+      |    ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      |  FROM pairs p
+      |  JOIN norms nq ON nq.vec_id = p.query_id
+      |  JOIN norms nc ON nc.vec_id = p.cand_id)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT query_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -392,5 +431,6 @@ object SimilarityQueries {
       None, headline = true, oracleGen = Some(sim05OracleGen)),
     GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)),
     GraftQuery("sim07_quantize", sim07, Some(sim07Oracle)),
-    GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)))
+    GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)),
+    GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)))
 }

@@ -154,5 +154,10 @@ object StreamingQueries {
     // st14 carries q39's oracle verbatim: the stream maintains each
     // user's first-seen day, the growth-curve view is shared
     GraftQuery("st14_stream_user_growth",
-      EventStream.userGrowthReplay, Some(AdvancedQueries.q39Oracle)))
+      EventStream.userGrowthReplay, Some(AdvancedQueries.q39Oracle)),
+    // st15 carries dq11's oracle verbatim: the model (per-type exact
+    // moments) fits in batch, the stream scores statelessly through
+    // the same broadcast projection
+    GraftQuery("st15_stream_zscore",
+      EventStream.zscoreReplay, Some(QualityQueries.dq11Oracle)))
 }

@@ -58,6 +58,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * Metadata-filtered exact ANN: cosine top-k restricted to candidates
+   * agreeing with the query on `matchCol` — the filtered-search shape
+   * (tenant / category / label predicates) every production vector
+   * store needs. Same broadcast + bounded-heap plan as
+   * [[bruteForceTopK]]; the equality rides the broadcast join
+   * condition, so non-matching candidates are discarded map-side
+   * BEFORE any scoring work, and the per-query heap only ever sees
+   * eligible rows. Both frames carry (id, vec, matchCol).
+   */
+  def filteredTopK(candidates: DataFrame, queries: DataFrame,
+                   matchCol: String, k: Int, scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), col(matchCol).as("__cm"),
+        toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val q = queries
+      .select(col("id").as("query_id"), col(matchCol).as("__qm"),
+        toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val scored = cand.join(broadcast(q),
+        col("cand_id") =!= col("query_id") && col("__cm") === col("__qm"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Per-query top-k via the bounded-heap aggregator: partial top-k
     * happens map-side, so only k rows per partition per query reach the
     * shuffle — the scale-correct shape for ANN (a rank window would

@@ -139,6 +139,33 @@ object EventStream {
   }
 
   /**
+   * st15: train-then-score streaming anomaly detection — dq11's
+   * per-type moments are fitted in BATCH over the historical corpus
+   * (the exact-decimal aggregate, bit-reproducible on any
+   * partitioning), and the live stream is scored row-by-row through
+   * the same `scoreAgainst` projection via a stream-static broadcast
+   * join: completely STATELESS on the stream side (the model is the
+   * broadcast; no state store, no watermark), which is what lets the
+   * scorer run at firehose rates. dq11's oracle carries verbatim
+   * because fitting on the full history and scoring the same events
+   * replayed as a stream is exactly the batch computation.
+   */
+  def zscoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_zscore"
+    spark.catalog.dropTempView(name)
+    val stats = graft.queries.QualityQueries
+      .zStats(graft.sources.Tables.events(spark, dir))
+    val q = graft.queries.QualityQueries
+      .scoreAgainst(readEvents(spark, s"$dir/events.parquet"), stats)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    out.cache().count()
+    out
+  }
+
+  /**
    * st14: streaming user-growth monitor — the stream maintains q39's
    * per-user first-seen day (a plain min aggregation in complete
    * mode; state bounded by the user population, not event volume),

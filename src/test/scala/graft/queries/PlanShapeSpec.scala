@@ -351,6 +351,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"expected a map-only routing plan:\n$p")
   }
 
+  test("sim09: the label filter rides the broadcast join — results all same-label") {
+    val p = plan("sim09_filtered_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast against the candidate scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"candidate side must not shuffle:\n$p")
+    // behavioral: every returned pair shares the query's label
+    import org.apache.spark.sql.functions.col
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val rows = Registry.byName("sim09_filtered_ann").run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("cand_id")))
+    }
+  }
+
+  test("dq11: the fitted stats broadcast back — the fact table never sort-merge-joins") {
+    val p = plan("dq11_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle crept in:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

@@ -64,6 +64,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(growth.size > 1, "fixture must yield a real multi-point curve")
     assert(growth == batch("q39_user_growth")
       .orderBy("hour").collect().toSeq)
+    val scored = EventStream.zscoreReplay(spark, sf)
+      .orderBy("event_id").collect().toSeq
+    assert(scored.nonEmpty)
+    assert(scored == batch("dq11_zscore_outliers")
+      .orderBy("event_id").collect().toSeq)
+    // the fitted model must actually separate: both verdicts present
+    assert(scored.exists(r => r.getAs[Boolean]("is_outlier")))
+    assert(scored.exists(r => !r.getAs[Boolean]("is_outlier")))
   }
 
   test("watermark drops events later than the allowed delay") {
