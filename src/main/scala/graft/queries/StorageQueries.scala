@@ -376,6 +376,67 @@ object StorageQueries {
       |WHERE p.p_size <= 3
       |GROUP BY 1""".stripMargin
 
+  // ---- io12: snapshot retention / expiry — the VACUUM shape every
+  //      versioned table needs: old snapshots' data files are deleted
+  //      once out of retention, and the CURRENT snapshot must read
+  //      back untouched. The store keeps one directory per snapshot
+  //      (the simplest version layout a plain object store supports);
+  //      expiry lists and deletes snap-1's files (file-count
+  //      deterministic by the writer's coalesce(2)), and the gate
+  //      reads the live snapshot after the delete: green means the
+  //      aggregates still match the source SQL (nothing the expiry
+  //      touched was live), exactly 2 data files were reclaimed, and
+  //      the expired snapshot is really gone (in-engine boolean, the
+  //      dq02 split-gate style — DuckDB can't probe the temp store's
+  //      filesystem). ----
+  private def io12(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val tmp = Files.createTempDirectory("graft-io12-").toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    // repartition, not coalesce: a small fixture reads as ONE input
+    // partition, and coalesce can only merge — the deterministic
+    // 2-file layout the expiry count asserts needs a real split
+    orders.filter(col("k") % 2 === 0).repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/snap=1")
+    orders.filter(col("k") % 3 === 0).repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/snap=2")
+    val before = spark.read.parquet(s"$tmp/snap=2")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sumExact(dec(col("v"))).as("rev")).collect()(0)
+    // expire snapshot 1: delete its data files, bottom-up
+    val snap1 = java.nio.file.Paths.get(tmp, "snap=1")
+    val removed = {
+      val s = java.nio.file.Files.walk(snap1)
+      try {
+        import scala.jdk.CollectionConverters._
+        val paths = s.iterator().asScala.toSeq.reverse
+        val dataFiles = paths.count(_.toString.endsWith(".parquet"))
+        paths.foreach(java.nio.file.Files.delete)
+        dataFiles
+      } finally s.close()
+    }
+    val expired = !java.nio.file.Files.exists(snap1)
+    spark.read.parquet(s"$tmp/snap=2")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sumExact(dec(col("v"))).as("revenue"))
+      .select(col("n_rows"), col("revenue"),
+        lit(removed).as("files_removed"),
+        lit(expired).as("old_snapshot_gone"),
+        (col("n_rows") === lit(before.getLong(0)) &&
+          col("revenue") === lit(before.getDouble(1)))
+          .as("live_snapshot_unchanged"))
+  }
+
+  private val io12Oracle =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS revenue,
+      |  2 AS files_removed,
+      |  TRUE AS old_snapshot_gone,
+      |  TRUE AS live_snapshot_unchanged
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -389,5 +450,6 @@ object StorageQueries {
     GraftQuery("io08_dynamic_overwrite", io08, Some(io08Oracle)),
     GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)),
     GraftQuery("io10_zorder_skipping", io10, Some(io10Oracle)),
-    GraftQuery("io11_bloom_join", io11, Some(io11Oracle)))
+    GraftQuery("io11_bloom_join", io11, Some(io11Oracle)),
+    GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)))
 }
