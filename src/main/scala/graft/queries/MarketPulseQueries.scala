@@ -96,10 +96,51 @@ object MarketPulseQueries {
        |JOIN meta m ON b.symbol = m.symbol""".stripMargin
   }
 
+  // ---- mp06: daily returns + drawdown per ticker — the quant layer
+  //      the reference's bar marts feed downstream: previous-close
+  //      return via lag() and running-peak drawdown via a cumulative
+  //      max, both windowed per symbol OVER THE BAR FRAME — day grain,
+  //      so each partition is days-per-symbol (plan-bounded), never a
+  //      window over raw events. Bars come from the SAME shared
+  //      dailyBars operator mp01 gates; day is an ISO string, whose
+  //      lexicographic window order equals chronological. All return
+  //      math is a fixed double expression over gated bar cells (the
+  //      first day's return is NULL in both engines by lag semantics).
+  //      ----
+  private def mp06(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    EventTicker.dailyBars(spark, dir)
+      .select(col("event_type"), col("day"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("daily_return",
+        (col("close") - col("prev_close")) / col("prev_close"))
+      .withColumn("peak",
+        max(col("close")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("drawdown", (col("close") - col("peak")) / col("peak"))
+  }
+
+  private val mp06Oracle =
+    s"""WITH $barsCte
+       |SELECT event_type, day, close,
+       |  LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS prev_close,
+       |  (close - LAG(close) OVER (PARTITION BY event_type ORDER BY day))
+       |    / LAG(close) OVER (PARTITION BY event_type ORDER BY day)
+       |    AS daily_return,
+       |  MAX(close) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING) AS peak,
+       |  (close - MAX(close) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING))
+       |    / MAX(close) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS drawdown
+       |FROM bars""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mp01_daily_bars", EventTicker.dailyBars, Some(mp01Oracle), headline = true),
     GraftQuery("mp02_dim_event", EventTicker.dim, Some(mp02Oracle)),
     GraftQuery("mp03_fact_bars", EventTicker.fact, Some(mp03Oracle), headline = true),
     GraftQuery("mp04_weekly_bars", EventTicker.weekly, Some(mp04Oracle), headline = true),
-    GraftQuery("mp05_av_documents", AvRoundTrip.query, Some(mp05Oracle), headline = true))
+    GraftQuery("mp05_av_documents", AvRoundTrip.query, Some(mp05Oracle), headline = true),
+    GraftQuery("mp06_returns", mp06, Some(mp06Oracle)))
 }

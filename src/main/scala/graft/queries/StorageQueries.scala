@@ -437,6 +437,40 @@ object StorageQueries {
       |  TRUE AS live_snapshot_unchanged
       |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
 
+  // ---- io13: load reconciliation audit — the post-load check every
+  //      pipeline runs before publishing: per-partition row counts AND
+  //      an order-independent content checksum (bit_xor of per-row
+  //      xxhash64 over the full row — XOR commutes, so the checksum is
+  //      partitioning-independent and cannot overflow, unlike a
+  //      wrapping SUM under ANSI) compared source vs store. Counts are
+  //      recomputed independently by the SQL oracle; the checksums are
+  //      engine-specific hashes, so their EQUALITY is the gated fact
+  //      (in-engine booleans, the dq02 split-gate style) — a dropped
+  //      row, a duplicated task retry, or a corrupted value flips
+  //      checksum_match even when counts agree. ----
+  private def io13(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-io13-").toString
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    def audit(df: DataFrame, n: String, cs: String) =
+      df.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as(n),
+        expr("bit_xor(xxhash64(o_orderkey, o_totalprice))").as(cs))
+    val a = audit(src, "n_rows", "cs_src")
+    val b = audit(spark.read.parquet(tmp)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), "n_dst", "cs_dst")
+    a.join(b, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"), col("n_rows"),
+        (col("n_rows") <=> col("n_dst")).as("counts_match"),
+        (col("cs_src") <=> col("cs_dst")).as("checksum_match"))
+  }
+
+  private val io13Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  TRUE AS counts_match, TRUE AS checksum_match
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -451,5 +485,6 @@ object StorageQueries {
     GraftQuery("io09_manifest_skipping", io09, Some(io09Oracle)),
     GraftQuery("io10_zorder_skipping", io10, Some(io10Oracle)),
     GraftQuery("io11_bloom_join", io11, Some(io11Oracle)),
-    GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)))
+    GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)),
+    GraftQuery("io13_reconciliation", io13, Some(io13Oracle)))
 }
