@@ -725,6 +725,65 @@ object AdvancedQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
       |FROM d""".stripMargin
 
+  // ---- q41: first-touch revenue attribution — every purchase's value
+  //      credited to the ENTRY event type of its session (the
+  //      marketing-attribution report; q34 answers "do users
+  //      convert?", this answers "which entry channel pays?"). One
+  //      per-user shuffle serves the whole chain: the gap cut, the
+  //      session id, and the session's first event type all ride the
+  //      same (user; tus, event_id) window spec, then purchases fold
+  //      into a 5-row report by entry type. The session's entry type
+  //      needs NO second (user, sid)-partitioned window (which would
+  //      cost another exchange + sort): every session start is a
+  //      new_s = 1 row, so the running last non-null marked type on
+  //      the SAME spec IS the current session's first type. Money is
+  //      exact integer cents (the st06 recipe); event_id breaks
+  //      same-microsecond ties so "first" is deterministic in both
+  //      engines. ----
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("first_type",
+        last(when(col("new_s") === 1, col("event_type")), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast(LongType)).as("revenue_cents"))
+  }
+
+  private val q41Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s FROM seq),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |attributed AS (
+      |  SELECT *, FIRST_VALUE(event_type) OVER (
+      |    PARTITION BY user_id, sid ORDER BY tus, event_id) AS first_type
+      |  FROM sess)
+      |SELECT first_type, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM attributed WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -746,5 +805,6 @@ object AdvancedQueries {
     GraftQuery("q36_scd2_history", q36, Some(q36Oracle)),
     GraftQuery("q37_peak_concurrency", q37, Some(q37Oracle)),
     GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)),
-    GraftQuery("q39_user_growth", q39, Some(q39Oracle)))
+    GraftQuery("q39_user_growth", q39, Some(q39Oracle)),
+    GraftQuery("q41_attribution", q41, Some(q41Oracle)))
 }

@@ -374,6 +374,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact-side shuffle crept in:\n$p")
   }
 
+  test("q41: the whole attribution chain rides ONE per-user exchange and sort") {
+    // the gap cut, the session marker, and the running first-type all
+    // share the (user_id; tus, event_id) window spec — a second
+    // (user_id, sid)-partitioned window for the session's entry type
+    // would re-shuffle and re-sort the fact table for nothing
+    val p = plan("q41_attribution")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val nSort = raw"\bSort \[".r.findAllIn(p).size
+    assert(nEx == 2, s"expected the window exchange + the 5-row report exchange:\n$p")
+    assert(nSort == 1, s"expected exactly one sort of the fact rows:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
