@@ -133,8 +133,10 @@ object BenchData {
       keyCols = Seq("c_custkey"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    // events: ts is INT64 nanos under the legacy conf (see
-    // Tables.events); written back as INT64 it reads identically
+    // events: ts round-trips whichever layout the fixture has (INT64
+    // nanos under the legacy conf, or native TIMESTAMP(MICROS) — see
+    // Tables.events); the replicated copy reads back identically
+    // because the loader adapts to the written type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate(spark.read.parquet(s"$src/events.parquet"), factor,
       keyCols = Seq("event_id", "user_id"))

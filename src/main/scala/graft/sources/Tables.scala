@@ -26,27 +26,36 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /**
-   * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-   * Spark parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We
-   * read nanos as a plain INT64 via the legacy conf and convert to
-   * microsecond `TimestampType` ourselves. The conversion uses integer
-   * division (`div`), never float division: nanosecond epoch values
-   * (~1.7e18) exceed 2^53 and would be silently corrupted by a round
-   * trip through Double.
+   * `events.parquet` has shipped with two physical layouts for `ts`
+   * across fixture generations, so the loader adapts to the file:
    *
-   * The original nanosecond value is preserved as `ts_ns` for callers
-   * that need full precision (e.g. deterministic ordering).
+   *  - TIMESTAMP(NANOS): the Spark parquet reader rejects it outright
+   *    ([PARQUET_TYPE_ILLEGAL]); we read nanos as a plain INT64 via the
+   *    legacy conf and convert to microsecond `TimestampType` ourselves.
+   *    The conversion uses integer division (`div`), never float
+   *    division: nanosecond epoch values (~1.7e18) exceed 2^53 and
+   *    would be silently corrupted by a round trip through Double.
+   *  - TIMESTAMP(MICROS) (current fixtures, and Spark-written copies
+   *    such as the 10x blow-up): reads natively — as TIMESTAMP_NTZ when
+   *    the file is not UTC-adjusted — and a plain cast to
+   *    `TimestampType` under the fixed UTC session keeps the wall-clock
+   *    identical to the nanos path.
+   *
+   * The nanosecond epoch value is preserved as `ts_ns` for callers that
+   * need a total order (`unix_micros * 1000` on the micros layout — the
+   * same value the nanos layout carries, micro-truncated).
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").selectExpr(
-      "event_id",
-      "timestamp_micros(ts div 1000) AS ts",
-      "ts AS ts_ns",
-      "user_id",
-      "event_type",
-      "value",
-      "props"
-    )
+    val raw = load(spark, dir, "events")
+    val tsCols = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        Seq("timestamp_micros(ts div 1000) AS ts", "ts AS ts_ns")
+      case _ =>
+        Seq("cast(ts AS timestamp) AS ts",
+          "unix_micros(cast(ts AS timestamp)) * 1000 AS ts_ns")
+    }
+    raw.selectExpr(
+      Seq("event_id") ++ tsCols ++ Seq("user_id", "event_type", "value", "props"): _*)
   }
 }

@@ -18,8 +18,9 @@ import graft.ops.Exact._
  */
 object EventStream {
 
-  /** Read schema for the raw events parquet: `ts` arrives as INT64
-    * nanos (see [[graft.sources.Tables.events]]). */
+  /** Read schema for the raw events parquet when `ts` arrives as INT64
+    * nanos (see [[graft.sources.Tables.events]] — the micros layout is
+    * probed from the file footer instead). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -51,12 +52,22 @@ object EventStream {
     } else path
   }
 
-  /** Streaming scan of an events parquet path. */
+  /** Streaming scan of an events parquet path. The file stream source
+    * needs a declared schema, so the batch reader probes the footer
+    * once: `ts` may be INT64 nanos (legacy fixture layout, surfaced as
+    * LongType under the legacy conf) or TIMESTAMP(MICROS) (current
+    * fixtures) — see [[graft.sources.Tables.events]]. Both normalize to
+    * the same microsecond `TimestampType` column. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(streamableDir(path))
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-        "user_id", "event_type", "value", "props")
+    val dir = streamableDir(path)
+    val fileSchema = spark.read.parquet(dir).schema
+    val tsExpr = fileSchema("ts").dataType match {
+      case LongType => "timestamp_micros(ts div 1000) AS ts"
+      case _        => "cast(ts AS timestamp) AS ts"
+    }
+    spark.readStream.schema(fileSchema).parquet(dir)
+      .selectExpr("event_id", tsExpr, "user_id", "event_type", "value", "props")
   }
 
   /** The shared (batch ≡ stream) hourly aggregation: tumbling 1-hour
