@@ -386,6 +386,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(nSort == 1, s"expected exactly one sort of the fact rows:\n$p")
   }
 
+  test("io14: the refresh merges stored partials — history is never re-aggregated from raw events") {
+    val (merged, store) = StorageQueries.incrementalBars(spark, dir)
+    val p = merged.queryExecution.executedPlan.toString
+    // the store scan must surface the PARTIAL schema (the arg-min/max
+    // carrier columns) — reading back plain bars would mean the merge
+    // recomputes open/close from raw history
+    assert(p.contains("open_eid") && p.contains("close_eid"),
+      s"expected partial-aggregate store columns in the refresh plan:\n$p")
+    assert(p.contains(store), s"expected the partial store scan:\n$p")
+    // raw events appear ONLY under the delta filter and the 1-row cutoff
+    // probe — a third scan means the merge quietly re-read history
+    val rawScans = "events.parquet".r.findAllIn(p).size
+    assert(rawScans == 2, s"expected delta + cutoff scans only, got $rawScans:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
