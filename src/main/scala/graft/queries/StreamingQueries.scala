@@ -77,8 +77,11 @@ object StreamingQueries {
   // via BOOL_OR, money in exact integer cents. The WHERE restricts
   // both engines to the finalized region (sessions ending ≥ delay +
   // gap + 1 h margin behind the corpus max — see sessionStateReplay).
-  private val st06Oracle =
-    """WITH m AS (
+  // Shared session CTE chain (st06 + st16): gap sessionization with the
+  // same (tus, event_id) ordering and cents math the stateful stream
+  // uses, plus the finalized-region cutoff.
+  private val sessCtes =
+    """m AS (
       |  SELECT MAX(epoch_us(ts)) - 12600000000 AS cutoff FROM events),
       |seq AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value,
@@ -95,7 +98,10 @@ object StreamingQueries {
       |sess2 AS (
       |  SELECT user_id, event_id, tus, event_type, value, sid,
       |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid ORDER BY tus, event_id) AS first_type
-      |  FROM sess),
+      |  FROM sess)""".stripMargin
+
+  private val st06Oracle =
+    s"""WITH $sessCtes,
       |agg AS (
       |  SELECT user_id, sid,
       |    MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
@@ -108,6 +114,25 @@ object StreamingQueries {
       |  sum_cents, first_type, has_purchase
       |FROM agg CROSS JOIN m
       |WHERE session_end_us <= m.cutoff""".stripMargin
+
+  // st16 batch parity: q41's attribution chain over the FINALIZED
+  // sessions only (the streamed result can never include a session the
+  // watermark has not closed). Purchase money re-aggregates per session
+  // first, matching the stream's per-session accumulators.
+  private val st16Oracle =
+    s"""WITH $sessCtes,
+      |agg AS (
+      |  SELECT user_id, sid, MAX(tus) AS session_end_us,
+      |    MIN(first_type) AS first_type,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |    COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+      |      FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cents
+      |  FROM sess2 GROUP BY user_id, sid)
+      |SELECT first_type, CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(purchase_cents) AS BIGINT) AS revenue_cents
+      |FROM agg CROSS JOIN m
+      |WHERE session_end_us <= m.cutoff AND n_purchases > 0
+      |GROUP BY 1""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle), headline = true),
@@ -159,5 +184,11 @@ object StreamingQueries {
     // moments) fits in batch, the stream scores statelessly through
     // the same broadcast projection
     GraftQuery("st15_stream_zscore",
-      EventStream.zscoreReplay, Some(QualityQueries.dq11Oracle)))
+      EventStream.zscoreReplay, Some(QualityQueries.dq11Oracle)),
+    // st16: q41's attribution report folded from the stateful
+    // sessionizer's emitted sessions — the per-session purchase
+    // accumulators make the report a 5-row aggregate of state output,
+    // with no second pass over raw events
+    GraftQuery("st16_stream_attribution",
+      EventStream.attributionStateReplay, Some(st16Oracle)))
 }

@@ -502,14 +502,16 @@ object EventStream {
     * even across ts ties. Money is held in exact integer cents. */
   final case class OpenSession(start_us: Long, last_us: Long, n_events: Long,
                                sum_cents: Long, first_ts: Long, first_id: Long,
-                               first_type: String, has_purchase: Boolean)
+                               first_type: String, has_purchase: Boolean,
+                               n_purchases: Long, purchase_cents: Long)
 
   final case class SessionState(open: Seq[OpenSession])
 
   final case class SessionOut(user_id: Long, session_start_us: Long,
                               session_end_us: Long, n_events: Long,
                               sum_cents: Long, first_type: String,
-                              has_purchase: Boolean)
+                              has_purchase: Boolean, n_purchases: Long,
+                              purchase_cents: Long)
 
   /** Exact cents from a 2-dp double: shortest-decimal repr shifted two
     * places — `12.34` → 1234 with no float residue (the same
@@ -542,7 +544,9 @@ object EventStream {
           if (firstIsC) c.first_ts else s.first_ts,
           if (firstIsC) c.first_id else s.first_id,
           if (firstIsC) c.first_type else s.first_type,
-          c.has_purchase || s.has_purchase)
+          c.has_purchase || s.has_purchase,
+          c.n_purchases + s.n_purchases,
+          c.purchase_cents + s.purchase_cents)
       } else out += s
     }
     out.toSeq
@@ -563,8 +567,10 @@ object EventStream {
     val existing = state.getOption.map(_.open).getOrElse(Seq.empty)
     val incoming = rows.map { e =>
       val t = microsOf(e.ts)
+      val isPurchase = e.event_type == "purchase"
       OpenSession(t, t, 1L, cents(e.value), t, e.event_id, e.event_type,
-        e.event_type == "purchase")
+        isPurchase, if (isPurchase) 1L else 0L,
+        if (isPurchase) cents(e.value) else 0L)
     }.toSeq
     val merged = mergeSessions(existing ++ incoming, gapUs)
     val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -580,7 +586,7 @@ object EventStream {
     }
     done.sortBy(s => (s.start_us, s.first_id)).iterator.map(s =>
       SessionOut(userId, s.start_us, s.last_us, s.n_events, s.sum_cents,
-        s.first_type, s.has_purchase))
+        s.first_type, s.has_purchase, s.n_purchases, s.purchase_cents))
   }
 
   /** Microseconds of a `"30 minutes"`-style interval literal (day-time
@@ -635,6 +641,38 @@ object EventStream {
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val cutoff = maxUs - (2L * 3600 + 1800 + 3600) * 1000000L
     val out = spark.table(name).filter(col("session_end_us") <= cutoff)
+      // st06's gated shape predates the purchase accumulators; they are
+      // st16's surface
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("sum_cents"), col("first_type"),
+        col("has_purchase"))
+    out.cache().count()
+    out
+  }
+
+  /**
+   * st16: first-touch revenue attribution (q41's report) computed from
+   * the STREAMING sessionizer's state — each finalized session already
+   * carries its entry type and exact purchase cents, so attribution is
+   * a 5-row fold over emitted sessions, never a second pass across raw
+   * events. Restricted to the finalized region like st06 (same cutoff),
+   * so the oracle is q41's chain over sessions ending before it.
+   */
+  def attributionStateReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_attribution"
+    spark.catalog.dropTempView(name)
+    val q = sessionizeWithState(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxUs - (2L * 3600 + 1800 + 3600) * 1000000L
+    val out = spark.table(name)
+      .filter(col("session_end_us") <= cutoff && col("n_purchases") > 0)
+      .groupBy(col("first_type"))
+      .agg(sum(col("n_purchases")).as("n_purchases"),
+        sum(col("purchase_cents")).as("revenue_cents"))
     out.cache().count()
     out
   }
