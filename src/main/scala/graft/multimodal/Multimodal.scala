@@ -553,7 +553,18 @@ object Multimodal {
    * the decoded pixels bit-for-bit. Fixture side of mm11's real
    * multi-frame decode gate (mirrors [[renderPng]]/[[renderWav]]).
    */
-  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    renderGif(seed, w, h, nFrames, 0)
+
+  /** [[renderGif]] starting at base-sequence frame `startFrame`: the
+    * encoded GIF carries frames `startFrame until nFrames` of seed's
+    * sequence — a TRIMMED re-encode of the same footage, the canonical
+    * duplicated-video case (re-uploads cut the first seconds) mm15's
+    * near-dup detector must catch. Frame indices keep their base
+    * numbering, so the trimmed copy's decoded frames hash identically
+    * to the base's frames ≥ startFrame. */
+  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int,
+                startFrame: Int): Array[Byte] = {
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val baos = new java.io.ByteArrayOutputStream()
@@ -562,7 +573,7 @@ object Multimodal {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      var f = 0
+      var f = startFrame
       while (f < nFrames) {
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
@@ -658,6 +669,68 @@ object Multimodal {
         }
       })
       .toDF("media_id", "frame_idx", "n_frames", "frame_hash")
+  }
+
+  /** Offset separating trimmed-variant media ids from their base ids —
+    * far above any fixture doc_id, so `variant - TrimVariantOffset`
+    * recovers the base. */
+  val TrimVariantOffset = 1000000000L
+
+  /** [[mediaWithRealVideos]] plus a TRIMMED re-encode (first frame cut,
+    * [[renderGif]]'s startFrame form) of every other video — the
+    * near-duplicate population mm15 must separate from unrelated
+    * footage. Variant ids are base + [[TrimVariantOffset]]. */
+  def mediaWithTrimmedVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].filter(_ % 3 == 2).flatMap { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val n = gifFrameCount(id)
+      val base = MediaRow(id, "video", renderGif(id, w, h, n), w, h, 0)
+      if (id % 6 == 5)
+        Seq(base, MediaRow(id + TrimVariantOffset, "video",
+          renderGif(id, w, h, n, 1), w, h, 0))
+      else Seq(base)
+    }.toDF()
+  }
+
+  // decode-once guard for the near-dup plan: the frame-hash projection
+  // feeds three join positions (both self-join sides and the size
+  // frame); without a persist each would re-run the full GIF decode
+  private val frameHashCache = new graft.util.PlanCache(maxEntries = 4)
+
+  /** Unpersist the memoized frame-hash projections. */
+  def releaseCaches(): Unit = frameHashCache.clear()
+
+  /**
+   * Video-level near-duplicates from frame-fingerprint overlap: two
+   * videos are near-dups when the Jaccard similarity of their DISTINCT
+   * frame-hash sets reaches `minJaccard` — which catches trims,
+   * re-encodes, and re-uploads that share most footage. The pair
+   * search is the inverted-index plan (tx13's shape): hashes equi-join
+   * on the fingerprint so only videos sharing at least one frame ever
+   * meet, and the shared count per pair comes from the join's group-by
+   * — no all-pairs enumeration at any point. Payloads stay inside the
+   * one decode pass ([[videoFrameHashes]]); everything after runs on
+   * ~16-byte (id, hash) rows, and the per-video size frame broadcasts.
+   */
+  def videoNearDups(media: DataFrame, minJaccard: Double): DataFrame = {
+    val fh = frameHashCache.persisted(
+      videoFrameHashes(media).select(col("media_id"), col("frame_hash")).distinct())
+    val sizes = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    fh.as("a").join(fh.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("media_id").as("id_a"), col("n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("media_id").as("id_b"), col("n").as("n_b"))), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("jaccard"))
   }
 
   /**

@@ -605,6 +605,59 @@ object MultimodalQueries {
        |FROM g GROUP BY media_id, seg_id""".stripMargin
   }
 
+  // ---- mm15: video-level near-duplicate detection — the trimmed
+  //      re-upload case: every other fixture video ships alongside a
+  //      REAL re-encode with its first frame cut, and the operator
+  //      must pair each variant with its base (frame-hash-set Jaccard
+  //      ≥ 0.5) while leaving unrelated footage unpaired. The pair
+  //      search is the inverted-index plan over decoded frame hashes
+  //      (no all-pairs); the oracle rebuilds both videos' hash sets
+  //      from the fixture's pixel formula alone (mm11's independence
+  //      recipe — trimmed frames keep base numbering, so the variant's
+  //      set is the base's minus frame 0) and recomputes the same
+  //      Jaccard join in SQL. ----
+  private def mm15(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDups(
+      Multimodal.mediaWithTrimmedVideos(Tables.documents(spark, dir)),
+      minJaccard = 0.5)
+
+  private def mm15OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val n = Multimodal.gifFrameCount(id)
+        val base = (0 until n).flatMap(f =>
+          ReferenceHashes.gifFrameHash64(id, w, h, f)
+            .map(hash => s"($id, $hash)"))
+        val variant =
+          if (id % 6 == 5)
+            (1 until n).flatMap(f =>
+              ReferenceHashes.gifFrameHash64(id, w, h, f)
+                .map(hash => s"(${id + Multimodal.TrimVariantOffset}, $hash)"))
+          else Seq.empty
+        base ++ variant
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH fh(media_id, frame_hash) AS ($vals),
+       |d AS (SELECT DISTINCT media_id, frame_hash FROM fh),
+       |sz AS (SELECT media_id, COUNT(*) AS n FROM d GROUP BY 1),
+       |sh AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+       |  FROM d a JOIN d b
+       |    ON a.frame_hash = b.frame_hash AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM sh
+       |JOIN sz sa ON sa.media_id = id_a
+       |JOIN sz sb ON sb.media_id = id_b
+       |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -627,5 +680,7 @@ object MultimodalQueries {
     GraftQuery("mm13_audio_segments", mm13, None,
       oracleGen = Some(mm13OracleGen)),
     GraftQuery("mm14_channel_stats", mm14, None,
-      oracleGen = Some(mm14OracleGen)))
+      oracleGen = Some(mm14OracleGen)),
+    GraftQuery("mm15_video_near_dup", mm15, None,
+      oracleGen = Some(mm15OracleGen)))
 }

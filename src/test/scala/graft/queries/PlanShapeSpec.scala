@@ -386,6 +386,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(nSort == 1, s"expected exactly one sort of the fact rows:\n$p")
   }
 
+  test("mm15: every trimmed variant pairs with exactly its base; payloads never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    graft.multimodal.Multimodal.releaseCaches()
+    val conf = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(conf)
+    val (rows, exec) =
+      try {
+        spark.conf.set(conf, "false")
+        val df = Registry.byName("mm15_video_near_dup").run(spark, dir)
+        (df.collect(), df.queryExecution.executedPlan)
+      } finally spark.conf.set(conf, saved)
+    // the GIF bytes must be stripped to (id, hash) rows at the decode
+    // boundary — a binary column in any exchange means videos shuffle
+    exec.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"binary column crosses a shuffle: ${e.output}")
+    }
+    // semantics: the near-dup set is exactly {variant -> its base}
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 6 == 5)
+      .map(id => (id, id + graft.multimodal.Multimodal.TrimVariantOffset)).toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+    graft.multimodal.Multimodal.releaseCaches()
+  }
+
   test("io14: the refresh merges stored partials — history is never re-aggregated from raw events") {
     val (merged, store) = StorageQueries.incrementalBars(spark, dir)
     val p = merged.queryExecution.executedPlan.toString
