@@ -57,10 +57,26 @@ object BenchData {
   private val tables = Seq("documents", "embeddings", "lineitem",
     "orders", "customer", "events") ++ dims
 
+  /** Fingerprint of the SOURCE fixture files (size + mtime per table):
+    * folded into the blow-up dir name so a driver-side fixture
+    * regeneration invalidates every derived dir automatically — a
+    * version bump only tracks CONSTRUCTION changes, and reusing a
+    * blow-up derived from replaced fixtures would time (and gate)
+    * against data that no longer exists. */
+  private def sourceFingerprint(srcDir: String): String = {
+    val sig = tables.sorted.map { t =>
+      val f = new java.io.File(srcDir, s"$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sig.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
+    val fp = sourceFingerprint(srcDir)
     val dst = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-blowup-${factor}x-$Version")
+      s"graft-blowup-${factor}x-$Version-$fp")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
       dst.mkdirs()
@@ -78,7 +94,7 @@ object BenchData {
         s""""$t":$n"""
       }.mkString(",")
       java.nio.file.Files.write(marker.toPath,
-        (s"""{"version":"$Version","factor":$factor,"rows":{$counts}}""" + "\n")
+        (s"""{"version":"$Version","factor":$factor,"source_fp":"$fp","rows":{$counts}}""" + "\n")
           .getBytes("UTF-8"))
     }
     dst.toString
