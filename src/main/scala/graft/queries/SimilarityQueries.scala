@@ -420,6 +420,43 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  // ---- sim10: semantic deduplication — the SemDeDup-shaped PRUNE on
+  //      top of sim06's bucketed pair search: any vector with a
+  //      smaller-id embedding-cosine near-duplicate drops, and the
+  //      surviving corpus (id + label) is the output. The dup-id set is
+  //      pair-bounded (≪ corpus), so the prune is a broadcast anti-join
+  //      — the corpus scan never shuffles. Cosine determinism is
+  //      sim04's contract (ROUND to 4 dp before the threshold). ----
+  private def sim10(spark: SparkSession, dir: String): DataFrame = {
+    val dups = Similarity
+      .nearDupPairs(emb(spark, dir), threshold = 0.3, dim = Dim, bits = 4)
+      .select(col("id_b").as("vec_id")).distinct()
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(broadcast(dups), Seq("vec_id"), "left_anti")
+  }
+
+  private val sim10Oracle =
+    s"""WITH ${sigCte(4)},
+       |$normsCte,
+       |pairs AS (
+       |  SELECT id_a, id_b, SUM(xa * xb) AS dot FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      CAST(UNNEST(a.embedding) AS DOUBLE) AS xa,
+       |      CAST(UNNEST(b.embedding) AS DOUBLE) AS xb
+       |    FROM embeddings a
+       |    JOIN sig sa ON sa.vec_id = a.vec_id
+       |    JOIN sig sb ON sb.bucket = sa.bucket
+       |    JOIN embeddings b ON b.vec_id = sb.vec_id
+       |    WHERE a.vec_id < b.vec_id) z
+       |  GROUP BY id_a, id_b),
+       |dup AS (
+       |  SELECT DISTINCT p.id_b FROM pairs p
+       |  JOIN norms na ON na.vec_id = p.id_a
+       |  JOIN norms nb ON nb.vec_id = p.id_b
+       |  WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE e.vec_id NOT IN (SELECT id_b FROM dup)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -432,5 +469,6 @@ object SimilarityQueries {
     GraftQuery("sim06_bucketed_near_dup", sim06, Some(sim06Oracle)),
     GraftQuery("sim07_quantize", sim07, Some(sim07Oracle)),
     GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)),
-    GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)))
+    GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)),
+    GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)))
 }

@@ -61,6 +61,11 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     "mm08_frame_sample", "st09_stream_media_hashes", "mm03_media_inventory",
     "mm14_channel_stats",
     "q13_line_metrics", "tx14_corpus_prep", "tx15_lsh_cap_witness",
+    # sim10's oracle re-runs the within-bucket pair scoring in DuckDB:
+    # ~12.5M pairs x 64-dim unnest at this tier's 20k vectors — the
+    # same within-bucket cost model as the excluded sim06; the prune
+    # stays gated at sf0.01 + sf0.1
+    "sim10_semantic_dedup",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
