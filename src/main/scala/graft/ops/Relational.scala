@@ -68,6 +68,43 @@ object Relational {
   }
 
   /**
+   * Apply a CDC change feed (op ∈ I/U/D, ordered per key by `seq`) to a
+   * base table: for each key the LATEST change wins — U replaces the
+   * payload wholesale, D removes the row, I inserts a key the base does
+   * not have; keys without changes pass through untouched. This is the
+   * lakehouse change-data-capture merge (Debezium-style feeds) with
+   * delete support, which plain [[upsert]] lacks.
+   *
+   * Scale shape: only the FEED ever shuffles (one hash aggregate to
+   * keep the per-key latest change — feeds are deltas, orders of
+   * magnitude smaller than the base); the base table takes a single
+   * broadcast left join + filter, so a 100 TB base is never
+   * re-partitioned to absorb a day of changes. Inserts are authoritative
+   * by op contract (an I key is absent from the base — the feed producer's
+   * invariant), so no base-side anti-join exists to drag the base
+   * through an exchange.
+   *
+   * `changes` must carry `op`/`seq` plus exactly the base's columns.
+   */
+  def applyChangeFeed(base: DataFrame, changes: DataFrame, key: String,
+                      seq: String = "seq", op: String = "op"): DataFrame = {
+    val payload = base.columns.filter(_ != key).toSeq
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max_by(struct(col(op) +: payload.map(col): _*), col(seq)).as("__c"))
+      .select(col(key).as("__k"), col("__c"))
+    val joined = base.join(broadcast(latest), col(key) === col("__k"), "left")
+    val survivors = joined
+      .filter(col("__c").isNull || col("__c").getField(op) === "U")
+      .select(col(key) +: payload.map(c =>
+        when(col("__c").isNull, col(c))
+          .otherwise(col("__c").getField(c)).as(c)): _*)
+    val inserts = latest.filter(col("__c").getField(op) === "I")
+      .select(col("__k").as(key) +: payload.map(c => col("__c").getField(c).as(c)): _*)
+    survivors.unionByName(inserts)
+  }
+
+  /**
    * FLATTEN a map column into (key, value) rows — inner semantics: an
    * empty/NULL map yields no rows, matching Snowflake FLATTEN's default
    * `OUTER => FALSE`.

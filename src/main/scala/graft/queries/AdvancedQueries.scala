@@ -784,6 +784,86 @@ object AdvancedQueries {
       |FROM attributed WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  // ---- q42: market-basket co-occurrence — which event types appear
+  //      TOGETHER in a session, scored by lift (the association-rule
+  //      report behind "users who X also Y"). Sessions come from q41's
+  //      single-window chain (gap cut + running sum on ONE (user; time,
+  //      id) spec); baskets are the DISTINCT (user, session, type)
+  //      frame, so a type repeated in a session counts once. Pairs are
+  //      a self-join on the session key — bounded at C(|types|, 2)
+  //      rows per session, and every per-type/total frame is
+  //      report-sized and broadcasts. Lift = n_both·N / (n_a·n_b)
+  //      stays a division of exact integers, identical on any IEEE
+  //      engine. ----
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nSessions = baskets.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.sid") === col("b.sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast(org.apache.spark.sql.types.DoubleType) * col("n_sessions") /
+          (col("n_a") * col("n_b"))).as("lift"))
+  }
+
+  private val q42Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s FROM seq),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |baskets AS (
+      |  SELECT DISTINCT user_id, sid, event_type FROM sess),
+      |m AS (SELECT COUNT(*) AS n_sessions
+      |      FROM (SELECT DISTINCT user_id, sid FROM baskets) s),
+      |tc AS (SELECT event_type, COUNT(*) AS n_type FROM baskets GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM baskets a JOIN baskets b
+      |    ON a.user_id = b.user_id AND a.sid = b.sid
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  ta.n_type AS n_a, tb.n_type AS n_b, p.n_both,
+      |  CAST(p.n_both AS DOUBLE) * m.n_sessions / (ta.n_type * tb.n_type) AS lift
+      |FROM pairs p
+      |JOIN tc ta ON ta.event_type = p.type_a
+      |JOIN tc tb ON tb.event_type = p.type_b
+      |CROSS JOIN m""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -806,5 +886,6 @@ object AdvancedQueries {
     GraftQuery("q37_peak_concurrency", q37, Some(q37Oracle)),
     GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)),
     GraftQuery("q39_user_growth", q39, Some(q39Oracle)),
-    GraftQuery("q41_attribution", q41, Some(q41Oracle)))
+    GraftQuery("q41_attribution", q41, Some(q41Oracle)),
+    GraftQuery("q42_basket_lift", q42, Some(q42Oracle)))
 }

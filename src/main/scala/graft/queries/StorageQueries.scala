@@ -530,6 +530,82 @@ object StorageQueries {
   private val io14Oracle =
     s"WITH ${MarketPulseQueries.barsCte} SELECT * FROM bars"
 
+  // ---- io15: CDC change-feed apply — the Debezium-shaped merge a
+  //      lakehouse table needs and plain MERGE-upsert (q15/S7) cannot
+  //      express: inserts, whole-row updates, AND deletes, ordered per
+  //      key by a sequence number, latest-wins. The feed is synthesized
+  //      deterministically from the fixture (every 3rd key updated,
+  //      every 5th deleted — %15 keys exercise the U-then-D ordering —
+  //      and a disjoint negative-key insert per 7th key), so DuckDB
+  //      rebuilds the identical feed and applies it its own way. Scale
+  //      shape per `Relational.applyChangeFeed`: only the feed shuffles;
+  //      the base takes one broadcast join, never an exchange. ----
+  private def io15(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def rows(pred: org.apache.spark.sql.Column, op: String, seqNo: Long,
+             custkey: org.apache.spark.sql.Column, status: org.apache.spark.sql.Column,
+             total: org.apache.spark.sql.Column, prio: org.apache.spark.sql.Column,
+             keyExpr: org.apache.spark.sql.Column) =
+      o.filter(pred).select(
+        keyExpr.as("o_orderkey"), lit(op).as("op"), lit(seqNo).as("seq"),
+        custkey.as("o_custkey"), status.as("o_orderstatus"),
+        total.as("o_totalprice"), col("o_orderdate"),
+        prio.as("o_orderpriority"))
+    val changes =
+      rows(col("o_orderkey") % 3 === 0, "U", 1L, col("o_custkey"),
+        lit("UPDATED"), col("o_totalprice") + 100.0, col("o_orderpriority"),
+        col("o_orderkey"))
+      .unionByName(rows(col("o_orderkey") % 5 === 0, "D", 2L, col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"),
+        col("o_orderkey")))
+      .unionByName(rows(col("o_orderkey") % 7 === 0, "I", 1L, col("o_custkey"),
+        lit("NEW"), lit(1.0), lit("5-LOW"), -col("o_orderkey") - 1))
+    graft.ops.Relational.applyChangeFeed(o, changes, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+          .cast(org.apache.spark.sql.types.StringType).as("orderdate"),
+        col("o_orderpriority"))
+  }
+
+  private val io15Oracle =
+    """WITH changes AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_custkey,
+      |    'UPDATED' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 2, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, 'I', 1, o_custkey, 'NEW', 1.0,
+      |    o_orderdate, '5-LOW'
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM changes) t
+      |  WHERE rn = 1),
+      |surv AS (
+      |  SELECT o.o_orderkey,
+      |    CASE WHEN l.k IS NULL THEN o.o_custkey ELSE l.o_custkey END AS o_custkey,
+      |    CASE WHEN l.k IS NULL THEN o.o_orderstatus ELSE l.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN l.k IS NULL THEN o.o_totalprice ELSE l.o_totalprice END AS o_totalprice,
+      |    CASE WHEN l.k IS NULL THEN o.o_orderdate ELSE l.o_orderdate END AS o_orderdate,
+      |    CASE WHEN l.k IS NULL THEN o.o_orderpriority ELSE l.o_orderpriority END AS o_orderpriority
+      |  FROM orders o LEFT JOIN latest l ON l.k = o.o_orderkey
+      |  WHERE l.k IS NULL OR l.op = 'U'),
+      |ins AS (
+      |  SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM latest WHERE op = 'I'),
+      |unioned AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+      |  o_orderpriority
+      |FROM unioned""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -546,5 +622,6 @@ object StorageQueries {
     GraftQuery("io11_bloom_join", io11, Some(io11Oracle)),
     GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)),
     GraftQuery("io13_reconciliation", io13, Some(io13Oracle)),
-    GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle)))
+    GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle)),
+    GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)))
 }

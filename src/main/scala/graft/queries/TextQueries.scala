@@ -1202,6 +1202,62 @@ object TextQueries {
       |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
       |WHERE levenshtein(a.pre, c.pre) <= 64""".stripMargin
 
+  // ---- tx33: multi-term retrieval — the search-side consumer of the
+  //      tx12 statistics: rank documents containing ALL query terms by
+  //      summed tf-idf. The term list is a literal (broadcast-sized by
+  //      nature), so the corpus explode filters to query terms
+  //      MAP-SIDE before any aggregation — the per-doc frame that
+  //      shuffles carries at most |terms| rows per matching doc, and
+  //      the df/N statistics for three terms are single-digit rows.
+  //      Per-term scores scale to exact integers (×10⁴, the cosine
+  //      rounding rule) BEFORE the per-doc sum, so the sum is
+  //      order-free integer math and the final score a single exact
+  //      division — no float fold order anywhere. AND semantics via
+  //      matched-term count; top-10 with doc_id tiebreak. ----
+  private val Tx33Terms = Seq("spark", "window", "join")
+
+  private def tx33(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Tx33Terms: _*))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(col("tf") * log(col("n").cast(DoubleType) / col("df")) * 10000)
+          .cast(LongType).as("s"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_i"))
+      .filter(col("n_terms") === Tx33Terms.size)
+      .select(col("doc_id"),
+        (col("score_i").cast(DoubleType) / 10000.0).as("score"))
+    graft.ops.Relational.topKPerGroup(
+      perDoc.withColumn("__g", lit(1)), Seq("__g"),
+      Seq(col("score").desc, col("doc_id")), 10, rankName = "rank")
+      .select("doc_id", "score", "rank")
+  }
+
+  private val tx33Oracle =
+    """WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT doc_id, term FROM t WHERE term IN ('spark', 'window', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) AS BIGINT) AS s
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_terms, SUM(s) AS score_i
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, score, rank FROM (
+      |  SELECT doc_id, CAST(score_i AS DOUBLE) / 10000.0 AS score,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(score_i AS DOUBLE) / 10000.0 DESC, doc_id) AS rank
+      |  FROM agg WHERE n_terms = 3) z
+      |WHERE rank <= 10""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1240,5 +1296,6 @@ object TextQueries {
     GraftQuery("tx29_corpus_delivery", tx29, Some(tx29Oracle)),
     GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)),
     GraftQuery("tx31_bigram_rarity", tx31, Some(tx31Oracle)),
-    GraftQuery("tx32_fuzzy_dedup", tx32, Some(tx32Oracle)))
+    GraftQuery("tx32_fuzzy_dedup", tx32, Some(tx32Oracle)),
+    GraftQuery("tx33_search_rank", tx33, Some(tx33Oracle)))
 }

@@ -24,6 +24,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(("a", 1), ("b", 20), ("c", 30)))
   }
 
+  test("applyChangeFeed: latest op wins — U replaces, D removes, I inserts, untouched keys pass through") {
+    val base = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v")
+    val changes = Seq(
+      ("a", "U", 1L, 10),  // plain update
+      ("b", "U", 1L, 20), ("b", "D", 2L, 0),   // update then delete: D wins
+      ("c", "D", 1L, 0), ("c", "U", 2L, 30),   // delete then update: U wins
+      ("e", "I", 1L, 50)                        // insert of a new key
+    ).toDF("k", "op", "seq", "v")
+    val out = Relational.applyChangeFeed(base, changes, "k")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 10), ("c", 30), ("d", 4), ("e", 50)))
+  }
+
   test("flattenMap explodes inner-style: empty maps produce no rows") {
     val df = Seq(
       ("a", Map("x" -> 1, "y" -> 2)),

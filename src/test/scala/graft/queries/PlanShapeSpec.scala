@@ -430,6 +430,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(rawScans == 2, s"expected delta + cutoff scans only, got $rawScans:\n$p")
   }
 
+  test("io15: CDC apply broadcasts the latest-change frame — the base never shuffles") {
+    val p = plan("io15_cdc_apply")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast change join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base-side shuffle crept in:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
