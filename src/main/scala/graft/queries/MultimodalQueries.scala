@@ -681,6 +681,6 @@ object MultimodalQueries {
       oracleGen = Some(mm13OracleGen)),
     GraftQuery("mm14_channel_stats", mm14, None,
       oracleGen = Some(mm14OracleGen)),
-    GraftQuery("mm15_video_near_dup", mm15, None,
+    GraftQuery("mm15_video_near_dup", mm15, None, headline = true,
       oracleGen = Some(mm15OracleGen)))
 }

@@ -622,6 +622,6 @@ object StorageQueries {
     GraftQuery("io11_bloom_join", io11, Some(io11Oracle)),
     GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)),
     GraftQuery("io13_reconciliation", io13, Some(io13Oracle)),
-    GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle)),
+    GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle), headline = true),
     GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)))
 }
