@@ -540,7 +540,9 @@ object StorageQueries {
   //      rebuilds the identical feed and applies it its own way. Scale
   //      shape per `Relational.applyChangeFeed`: only the feed shuffles;
   //      the base takes one broadcast join, never an exchange. ----
-  private def io15(spark: SparkSession, dir: String): DataFrame = {
+  /** io15's deterministic change feed (shared with st17's streaming
+    * replay, which must apply the IDENTICAL feed out of order). */
+  private[graft] def cdcFeed(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def rows(pred: org.apache.spark.sql.Column, op: String, seqNo: Long,
              custkey: org.apache.spark.sql.Column, status: org.apache.spark.sql.Column,
@@ -560,15 +562,23 @@ object StorageQueries {
         col("o_orderkey")))
       .unionByName(rows(col("o_orderkey") % 7 === 0, "I", 1L, col("o_custkey"),
         lit("NEW"), lit(1.0), lit("5-LOW"), -col("o_orderkey") - 1))
-    graft.ops.Relational.applyChangeFeed(o, changes, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"),
-        col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
-          .cast(org.apache.spark.sql.types.StringType).as("orderdate"),
-        col("o_orderpriority"))
+    changes
   }
 
-  private val io15Oracle =
+  /** The io15/st17 output projection: applied table with the ISO-string
+    * date surface. */
+  private[graft] def cdcProject(applied: DataFrame): DataFrame =
+    applied.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+        .cast(org.apache.spark.sql.types.StringType).as("orderdate"),
+      col("o_orderpriority"))
+
+  private def io15(spark: SparkSession, dir: String): DataFrame =
+    cdcProject(graft.ops.Relational.applyChangeFeed(
+      Tables.orders(spark, dir), cdcFeed(spark, dir), "o_orderkey"))
+
+  private[queries] val io15Oracle =
     """WITH changes AS (
       |  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_custkey,
       |    'UPDATED' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice,

@@ -190,5 +190,12 @@ object StreamingQueries {
     // accumulators make the report a 5-row aggregate of state output,
     // with no second pass over raw events
     GraftQuery("st16_stream_attribution",
-      EventStream.attributionStateReplay, Some(st16Oracle)))
+      EventStream.attributionStateReplay, Some(st16Oracle)),
+    // st17 carries io15's oracle verbatim: the stream maintains only
+    // the per-key latest change (keep-max-seq is order-insensitive
+    // across batches; tombstones block late lower-seq resurrections)
+    // and the final table is ONE batch applyChangeFeed of that state
+    GraftQuery("st17_stream_cdc_apply",
+      graft.streaming.ChangeFeedStream.cdcApplyReplay,
+      Some(StorageQueries.io15Oracle)))
 }
