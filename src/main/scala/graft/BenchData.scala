@@ -74,11 +74,24 @@ object BenchData {
 
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val fp = sourceFingerprint(srcDir)
-    val dst = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-blowup-${factor}x-$Version-$fp")
+    val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dst = new java.io.File(tmpRoot, s"graft-blowup-${factor}x-$Version-$fp")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
+      // a regeneration or version bump strands the previous multi-GB
+      // blow-up; reap every sibling generation before building so /tmp
+      // holds at most one blow-up per factor
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(s"graft-blowup-${factor}x-") &&
+          f.getName != dst.getName)
+        .foreach { stale =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(stale)
+        }
       dst.mkdirs()
       writeDocuments(spark, srcDir, dst.toString, factor)
       writeEmbeddings(spark, srcDir, dst.toString, factor)

@@ -556,14 +556,15 @@ object Multimodal {
   def renderGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
     renderGif(seed, w, h, nFrames, 0)
 
-  /** [[renderGif]] starting at base-sequence frame `startFrame`: the
-    * encoded GIF carries frames `startFrame until nFrames` of seed's
-    * sequence — a TRIMMED re-encode of the same footage, the canonical
-    * duplicated-video case (re-uploads cut the first seconds) mm15's
-    * near-dup detector must catch. Frame indices keep their base
-    * numbering, so the trimmed copy's decoded frames hash identically
-    * to the base's frames ≥ startFrame. */
-  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int,
+  /** [[renderGif]] over the base-sequence frame range
+    * `startFrame until endFrame` (endFrame is EXCLUSIVE — the 4-arg
+    * form passes its frame count here with startFrame 0): a TRIMMED
+    * re-encode of the same footage, the canonical duplicated-video
+    * case (re-uploads cut the first seconds) mm15's near-dup detector
+    * must catch. Frame indices keep their base numbering, so the
+    * trimmed copy's decoded frames hash identically to the base's
+    * frames ≥ startFrame. */
+  def renderGif(seed: Long, w: Int, h: Int, endFrame: Int,
                 startFrame: Int): Array[Byte] = {
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
@@ -574,7 +575,7 @@ object Multimodal {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       var f = startFrame
-      while (f < nFrames) {
+      while (f < endFrame) {
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
         val raster = img.getRaster

@@ -76,24 +76,38 @@ object Relational {
    * delete support, which plain [[upsert]] lacks.
    *
    * Scale shape: only the FEED ever shuffles (one hash aggregate to
-   * keep the per-key latest change — feeds are deltas, orders of
-   * magnitude smaller than the base); the base table takes a single
-   * broadcast left join + filter, so a 100 TB base is never
-   * re-partitioned to absorb a day of changes. Inserts are authoritative
-   * by op contract (an I key is absent from the base — the feed producer's
-   * invariant), so no base-side anti-join exists to drag the base
-   * through an exchange.
+   * keep the per-key latest change); with `broadcastChanges` (the
+   * default — the CDC premise is a feed orders of magnitude smaller
+   * than the base) the base table takes a single broadcast left join +
+   * filter, so a 100 TB base is never re-partitioned to absorb a day
+   * of changes. Pass `broadcastChanges = false` when the feed is NOT
+   * delta-sized (a backfill, a migration) — forcing a broadcast there
+   * trades the shuffle for a driver/broadcast-limit failure, which is
+   * strictly worse. Inserts are authoritative by op contract (an I key
+   * is absent from the base — the feed producer's invariant), so no
+   * base-side anti-join exists to drag the base through an exchange.
    *
    * `changes` must carry `op`/`seq` plus exactly the base's columns.
+   * Per-key `seq` values should be unique (CDC logs are; at-least-once
+   * redeliveries must be byte-identical duplicates); ties are still
+   * resolved TOTALLY — by the change content itself via the struct
+   * comparison below — so the pick is deterministic on any engine
+   * rather than partition-fold order.
    */
   def applyChangeFeed(base: DataFrame, changes: DataFrame, key: String,
-                      seq: String = "seq", op: String = "op"): DataFrame = {
+                      seq: String = "seq", op: String = "op",
+                      broadcastChanges: Boolean = true): DataFrame = {
     val payload = base.columns.filter(_ != key).toSeq
     val latest = changes
       .groupBy(col(key))
-      .agg(max_by(struct(col(op) +: payload.map(col): _*), col(seq)).as("__c"))
+      .agg(max_by(
+        struct(col(op) +: payload.map(col): _*),
+        // (seq, content) — struct ordering compares field-by-field, so
+        // equal seqs break on op then payload instead of fold order
+        struct(col(seq) +: col(op) +: payload.map(col): _*)).as("__c"))
       .select(col(key).as("__k"), col("__c"))
-    val joined = base.join(broadcast(latest), col(key) === col("__k"), "left")
+    val latestSide = if (broadcastChanges) broadcast(latest) else latest
+    val joined = base.join(latestSide, col(key) === col("__k"), "left")
     val survivors = joined
       .filter(col("__c").isNull || col("__c").getField(op) === "U")
       .select(col(key) +: payload.map(c =>

@@ -18,17 +18,6 @@ import graft.ops.Exact._
  */
 object EventStream {
 
-  /** Read schema for the raw events parquet when `ts` arrives as INT64
-    * nanos (see [[graft.sources.Tables.events]] — the micros layout is
-    * probed from the file footer instead). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   // one symlink dir per source file per JVM — repeated streaming
   // queries (4 per Verify run × bench reps) must not accrete temp dirs
   private val symlinkDirs =
@@ -630,8 +619,14 @@ object EventStream {
    * the FINALIZED region: sessions ending at least delay + gap + an
    * hour of batch-boundary margin behind the corpus max timestamp.
    */
-  def sessionStateReplay(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_stream_sessions"
+  /** Run the stateful sessionizer as a streaming query into a memory
+    * sink and return the FINALIZED sessions: the shared harness behind
+    * st06 and st16, so the correctness-critical cutoff (delay + gap +
+    * an hour of batch-boundary margin behind the corpus max) exists in
+    * exactly one place and both replays agree on which sessions are
+    * final. */
+  private def finalizedSessions(spark: SparkSession, dir: String,
+                                name: String): DataFrame = {
     spark.catalog.dropTempView(name)
     val q = sessionizeWithState(readEvents(spark, s"$dir/events.parquet"))
       .writeStream.outputMode("append").format("memory").queryName(name)
@@ -640,7 +635,11 @@ object EventStream {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val cutoff = maxUs - (2L * 3600 + 1800 + 3600) * 1000000L
-    val out = spark.table(name).filter(col("session_end_us") <= cutoff)
+    spark.table(name).filter(col("session_end_us") <= cutoff)
+  }
+
+  def sessionStateReplay(spark: SparkSession, dir: String): DataFrame = {
+    val out = finalizedSessions(spark, dir, "graft_stream_sessions")
       // st06's gated shape predates the purchase accumulators; they are
       // st16's surface
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
@@ -659,17 +658,8 @@ object EventStream {
    * so the oracle is q41's chain over sessions ending before it.
    */
   def attributionStateReplay(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_stream_attribution"
-    spark.catalog.dropTempView(name)
-    val q = sessionizeWithState(readEvents(spark, s"$dir/events.parquet"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val maxUs = graft.sources.Tables.events(spark, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val cutoff = maxUs - (2L * 3600 + 1800 + 3600) * 1000000L
-    val out = spark.table(name)
-      .filter(col("session_end_us") <= cutoff && col("n_purchases") > 0)
+    val out = finalizedSessions(spark, dir, "graft_stream_attribution")
+      .filter(col("n_purchases") > 0)
       .groupBy(col("first_type"))
       .agg(sum(col("n_purchases")).as("n_purchases"),
         sum(col("purchase_cents")).as("revenue_cents"))
