@@ -63,7 +63,7 @@ object BenchData {
     * version bump only tracks CONSTRUCTION changes, and reusing a
     * blow-up derived from replaced fixtures would time (and gate)
     * against data that no longer exists. */
-  private def sourceFingerprint(srcDir: String): String = {
+  private[graft] def sourceFingerprint(srcDir: String): String = {
     val sig = tables.sorted.map { t =>
       val f = new java.io.File(srcDir, s"$t.parquet")
       s"$t:${f.length}:${f.lastModified}"

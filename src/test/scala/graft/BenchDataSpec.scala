@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The blow-up staleness mechanism: the source fingerprint must change
+  * whenever the fixture files do — that is the whole guard against
+  * gating/timing a 10× dir derived from replaced data. */
+class BenchDataSpec extends AnyFunSuite {
+
+  private def makeFixtureDir(sizes: Map[String, Int]): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-spec-").toFile
+    val tables = Seq("documents", "embeddings", "lineitem", "orders",
+      "customer", "events", "region", "nation", "supplier", "part")
+    tables.foreach { t =>
+      val f = new java.io.File(dir, s"$t.parquet")
+      java.nio.file.Files.write(f.toPath, new Array[Byte](sizes.getOrElse(t, 8)))
+    }
+    dir
+  }
+
+  test("sourceFingerprint: stable for unchanged files, flips on size or mtime change") {
+    val dir = makeFixtureDir(Map.empty)
+    val fp1 = BenchData.sourceFingerprint(dir.toString)
+    assert(fp1.matches("[0-9a-f]{8}"))
+    assert(BenchData.sourceFingerprint(dir.toString) == fp1, "must be deterministic")
+
+    // size change on one table → new fingerprint
+    val ev = new java.io.File(dir, "events.parquet")
+    java.nio.file.Files.write(ev.toPath, new Array[Byte](32))
+    val fp2 = BenchData.sourceFingerprint(dir.toString)
+    assert(fp2 != fp1, "size change must invalidate")
+
+    // same size, newer mtime (a regeneration that happens to match
+    // byte count) → still a new fingerprint
+    assert(ev.setLastModified(ev.lastModified() + 60000L))
+    val fp3 = BenchData.sourceFingerprint(dir.toString)
+    assert(fp3 != fp2, "mtime change must invalidate")
+  }
+}

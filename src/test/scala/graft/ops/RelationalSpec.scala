@@ -37,6 +37,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq(("a", 10), ("c", 30), ("d", 4), ("e", 50)))
   }
 
+  test("applyChangeFeed: duplicate (key, seq) resolves by change content, not fold order") {
+    // at-least-once CDC can redeliver a sequence number with a mutated
+    // payload; the pick must be total — (seq, op, payload) struct
+    // ordering — so any engine and any partitioning agree
+    val base = Seq(("a", 1)).toDF("k", "v")
+    val dup = Seq(("a", "U", 1L, 10), ("a", "U", 1L, 99)).toDF("k", "op", "seq", "v")
+    val expected = Seq(("a", 99)) // higher payload wins the struct compare
+    (1 to 8).foreach { parts =>
+      val out = Relational.applyChangeFeed(base, dup.repartition(parts), "k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(out == expected, s"partitioning $parts changed the tie pick: $out")
+    }
+  }
+
   test("flattenMap explodes inner-style: empty maps produce no rows") {
     val df = Seq(
       ("a", Map("x" -> 1, "y" -> 2)),
