@@ -78,20 +78,6 @@ object BenchData {
     val dst = new java.io.File(tmpRoot, s"graft-blowup-${factor}x-$Version-$fp")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
-      // a regeneration or version bump strands the previous multi-GB
-      // blow-up; reap every sibling generation before building so /tmp
-      // holds at most one blow-up per factor
-      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory &&
-          f.getName.startsWith(s"graft-blowup-${factor}x-") &&
-          f.getName != dst.getName)
-        .foreach { stale =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(stale)
-        }
       dst.mkdirs()
       writeDocuments(spark, srcDir, dst.toString, factor)
       writeEmbeddings(spark, srcDir, dst.toString, factor)
@@ -109,6 +95,23 @@ object BenchData {
       java.nio.file.Files.write(marker.toPath,
         (s"""{"version":"$Version","factor":$factor,"source_fp":"$fp","rows":{$counts}}""" + "\n")
           .getBytes("UTF-8"))
+      // a regeneration or version bump strands the previous multi-GB
+      // blow-up: reap stale sibling generations AFTER this build
+      // succeeded, and only ones holding their own completion marker —
+      // an in-progress sibling (a second JVM mid-build) or a tree that
+      // never finished must not be deleted under its builder
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(s"graft-blowup-${factor}x-") &&
+          f.getName != dst.getName &&
+          new java.io.File(f, "_BLOWUP_COMPLETE").isFile)
+        .foreach { stale =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(stale)
+        }
     }
     dst.toString
   }
@@ -164,10 +167,10 @@ object BenchData {
       .write.mode("overwrite").parquet(s"$dst/customer.parquet")
     // events: ts round-trips whichever layout the fixture has (INT64
     // nanos under the legacy conf, or native TIMESTAMP(MICROS) — see
-    // Tables.events); the replicated copy reads back identically
+    // Tables.eventsRaw, which scopes the legacy conf to the layout
+    // that needs it); the replicated copy reads back identically
     // because the loader adapts to the written type
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    replicate(spark.read.parquet(s"$src/events.parquet"), factor,
+    replicate(graft.sources.Tables.eventsRaw(spark, src), factor,
       keyCols = Seq("event_id", "user_id"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")

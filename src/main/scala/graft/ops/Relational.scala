@@ -68,6 +68,31 @@ object Relational {
   }
 
   /**
+   * Per-key LATEST change of a CDC feed, in feed shape (key, seq, op,
+   * payload…): one hash aggregate keeping, per key, the row maximal
+   * under the TOTAL `(seq, op, payload)` struct ordering — seq decides,
+   * equal seqs (the at-least-once mutated-redelivery case) break on op
+   * then payload content, never on partition-fold order, so any
+   * partitioning and any engine agree on the pick.
+   *
+   * This is THE latest-change tie-break, shared by the batch
+   * [[applyChangeFeed]] and the streaming CDC state
+   * ([[graft.streaming.ChangeFeedStream]] runs this very call as a
+   * streaming aggregation) — one definition, so stream ≡ batch on
+   * duplicates by construction. Works unchanged on a streaming frame:
+   * `max_by` is a declarative aggregate whose merge is associative and
+   * commutative, so micro-batch boundaries cannot change the result.
+   */
+  def latestChanges(changes: DataFrame, key: String,
+                    seq: String = "seq", op: String = "op"): DataFrame = {
+    val others = changes.columns.filterNot(c => c == key || c == seq || c == op).toSeq
+    def ordered = struct(col(seq) +: col(op) +: others.map(col): _*)
+    changes.groupBy(col(key))
+      .agg(max_by(ordered, ordered).as("__c"))
+      .select(col(key) +: (Seq(seq, op) ++ others).map(f => col(s"__c.$f").as(f)): _*)
+  }
+
+  /**
    * Apply a CDC change feed (op ∈ I/U/D, ordered per key by `seq`) to a
    * base table: for each key the LATEST change wins — U replaces the
    * payload wholesale, D removes the row, I inserts a key the base does
@@ -87,33 +112,39 @@ object Relational {
    * is absent from the base — the feed producer's invariant), so no
    * base-side anti-join exists to drag the base through an exchange.
    *
-   * `changes` must carry `op`/`seq` plus exactly the base's columns.
-   * Per-key `seq` values should be unique (CDC logs are; at-least-once
-   * redeliveries must be byte-identical duplicates); ties are still
-   * resolved TOTALLY — by the change content itself via the struct
-   * comparison below — so the pick is deterministic on any engine
-   * rather than partition-fold order.
+   * `changes` must carry `op`/`seq` plus exactly the base's columns,
+   * and the base must not itself use the `op`/`seq` names (or the
+   * reserved `__k`/`__c`) — the change content travels as a struct of
+   * the base's columns, so a collision would make `getField` ambiguous;
+   * asserted up front. Per-key `seq` values should be unique (CDC logs
+   * are; at-least-once redeliveries must be byte-identical duplicates);
+   * ties are still resolved TOTALLY via [[latestChanges]], so the pick
+   * is deterministic on any engine rather than partition-fold order.
+   *
+   * The latest-change frame feeds two branches (the survivors join and
+   * the inserts union); their common shuffle canonicalizes identically,
+   * so Spark's ReuseExchange plans ONE feed scan + partial aggregate —
+   * pinned by PlanShapeSpec, not left to luck.
    */
   def applyChangeFeed(base: DataFrame, changes: DataFrame, key: String,
                       seq: String = "seq", op: String = "op",
                       broadcastChanges: Boolean = true): DataFrame = {
     val payload = base.columns.filter(_ != key).toSeq
-    val latest = changes
-      .groupBy(col(key))
-      .agg(max_by(
-        struct(col(op) +: payload.map(col): _*),
-        // (seq, content) — struct ordering compares field-by-field, so
-        // equal seqs break on op then payload instead of fold order
-        struct(col(seq) +: col(op) +: payload.map(col): _*)).as("__c"))
-      .select(col(key).as("__k"), col("__c"))
+    val reserved = Seq(seq, op, "__k", "__c").filter(base.columns.contains)
+    require(reserved.isEmpty,
+      s"applyChangeFeed: base columns collide with reserved names $reserved " +
+        s"— rename them before applying the feed")
+    val latest = latestChanges(changes, key, seq, op)
+      .select(col(key).as("__k"), col(op).as("__op"),
+        struct(payload.map(col): _*).as("__c"))
     val latestSide = if (broadcastChanges) broadcast(latest) else latest
     val joined = base.join(latestSide, col(key) === col("__k"), "left")
     val survivors = joined
-      .filter(col("__c").isNull || col("__c").getField(op) === "U")
+      .filter(col("__op").isNull || col("__op") === "U")
       .select(col(key) +: payload.map(c =>
         when(col("__c").isNull, col(c))
           .otherwise(col("__c").getField(c)).as(c)): _*)
-    val inserts = latest.filter(col("__c").getField(op) === "I")
+    val inserts = latest.filter(col("__op") === "I")
       .select(col("__k").as(key) +: payload.map(c => col("__c").getField(c).as(c)): _*)
     survivors.unionByName(inserts)
   }

@@ -507,10 +507,12 @@ object StorageQueries {
       .write.mode("overwrite").partitionBy("day").parquet(tmp)
     val delta =
       partials(ev.join(broadcast(lastDay), col("day") === col("last_day")).drop("last_day"))
-    val merged = spark.read.parquet(tmp)
-      // partition-column inference reads the ISO day back as DATE;
-      // restore the view's string key (ISO casts are lossless)
-      .withColumn("day", col("day").cast(org.apache.spark.sql.types.StringType))
+    // explicit schema, twice load-bearing: partition-column inference
+    // would read the ISO day back as DATE (the view's key is a string),
+    // and a fixture whose events all land on one day leaves the history
+    // store EMPTY (only _SUCCESS) — schema inference would fail where
+    // the declared schema yields the correct empty frame
+    val merged = spark.read.schema(delta.schema).parquet(tmp)
       .unionByName(delta)
       .groupBy(col("event_type"), col("day"))
       .agg(

@@ -45,9 +45,26 @@ object Tables {
    * need a total order (`unix_micros * 1000` on the micros layout — the
    * same value the nanos layout carries, micro-truncated).
    */
+  /** Raw events frame in whichever physical layout the fixture has.
+    * The legacy nanos conf is session-global by Spark's design (no
+    * per-relation override exists), so it is touched ONLY when the
+    * file actually carries TIMESTAMP(NANOS) — which Spark otherwise
+    * rejects at schema resolution — detected by attempting the plain
+    * read first. Current MICROS fixtures therefore never mutate the
+    * shared session (the io08/io11 isolation lesson); on a legacy
+    * nanos fixture the flag's only observable effect is on nanos
+    * columns, which exist in no other table. */
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try load(spark, dir, "events")
+    catch {
+      case first: Throwable =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try load(spark, dir, "events")
+        catch { case _: Throwable => throw first }
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     val tsCols = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         Seq("timestamp_micros(ts div 1000) AS ts", "ts AS ts_ns")

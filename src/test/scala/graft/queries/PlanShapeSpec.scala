@@ -436,6 +436,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"base-side shuffle crept in:\n$p")
   }
 
+  test("applyChangeFeed: the feed's aggregation exchange is planned once and reused") {
+    import org.apache.spark.sql.functions._
+    // the latest-change frame feeds two branches (survivors join +
+    // inserts union); their shuffles canonicalize identically, so the
+    // feed must be scanned and partially aggregated ONCE — the second
+    // branch reads a ReusedExchange, not a second scan
+    val base = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    val changes = spark.range(10).selectExpr(
+      "id AS k", "CASE WHEN id % 2 = 0 THEN 'U' ELSE 'I' END AS op",
+      "1L AS seq", "id AS v")
+    val out = graft.ops.Relational.applyChangeFeed(base, changes, "k")
+    out.count() // AQE finalizes the plan (reuse is decided at runtime)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || "Exchange hashpartitioning\\(k".r
+      .findAllIn(p).size <= 1, s"feed aggregated twice:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

@@ -547,6 +547,93 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC: mutated duplicate (key,seq) split across batches resolves as batch, either order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Relational
+    // at-least-once CDC redelivers seq=1 for key a with a MUTATED
+    // payload; the stream state merge must make the same total
+    // (seq, op, payload) pick as the batch operator no matter which
+    // micro-batch each copy lands in
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val lo = ("a", "U", 1L, 10)
+    val hi = ("a", "U", 1L, 99)
+    val full = Seq(lo, hi).toDF("k", "op", "seq", "v")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    val want = tuples(Relational.applyChangeFeed(base, full, "k"))
+    assert(want == Seq(("a", 99), ("b", 2))) // content decides, not arrival
+    Seq(Seq(lo, hi), Seq(hi, lo)).foreach { order =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-dup-").toString
+      val ms = MemoryStream[(String, String, Long, Int)]
+      val q = ChangeFeedStream.runCdcStream(
+        ms.toDS().toDF("k", "op", "seq", "v"), "k", s"$tmp/state", s"$tmp/chk")
+      try {
+        ms.addData(order(0)); q.processAllAvailable()
+        ms.addData(order(1)); q.processAllAvailable()
+      } finally q.stop()
+      val got = tuples(ChangeFeedStream.applyState(
+        spark, base, s"$tmp/state", "k", full.schema))
+      assert(got == want, s"arrival order $order diverged from batch: $got")
+    }
+  }
+
+  test("streaming CDC: crash between sink write and offset commit replays to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Relational
+    val base = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v")
+    val batch1 = Seq(("a", "U", 1L, 10), ("c", "D", 1L, 0))
+    val batch2 = Seq(("e", "I", 1L, 50), ("a", "U", 2L, 77))
+    val batch3 = Seq(("b", "D", 3L, 0))
+    val allChanges = (batch1 ++ batch2 ++ batch3).toDF("k", "op", "seq", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-crash-").toString
+    val ms = MemoryStream[(String, String, Long, Int)]
+    @volatile var injected = false
+    // the torn state a real crash leaves: the generation write
+    // succeeded, the offset/state-store commit did not — recovery must
+    // replay the batch, and the generation sink must be idempotent
+    // under the replay (gen-<id> recomputed from the same predecessor)
+    def start() = ChangeFeedStream.runCdcStream(
+      ms.toDS().toDF("k", "op", "seq", "v"), "k", s"$tmp/state", s"$tmp/chk",
+      onBatch = id => if (id >= 1 && !injected) {
+        injected = true
+        throw new RuntimeException("injected crash after write, before commit")
+      })
+    val q1 = start()
+    ms.addData(batch1)
+    q1.processAllAvailable()
+    ms.addData(batch2)
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(q1.exception.isDefined, "expected the injected crash to kill the query")
+    assert(injected)
+
+    val q2 = start() // restart: the uncommitted batch replays from checkpoint
+    try {
+      q2.processAllAvailable()
+      ms.addData(batch3) // post-recovery arrivals flow normally
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    val got = tuples(ChangeFeedStream.applyState(
+      spark, base, s"$tmp/state", "k", allChanges.schema))
+    assert(got == tuples(Relational.applyChangeFeed(base, allChanges, "k")))
+    assert(got == Seq(("a", 77), ("d", 4), ("e", 50)))
+  }
+
+  test("streaming CDC: an empty feed yields the untouched base, no NPE") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(("a", 1)).toDF("k", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-empty-").toString
+    val ms = MemoryStream[(String, String, Long, Int)]
+    val feed = ms.toDS().toDF("k", "op", "seq", "v")
+    val q = ChangeFeedStream.runCdcStream(feed, "k", s"$tmp/state", s"$tmp/chk")
+    try q.processAllAvailable() finally q.stop()
+    val got = ChangeFeedStream.applyState(spark, base, s"$tmp/state", "k", feed.schema)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("a", 1)))
+  }
+
   test("st09 media-hash stream accumulates across real micro-batches") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
