@@ -139,14 +139,24 @@ object Bench {
         scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
       var round = 0
       while (round < samples) {
-        // Re-gate between rounds on a LIVE foreign-CPU probe: >15% of
+        // Re-gate between rounds on a LIVE foreign-CPU probe: >10% of
         // the machine busy with someone else's work means the next
         // round would be dirty — wait (capped, so a genuinely shared
         // box still benches; the per-sample foreign column then tells
-        // the reader which samples to distrust).
+        // the reader which samples to distrust). When the PREVIOUS
+        // round's own samples already measured sustained foreign load,
+        // the cap triples: the burst is demonstrably not transient and
+        // r12's artifact showed a 300 ms probe alone slips between its
+        // waves (regate_waited 0 while loadavg climbed 1.5 → 14.5).
         if (round > 0) {
+          val lastForeign = acc.values.flatMap(_.lastOption).map(_._3)
+            .filter(_ >= 0)
+          val lastMean =
+            if (lastForeign.isEmpty) 0.0
+            else lastForeign.sum / lastForeign.size
+          val cap = if (lastMean > 0.10) 60 else 20
           var waited = 0.0
-          while (foreignNow() > 0.15 && waited < 20) {
+          while (foreignNow() > 0.10 && waited < cap) {
             Thread.sleep(4700); waited += 5
           }
           regateWaited += waited.toInt
@@ -241,6 +251,73 @@ object Bench {
         case _ => None
       }
     }
+    // Deep tiers (opt-in via SPARK_GRAFT_DEEP_TIERS=1 — the evidence
+    // refresh sets it; the driver's per-round bench does not pay the
+    // build): a 100× relational decade point (~60 M lineitem / ~56 M
+    // event rows — two decades past the gate scale) for the exchange-
+    // machinery headliners, and the hot-key SKEW variant of the 10×
+    // tier for the straggler-sensitive per-user window chains. The
+    // skew set is timed at the PLAIN 10× tier too, so skew_vs_10x
+    // isolates the skew penalty at equal volume: ~1.0 means the
+    // operators hold under a 10%-of-all-rows key; a blow-up marks a
+    // straggler collapse the uniform fixtures can never show.
+    val deepTiers = sys.env.get("SPARK_GRAFT_DEEP_TIERS").contains("1") &&
+      sfDir.endsWith("sf0.1")
+    val rel100Queries = Seq("q01_pricing_summary", "q15_latest_events",
+      "q26_shipping_priority", "q34_funnel", "q37_peak_concurrency",
+      "dq07_exact_percentiles")
+    val skewQueries = Seq("q21_sessionize", "q34_funnel",
+      "q41_attribution", "tx18_mixture_fill")
+    def byNames(ns: Seq[String]) = ns.flatMap(Registry.byName.get)
+    var rel100Info: String = "null"
+    val (rel100Samples, skewSamples, skewBaseSamples) =
+      if (deepTiers)
+        try {
+          val dir100 = BenchData.ensureRelationalBlowUp(spark, sfDir, factor = 100)
+          rel100Info = BenchData.blowUpIdentity(dir100)
+          val r100 = timeAll(byNames(rel100Queries), dir100)
+          val dirSkew = BenchData.ensureSkewed(spark, sfDir)
+          val dir10 = BenchData.ensureBlowUp(spark, sfDir, factor = 10)
+          val sk = timeAll(byNames(skewQueries), dirSkew)
+          val skBase = timeAll(byNames(skewQueries), dir10)
+          (r100, sk, skBase)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] deep tiers skipped: $e")
+          (Map.empty[String, Seq[(Double, Double, Double)]],
+            Map.empty[String, Seq[(Double, Double, Double)]],
+            Map.empty[String, Seq[(Double, Double, Double)]])
+        }
+      else (Map.empty[String, Seq[(Double, Double, Double)]],
+        Map.empty[String, Seq[(Double, Double, Double)]],
+        Map.empty[String, Seq[(Double, Double, Double)]])
+    val rel100 = rel100Queries.flatMap(n =>
+      rel100Samples.get(n).map(s => n -> medianOf(s.map(_._1))))
+    val rel100Mins = rel100Samples.view.mapValues(s => minOf(s.map(_._1))).toMap
+    // 100×-vs-10× decade ratio where the query is timed at both tiers;
+    // 100×-vs-sf0.1 (two decades) for the rest
+    val ratios100v10 = rel100.flatMap { case (n, _) =>
+      (tenxMins.get(n), rel100Mins.get(n)) match {
+        case (Some(b), Some(t)) if b > 0 && t > 0 => Some(n -> t / b)
+        case _ => None
+      }
+    }
+    val ratios100vSf = rel100.flatMap { case (n, _) =>
+      (headlineMins.get(n), rel100Mins.get(n)) match {
+        case (Some(b), Some(t)) if b > 0 && t > 0 => Some(n -> t / b)
+        case _ => None
+      }
+    }
+    val skew = skewQueries.flatMap(n =>
+      skewSamples.get(n).map(s => n -> medianOf(s.map(_._1))))
+    val skewMins = skewSamples.view.mapValues(s => minOf(s.map(_._1))).toMap
+    val skewBaseMins = skewBaseSamples.view.mapValues(s => minOf(s.map(_._1))).toMap
+    val ratiosSkew = skewQueries.flatMap { n =>
+      (skewBaseMins.get(n), skewMins.get(n)) match {
+        case (Some(b), Some(t)) if b > 0 && t > 0 => Some(n -> t / b)
+        case _ => None
+      }
+    }
+
     // All times at 4 decimals (0.1 ms — below measurement noise).
     // Locale.ROOT: the f"" interpolator is locale-sensitive and would
     // emit comma decimal separators (unparseable JSON) under de_DE-
@@ -287,7 +364,10 @@ object Bench {
       } + "\""
     val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
-    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}}"""
+    val deepJson =
+      if (!deepTiers) ""
+      else s""","queries_100x":${jmap(rel100.map { case (k, v) => k -> s4(v) })},"scaling_100x_vs_10x":${jmap(ratios100v10.map { case (k, v) => k -> s2(v) })},"scaling_100x_vs_sf0.1":${jmap(ratios100vSf.map { case (k, v) => k -> s2(v) })},"blowup_100x":$rel100Info,"queries_skew":${jmap(skew.map { case (k, v) => k -> s4(v) })},"skew_vs_10x":${jmap(ratiosSkew.map { case (k, v) => k -> s2(v) })},"samples_100x":${jsamples(rel100Samples)},"samples_skew":${jsamples(skewSamples)},"samples_skew_base":${jsamples(skewBaseSamples)}"""
+    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}$deepJson}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
     // so an oversized stdout line can never lose a completed run
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -57,6 +57,19 @@ object BenchData {
   private val tables = Seq("documents", "embeddings", "lineitem",
     "orders", "customer", "events") ++ dims
 
+  /** Short tag of the source dir PATH, part of every derived dir's
+    * reap scope: two sources (sf0.001 in a spec, sf0.1 in the bench)
+    * produce SIBLING generations under the same factor, and a reaper
+    * keyed on factor alone would delete one source's current dir as
+    * the other's stale generation — observed: a spec build from
+    * sf0.001 reaped the bench's sf0.1-derived 10× tier. Staleness is
+    * only meaningful per (factor, source). */
+  private def srcTag(srcDir: String): String = {
+    val canonical = new java.io.File(srcDir).getCanonicalPath
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+  }
+
   /** Fingerprint of the SOURCE fixture files (size + mtime per table):
     * folded into the blow-up dir name so a driver-side fixture
     * regeneration invalidates every derived dir automatically — a
@@ -75,7 +88,7 @@ object BenchData {
   def ensureBlowUp(spark: SparkSession, srcDir: String, factor: Int): String = {
     val fp = sourceFingerprint(srcDir)
     val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val dst = new java.io.File(tmpRoot, s"graft-blowup-${factor}x-$Version-$fp")
+    val dst = new java.io.File(tmpRoot, s"graft-blowup-${factor}x-${srcTag(srcDir)}-$Version-$fp")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
       dst.mkdirs()
@@ -87,33 +100,125 @@ object BenchData {
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
       // identity, computed once at build time: counting here (not per
-      // bench run) keeps reuse runs scan-free
-      val counts = tables.map { t =>
-        val n = spark.read.parquet(s"$dst/$t.parquet").count()
-        s""""$t":$n"""
-      }.mkString(",")
-      java.nio.file.Files.write(marker.toPath,
-        (s"""{"version":"$Version","factor":$factor,"source_fp":"$fp","rows":{$counts}}""" + "\n")
-          .getBytes("UTF-8"))
-      // a regeneration or version bump strands the previous multi-GB
-      // blow-up: reap stale sibling generations AFTER this build
-      // succeeded, and only ones holding their own completion marker —
-      // an in-progress sibling (a second JVM mid-build) or a tree that
-      // never finished must not be deleted under its builder
-      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory &&
-          f.getName.startsWith(s"graft-blowup-${factor}x-") &&
-          f.getName != dst.getName &&
-          new java.io.File(f, "_BLOWUP_COMPLETE").isFile)
-        .foreach { stale =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(stale)
-        }
+      // bench run) keeps reuse runs scan-free; stale siblings reaped
+      // only after this build succeeded
+      finishDir(spark, dst, tmpRoot, s"graft-blowup-${factor}x-${srcTag(srcDir)}-",
+        s""""version":"$Version","factor":$factor,"source_fp":"$fp"""")
     }
     dst.toString
+  }
+
+  /**
+   * Relational-only blow-up at an arbitrary factor — the 100× decade
+   * tier (two decades past the driver's gate scale). Only the
+   * relational/event facts scale (key-shifted replicas, exactly like
+   * the 10× construction); documents/embeddings copy VERBATIM so every
+   * oracle view still binds, but no corpus query is gated here — the
+   * tier exists to stress the RELATIONAL exchange machinery (range-
+   * exchange prefix sums, funnel windows, AQE) at ~60 M lineitem rows,
+   * where the 10× tier's plans get a full extra decade of partitions.
+   */
+  def ensureRelationalBlowUp(spark: SparkSession, srcDir: String,
+                             factor: Int): String = {
+    val fp = sourceFingerprint(srcDir)
+    val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dst = new java.io.File(tmpRoot, s"graft-blowup-rel-${factor}x-${srcTag(srcDir)}-$Version-$fp")
+    val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
+    if (!marker.exists()) {
+      dst.mkdirs()
+      writeRelational(spark, srcDir, dst.toString, factor)
+      (dims ++ Seq("documents", "embeddings")).foreach { t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      finishDir(spark, dst, tmpRoot, s"graft-blowup-rel-${factor}x-${srcTag(srcDir)}-",
+        s""""version":"$Version","flavor":"relational","factor":$factor,"source_fp":"$fp"""")
+    }
+    dst.toString
+  }
+
+  /**
+   * Skew variant of the 10× blow-up: the same data volume with one
+   * genuinely HOT key planted per axis, so the straggler-free claims
+   * (sessionize/funnel/attribution's per-user windows, the grouped
+   * prefix sums) meet real skew instead of the fixtures' uniform keys:
+   *
+   *  - events: every 10th event (by event_id) reassigns to user 1 —
+   *    one user owns ≥10% of all events, plus its organic share;
+   *  - orders: every 10th order reassigns to custkey 1;
+   *  - documents: 90% of docs reassign to lang "en" — one group
+   *    dominates tx18's per-group running totals.
+   *
+   * Everything else copies verbatim from the 10× dir. Deterministic
+   * (pure key arithmetic), so the DuckDB oracles rebuild the identical
+   * skewed tables and every gated query stays cell-exact.
+   */
+  def ensureSkewed(spark: SparkSession, srcDir: String): String = {
+    val src10 = ensureBlowUp(spark, srcDir, factor = 10)
+    // identity follows the SOURCE blow-up's marker (which already folds
+    // in the fixture fingerprint): a regeneration invalidates this dir
+    // transitively
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(blowUpIdentity(src10).getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dst = new java.io.File(tmpRoot, s"graft-blowup-skew-${srcTag(srcDir)}-$Version-$fp")
+    val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
+    if (!marker.exists()) {
+      dst.mkdirs()
+      graft.sources.Tables.eventsRaw(spark, src10)
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(10)) === 0, lit(1L))
+            .otherwise(col("user_id")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      spark.read.parquet(s"$src10/orders.parquet")
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(10)) === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      spark.read.parquet(s"$src10/documents.parquet")
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(10)) =!= 0, lit("en"))
+            .otherwise(col("lang")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      (dims ++ Seq("lineitem", "customer", "embeddings")).foreach { t =>
+        spark.read.parquet(s"$src10/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      finishDir(spark, dst, tmpRoot, s"graft-blowup-skew-${srcTag(srcDir)}-",
+        s""""version":"$Version","flavor":"skew","factor":10,"source_fp":"$fp"""")
+    }
+    dst.toString
+  }
+
+  /** Count the finished dir's tables, write its completion marker, and
+    * reap stale COMPLETED sibling generations (after-success + own-
+    * marker-only, so an in-progress sibling build is never deleted
+    * under its builder). */
+  private def finishDir(spark: SparkSession, dst: java.io.File,
+                        tmpRoot: java.io.File, prefix: String,
+                        identityHead: String): Unit = {
+    val counts = tables.map { t =>
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      s""""$t":$n"""
+    }.mkString(",")
+    java.nio.file.Files.write(
+      new java.io.File(dst, "_BLOWUP_COMPLETE").toPath,
+      (s"""{$identityHead,"rows":{$counts}}""" + "\n").getBytes("UTF-8"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName != dst.getName &&
+        new java.io.File(f, "_BLOWUP_COMPLETE").isFile)
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(stale)
+      }
   }
 
   /** The marker file's identity JSON (version + per-table row counts),

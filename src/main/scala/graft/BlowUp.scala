@@ -21,8 +21,12 @@ import org.apache.spark.sql.SparkSession
  * never reaches.
  */
 object BlowUp {
+  /** args: [sfDir] [flavor] — flavor ∈ `10` (default: the full 10×
+    * blow-up), `rel100` (relational-only 100× decade tier), `skew`
+    * (hot-key variant of the 10× tier). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val flavor = if (args.length > 1) args(1) else "10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +35,12 @@ object BlowUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = BenchData.ensureBlowUp(spark, sfDir, factor = 10)
+    val dir = flavor match {
+      case "10"     => BenchData.ensureBlowUp(spark, sfDir, factor = 10)
+      case "rel100" => BenchData.ensureRelationalBlowUp(spark, sfDir, factor = 100)
+      case "skew"   => BenchData.ensureSkewed(spark, sfDir)
+      case other    => sys.error(s"unknown blow-up flavor: $other")
+    }
     println(s"BLOWUP_DIR=$dir")
     println(s"BLOWUP_IDENTITY=${BenchData.blowUpIdentity(dir)}")
     spark.stop()

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The blow-up staleness mechanism: the source fingerprint must change
   * whenever the fixture files do — that is the whole guard against
   * gating/timing a 10× dir derived from replaced data. */
-class BenchDataSpec extends AnyFunSuite {
+class BenchDataSpec extends AnyFunSuite with SparkSpec {
 
   private def makeFixtureDir(sizes: Map[String, Int]): java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("graft-fp-spec-").toFile
@@ -35,5 +35,27 @@ class BenchDataSpec extends AnyFunSuite {
     assert(ev.setLastModified(ev.lastModified() + 60000L))
     val fp3 = BenchData.sourceFingerprint(dir.toString)
     assert(fp3 != fp2, "mtime change must invalidate")
+  }
+
+  test("ensureSkewed plants a genuinely hot key on every skewed axis") {
+    import org.apache.spark.sql.functions._
+    // sf0.001 keeps the build to seconds; the construction is pure key
+    // arithmetic, so the planted fractions are scale-invariant
+    val dir = BenchData.ensureSkewed(spark, "/root/testdata/sf0.001")
+    val ev = graft.sources.Tables.events(spark, dir)
+    val hotUserShare = ev.filter(col("user_id") === 1).count().toDouble /
+      ev.count()
+    assert(hotUserShare >= 0.10,
+      s"hot user must own >=10% of events, got $hotUserShare")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val hotCustShare = ord.filter(col("o_custkey") === 1).count().toDouble /
+      ord.count()
+    assert(hotCustShare >= 0.10,
+      s"hot custkey must own >=10% of orders, got $hotCustShare")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hotLangShare = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(hotLangShare >= 0.85,
+      s"dominant lang must own >=85% of documents, got $hotLangShare")
   }
 }

@@ -3,7 +3,7 @@
 plus the interleaved bench, collapsed into a single EVIDENCE.json that
 the driver and judge both read.
 
-Usage: python3 tools/evidence.py [--skip-bench] [--skip-10x]
+Usage: python3 tools/evidence.py [--skip-bench] [--skip-10x] [--skip-deep]
 
 Stages (each records ok/fail and continues — a broken stage must not
 hide the others' evidence):
@@ -17,7 +17,11 @@ hide the others' evidence):
      subset minus decode-literal media oracles and the one 6M-row
      row-preserving compare — wall-clock, not correctness, exclusions;
      fixture identity from the blow-up marker is embedded)
-  5. graft.Bench (interleaved sampling; bench_out.json is inlined)
+  5. The deep tiers (--skip-deep, implied by --skip-10x):
+     100x relational decade gate (INCLUDE_100X) and the hot-key skew
+     gate (INCLUDE_SKEW), each on its own derived fixture
+  6. graft.Bench (interleaved sampling; SPARK_GRAFT_DEEP_TIERS=1 adds
+     the 100x and skew timing points; bench_out.json is inlined)
 
 Output: EVIDENCE.json in the repo root.
 """
@@ -68,6 +72,26 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     "sim10_semantic_dedup",
 }
 
+# The 100x relational decade tier (two decades past the driver's gate):
+# only the relational/event facts scale there, and the gated set is the
+# exchange-machinery family the tier exists to stress — aggregation
+# (q01), keep-latest window (q15), join+top-k (q26), funnel chain
+# (q34), sweep-line prefix sum (q37), grouped prefix-sum percentiles
+# (dq07). Corpus queries are out of scope by construction (documents/
+# embeddings copy verbatim, unscaled).
+INCLUDE_100X = {
+    "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",
+    "q34_funnel", "q37_peak_concurrency", "dq07_exact_percentiles",
+}
+
+# The hot-key skew tier (10x volume, one key holding 10%+ of rows per
+# axis): the straggler-sensitive per-user window chains plus the
+# grouped running total that exists precisely to survive one dominant
+# group.
+INCLUDE_SKEW = {
+    "q21_sessionize", "q34_funnel", "q41_attribution", "tx18_mixture_fill",
+}
+
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
 
 
@@ -115,6 +139,7 @@ def gate(sf_dir, out_dir, names=None):
 def main():
     skip_bench = "--skip-bench" in sys.argv
     skip_10x = "--skip-10x" in sys.argv
+    skip_deep = "--skip-deep" in sys.argv or skip_10x
     evidence = {"generated_unix": int(time.time())}
     head = run(["git", "rev-parse", "HEAD"])
     evidence["commit"] = head.stdout.strip()
@@ -142,29 +167,40 @@ def main():
         "/root/testdata/sf0.1", "/tmp/evidence_sf0.1",
         names - EXCLUDE_SF01_SWEEP)
 
-    if not skip_10x:
-        b = run(["sbt", "-batch", "runMain graft.BlowUp /root/testdata/sf0.1"])
+    def derived_gate(tier, flavor, out_dir, gate_names):
+        b = run(["sbt", "-batch",
+                 f"runMain graft.BlowUp /root/testdata/sf0.1 {flavor}"])
         m = re.search(r"BLOWUP_DIR=(\S+)", b.stdout)
         ident = re.search(r"BLOWUP_IDENTITY=(.*)", b.stdout)
         if m:
-            rec = gate(m.group(1), "/tmp/evidence_10x", names - EXCLUDE_10X)
+            rec = gate(m.group(1), out_dir, gate_names)
             if ident:
                 try:
                     rec["fixture"] = json.loads(ident.group(1))
                 except ValueError:
                     rec["fixture"] = ident.group(1)
-            evidence["gates"]["10x"] = rec
+            evidence["gates"][tier] = rec
         else:
-            evidence["gates"]["10x"] = {
+            evidence["gates"][tier] = {
                 "verify_ok": False,
                 "error": "blow-up build failed",
                 "tail": b.stdout.splitlines()[-10:]}
+
+    if not skip_10x:
+        derived_gate("10x", "10", "/tmp/evidence_10x", names - EXCLUDE_10X)
+
+    if not skip_deep:
+        derived_gate("100x", "rel100", "/tmp/evidence_100x",
+                     names & INCLUDE_100X)
+        derived_gate("skew", "skew", "/tmp/evidence_skew",
+                     names & INCLUDE_SKEW)
 
     if not skip_bench:
         t0 = time.time()
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
-                   SPARK_GRAFT_CPUS="32")
+                   SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_DEEP_TIERS="0" if skip_deep else "1")
         bench = run(["sbt", "-batch", "runMain graft.Bench"], env=env)
         bo = os.path.join(REPO, "bench_out.json")
         if bench.returncode == 0 and os.path.exists(bo):
