@@ -197,5 +197,16 @@ object StreamingQueries {
     // and the final table is ONE batch applyChangeFeed of that state
     GraftQuery("st17_stream_cdc_apply",
       graft.streaming.ChangeFeedStream.cdcApplyReplay,
-      Some(StorageQueries.io15Oracle)))
+      Some(StorageQueries.io15Oracle)),
+    // st18 carries tx34's oracle verbatim: the scrub is a stateless
+    // projection (plant/count/mask), so streaming it is append mode
+    // with no state at all — the st13 shape at the document firehose
+    GraftQuery("st18_stream_pii_scrub",
+      graft.streaming.ScrubStream.piiScrubReplay, Some(TextQueries.tx34Oracle)),
+    // st19 carries tx35's oracle verbatim: the stream maintains the
+    // per-segment occurrence counters (complete mode ≡ batch hash
+    // aggregate — counts are fold-order-free) and the strike pass is
+    // the same strikeBoilerplate view the batch operator runs
+    GraftQuery("st19_stream_segment_dedup",
+      graft.streaming.ScrubStream.segmentDedupReplay, Some(TextQueries.tx35Oracle)))
 }

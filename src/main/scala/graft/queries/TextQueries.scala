@@ -1258,6 +1258,73 @@ object TextQueries {
       |  FROM agg WHERE n_terms = 3) z
       |WHERE rank <= 10""".stripMargin
 
+  // ---- tx34: PII redaction — the scrub-at-ingest step of a training
+  //      pipeline: detect and mask email / IPv4 / phone spans with
+  //      typed placeholders, reporting per-class hit counts. The
+  //      synthetic corpus carries no PII, so the query first PLANTS
+  //      deterministic doc_id-derived spans (every doc an email, every
+  //      2nd an IP, every 3rd a phone — the oracle plants the same
+  //      spans in SQL), then runs the real operator: codegen'd
+  //      regexp_count / regexp_replace column expressions, zero
+  //      shuffles, and the exact redacted TEXT is what gates. The
+  //      regexes are dialect-portable (java.util.regex here, RE2 in
+  //      DuckDB — char classes, bounded repeats, \b only). ----
+  private def tx34(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Scrub.piiScrubReport(Tables.documents(spark, dir))
+
+  private[queries] val tx34Oracle =
+    """WITH aug AS (
+      |  SELECT doc_id, lang,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'
+      |         || CAST(doc_id % 200 + 1 AS VARCHAR) || '.'
+      |         || CAST(doc_id % 250 + 1 AS VARCHAR) || '.'
+      |         || CAST((doc_id * 7) % 250 + 1 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' call (555) '
+      |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |         || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    AS text
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |  len(regexp_extract_all(text, '\(555\) \d{3}-\d{4}')) AS n_phone,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\(555\) \d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM aug""".stripMargin
+
+  // ---- tx35: corpus-level duplicate-segment removal — the CCNet /
+  //      RefinedWeb boilerplate strike (Lee et al. 2022): 2-token
+  //      segments repeating corpus-wide above docs/25 occurrences are
+  //      struck from every document. The gate compares the exact
+  //      rebuilt text. Plan shape: ONE exchange total (the narrow
+  //      segment-count aggregate); the boilerplate set collapses to a
+  //      single broadcast row and every document rebuilds map-side —
+  //      the corpus itself never shuffles. See [[graft.text.Scrub]]. ----
+  private def tx35(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Scrub.segmentDedup(
+      Tables.documents(spark, dir), "doc_id", "text",
+      width = 2, thresholdDiv = 25.0)
+
+  private[queries] val tx35Oracle =
+    """WITH segd AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, CAST(ceil(len(str_split(text,' '))/2.0) AS INT)),
+      |      i -> array_to_string((str_split(text,' '))[i*2+1:i*2+2], ' ')) AS segs
+      |  FROM documents),
+      |expl AS (SELECT doc_id, UNNEST(segs) AS seg FROM segd),
+      |cnt AS (SELECT seg, COUNT(*) AS c FROM expl GROUP BY 1),
+      |bl AS (SELECT coalesce(list(seg), []) AS bl_list FROM cnt
+      |       WHERE c > (SELECT COUNT(*) FROM documents)/25.0)
+      |SELECT d.doc_id,
+      |  len(d.segs) AS n_segments,
+      |  len(list_filter(d.segs, s -> list_contains(bl_list, s))) AS n_dropped,
+      |  array_to_string(list_filter(d.segs, s -> NOT list_contains(bl_list, s)), ' ') AS clean_text
+      |FROM segd d CROSS JOIN bl""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1297,5 +1364,7 @@ object TextQueries {
     GraftQuery("tx30_context_chunks", tx30, Some(tx30Oracle)),
     GraftQuery("tx31_bigram_rarity", tx31, Some(tx31Oracle)),
     GraftQuery("tx32_fuzzy_dedup", tx32, Some(tx32Oracle)),
-    GraftQuery("tx33_search_rank", tx33, Some(tx33Oracle)))
+    GraftQuery("tx33_search_rank", tx33, Some(tx33Oracle)),
+    GraftQuery("tx34_pii_redaction", tx34, Some(tx34Oracle)),
+    GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true))
 }

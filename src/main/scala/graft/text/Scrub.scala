@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-scrubbing operators for a training-data pipeline: PII
+ * redaction and corpus-level boilerplate (duplicate-segment) removal.
+ *
+ * Both are deliberately shaped for the 100 TB case:
+ *
+ *  - [[piiCounts]] / [[piiRedact]] are pure per-row column expressions
+ *    over Spark's codegen'd `regexp_count` / `regexp_replace` — zero
+ *    shuffles, zero state, embarrassingly parallel, and safe to run
+ *    inside a streaming micro-batch (the stateless scrub-at-ingest
+ *    shape; see st18).
+ *
+ *  - [[segmentDedup]] is the CCNet / RefinedWeb-style corpus-level
+ *    duplicate-segment removal (Lee et al. 2022, "Deduplicating
+ *    Training Data Makes Language Models Better"): segments that
+ *    repeat across the corpus above a frequency threshold are
+ *    boilerplate and are struck from every document. The plan never
+ *    regroups the corpus: pass 1 aggregates segment counts (narrow
+ *    (seg) rows, map-side combine), the above-threshold survivors —
+ *    a SMALL set by construction, at most totalSegments/threshold
+ *    entries — collapse into one broadcast row, and pass 2 rebuilds
+ *    each document MAP-SIDE with array `filter`/`concat_ws` against
+ *    the broadcast set. The only exchange in the whole plan is the
+ *    segment-count aggregate; document text never shuffles at all.
+ */
+object Scrub {
+
+  /** PII patterns. One dialect-portable regex per class: RE2 (DuckDB)
+    * and java.util.regex agree on these constructs (char classes,
+    * bounded repeats, `\b`, no backrefs / lookaround). */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\(555\) \d{3}-\d{4}"""
+  val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Per-class PII hit counts for `text` — codegen'd, map-side. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailRe)),
+    "n_ip"    -> regexp_count(text, lit(Ipv4Re)),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)))
+
+  /** `text` with every PII span masked by a typed placeholder. Email
+    * is masked FIRST (its local part may contain digit runs the later
+    * patterns could otherwise nibble at), then phone, then IPv4. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Non-overlapping `width`-token segments of `text`, in order —
+    * a pure map-side array expression (the last segment may be
+    * shorter when the token count is not a multiple of `width`). */
+  def segments(text: Column, width: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(width.toDouble)).cast(IntegerType) - 1),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+  }
+
+  /**
+   * Corpus-level duplicate-segment removal. Every document is split
+   * into non-overlapping `width`-token segments; a segment whose
+   * corpus-wide occurrence count exceeds `docs_total / thresholdDiv`
+   * is boilerplate and is removed from every document (the threshold
+   * scales with the corpus, so the operator's selectivity is stable
+   * across tiers instead of silently degrading to all-or-nothing).
+   *
+   * Output: (idCol, n_segments, n_dropped, clean_text) — clean_text
+   * is the surviving segments rejoined in original order ('' when a
+   * document was pure boilerplate; the row survives, the text doesn't).
+   *
+   * Scale shape (see object doc): one hash aggregate over narrow
+   * (segment) rows is the only exchange; the boilerplate set rides a
+   * single-row broadcast and the rebuild is map-side array algebra —
+   * document text is never exploded into a shuffle and never
+   * regrouped.
+   */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 2, thresholdDiv: Double = 25.0): DataFrame =
+    strikeBoilerplate(docs, segmentCounts(docs, textCol, width),
+      idCol, textCol, width, thresholdDiv)
+
+  /** Corpus-wide occurrence count per segment — the ONLY exchange in
+    * the segment-dedup plan (narrow (seg) rows, map-side combine).
+    * Also the state a streaming twin maintains: a streaming groupBy
+    * over the same expression keeps per-segment counters partitioned
+    * across the state store exactly as this hash aggregate partitions
+    * across executors (see st19). */
+  def segmentCounts(docs: DataFrame, textCol: String, width: Int): DataFrame =
+    docs.select(explode(segments(col(textCol), width)).as("seg"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+
+  /** The strike pass over precomputed [[segmentCounts]] — shared by
+    * the batch operator and the streaming twin's drained-state view.
+    * Above-threshold survivors collapse to ONE row (≤ totalSegs/thr
+    * entries by pigeonhole — broadcast-sized at any corpus scale) and
+    * every document rebuilds map-side against the broadcast set. */
+  def strikeBoilerplate(docs: DataFrame, counts: DataFrame,
+                        idCol: String, textCol: String,
+                        width: Int, thresholdDiv: Double): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val boiler = counts.crossJoin(broadcast(nDocs))
+      .filter(col("n") > col("__n") / thresholdDiv)
+      .agg(collect_set(col("seg")).as("__bl"))
+    docs.select(col(idCol), segments(col(textCol), width).as("__segs"))
+      .crossJoin(broadcast(boiler)).select(
+        col(idCol),
+        size(col("__segs")).as("n_segments"),
+        size(filter(col("__segs"), s => array_contains(col("__bl"), s)))
+          .as("n_dropped"),
+        concat_ws(" ",
+          filter(col("__segs"), s => !array_contains(col("__bl"), s)))
+          .as("clean_text"))
+  }
+
+  /** The full tx34/st18 scrub report over a documents frame (batch or
+    * streaming — every stage is a stateless per-row projection):
+    * plant the synthetic spans, then count and mask. */
+  def piiScrubReport(docs: DataFrame): DataFrame = {
+    val planted = plantSyntheticPii(col("text"), col("doc_id"))
+    docs.select(
+      Seq(col("doc_id"), col("lang")) ++
+        piiCounts(planted).map { case (n, c) => c.as(n) } :+
+        piiRedact(planted).as("redacted"): _*)
+  }
+
+  /** Deterministic doc_id-derived PII spans appended to `text` — the
+    * synthetic corpus carries no real PII, so the tx34/st18 gates
+    * plant their own (every doc an email, every 2nd an IPv4, every
+    * 3rd a phone; the DuckDB oracle plants the identical spans in
+    * SQL). Fixture augmentation, not part of the operator. */
+  def plantSyntheticPii(text: Column, id: Column): Column = concat(
+    text, lit(" contact user"), id.cast(StringType), lit("@mail.example.com"),
+    when(id % 2 === 0, concat(lit(" from 10."),
+      (id % 200 + 1).cast(StringType), lit("."),
+      (id % 250 + 1).cast(StringType), lit("."),
+      ((id * 7) % 250 + 1).cast(StringType))).otherwise(""),
+    when(id % 3 === 0, concat(lit(" call (555) "),
+      lpad((id % 1000).cast(StringType), 3, "0"), lit("-"),
+      lpad(((id * 13) % 10000).cast(StringType), 4, "0"))).otherwise(""))
+}

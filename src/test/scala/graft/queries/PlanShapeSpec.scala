@@ -453,6 +453,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       .findAllIn(p).size <= 1, s"feed aggregated twice:\n$p")
   }
 
+  test("tx34: the PII scrub is map-only — zero exchanges") {
+    // plant/count/mask are per-row regexp expressions; any Exchange
+    // would turn a wire-speed ingest mask into a corpus shuffle
+    val p = plan("tx34_pii_redaction")
+    assert(!p.contains("Exchange"), s"expected a map-only scrub plan:\n$p")
+  }
+
+  test("tx35: one shuffle total (the segment counts) — document text never shuffles") {
+    val p = plan("tx35_segment_dedup")
+    // exactly one hash-partitioned exchange: the narrow (seg) count
+    // aggregate. The boilerplate set and doc-count ride broadcasts;
+    // the rebuild is map-side array algebra on the scan.
+    // (SinglePartition exchanges — the 1-row doc-count and the
+    // boilerplate collect_set finalization — are metadata-sized)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size +
+      "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected ONE data shuffle in segment dedup:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the boilerplate set to broadcast:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
