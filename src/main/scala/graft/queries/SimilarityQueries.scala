@@ -457,6 +457,67 @@ object SimilarityQueries {
        |SELECT e.vec_id, e.label FROM embeddings e
        |WHERE e.vec_id NOT IN (SELECT id_b FROM dup)""".stripMargin
 
+  // ---- sim11: ANN recall@5 — the index-quality report that closes
+  //      the ANN loop: how much of the exact top-5 does the IVF probe
+  //      recover, per query? In-engine it is [[Similarity.recallAtK]]
+  //      over the two already-gated result sets (sim01's exact truth,
+  //      sim05's IVF probe); the oracle re-derives BOTH pipelines in
+  //      one query — brute-force CTEs from sim01, fitted-centroid
+  //      meet CTEs from sim05 — and counts the overlap, so the recall
+  //      number is gated end-to-end, not against the engine's own
+  //      intermediate dumps. ----
+  private def sim11(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb(spark, dir), queriesDf(spark, dir), k = 5),
+      Similarity.ivfTopK(emb(spark, dir), queriesDf(spark, dir), k = 5),
+      k = 5)
+
+  private[queries] def sim11OracleGen(spark: SparkSession, dir: String): String = {
+    s"""WITH ${ivfMeetCtes(spark, dir)},
+       |$normsCte,
+       |allp AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+       |  GROUP BY query_id, cand_id),
+       |exact5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT p.query_id, p.cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ROUND(p.dot / (nq.nrm * nc.nrm), 4) DESC, p.cand_id) AS rank
+       |    FROM allp p
+       |    JOIN norms nq ON nq.vec_id = p.query_id
+       |    JOIN norms nc ON nc.vec_id = p.cand_id) t
+       |  WHERE rank <= 5),
+       |apairs AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT m.query_id, m.cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM meet m
+       |    JOIN embeddings q ON q.vec_id = m.query_id
+       |    JOIN embeddings c ON c.vec_id = m.cand_id) z
+       |  GROUP BY query_id, cand_id),
+       |approx5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT p.query_id, p.cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ROUND(p.dot / (nq.nrm * nc.nrm), 4) DESC, p.cand_id) AS rank
+       |    FROM apairs p
+       |    JOIN norms nq ON nq.vec_id = p.query_id
+       |    JOIN norms nc ON nc.vec_id = p.cand_id) t
+       |  WHERE rank <= 5)
+       |SELECT e.query_id, COUNT(a.cand_id) AS n_hit,
+       |  COUNT(a.cand_id) / 5.0 AS recall
+       |FROM exact5 e
+       |LEFT JOIN approx5 a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -470,5 +531,6 @@ object SimilarityQueries {
     GraftQuery("sim07_quantize", sim07, Some(sim07Oracle)),
     GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)),
     GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)),
-    GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)))
+    GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)),
+    GraftQuery("sim11_ann_recall", sim11, None, oracleGen = Some(sim11OracleGen)))
 }

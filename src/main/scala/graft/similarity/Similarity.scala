@@ -59,6 +59,30 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate top-k result against exact ground
+   * truth — the index-quality report every production ANN deployment
+   * tracks (probe counts and cell counts are tuned against exactly
+   * this number). Both inputs are (query_id, cand_id[, ...]) top-k
+   * frames; output is per-query (n_hit, recall).
+   *
+   * Scale shape: the inputs are top-k frames — |queries| × k rows,
+   * orders of magnitude smaller than the corpus that produced them —
+   * so the equality join broadcasts the approximate side and the
+   * per-query count is a trivially small aggregate. The expensive
+   * side (the exact truth) is whatever anchor produced it; this
+   * operator adds no corpus-sized work of its own.
+   */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    truth.select("query_id", "cand_id")
+      .join(broadcast(hits), Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / k.toDouble).as("recall"))
+  }
+
+  /**
    * Metadata-filtered exact ANN: cosine top-k restricted to candidates
    * agreeing with the query on `matchCol` — the filtered-search shape
    * (tenant / category / label predicates) every production vector

@@ -71,6 +71,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // unclustered random vectors are LSH/IVF's worst case; still expect
     // a sane fraction of the exact set from probing half the cells
     assert(recall > 0.2, s"recall $recall")
+
+    // recallAtK reports the same overlap the set algebra above computes
+    val reported = Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4), k = 5)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(reported.size == 10)
+    assert(reported.values.map(_._1).sum == (ivf & exact).size)
+    reported.values.foreach { case (nHit, rec) =>
+      assert(rec == nHit / 5.0 && nHit >= 0 && nHit <= 5)
+    }
   }
 
   test("bucketed near-dup pairs ⊆ exact pairs, identical cosines, recall floor") {
