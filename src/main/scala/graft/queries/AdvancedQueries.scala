@@ -864,6 +864,45 @@ object AdvancedQueries {
       |JOIN tc tb ON tb.event_type = p.type_b
       |CROSS JOIN m""".stripMargin
 
+  // ---- q43: integer-exact PageRank over the customer↔supplier
+  //      purchase graph — iterative link analysis (who are the most
+  //      central buyers/vendors?) as 10 rounds of the damped integer
+  //      recurrence in [[graft.graph.PageRank]]. The edge list is the
+  //      distinct (custkey, suppkey) pairs from orders⋈lineitem, made
+  //      bidirectional so every node has out-degree ≥ 1 (no dangling
+  //      mass). All rank mass is scaled BIGINT and every step is
+  //      integer arithmetic, so 10 iterations are bit-identical on
+  //      any engine — the oracle unrolls the same recurrence as 10
+  //      CTEs and gates the final ranks cell-exact. ----
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    val edges = pairs
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    graft.graph.PageRank.run(edges, iters = 10).select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("kind"),
+      expr("node div 2").as("key"),
+      col("pr"))
+  }
+
+  private val q43Oracle =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+       |${graft.graph.PageRank.oracleIterCtes(10)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, pr
+       |FROM pr10""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -887,5 +926,6 @@ object AdvancedQueries {
     GraftQuery("q38_quantile_buckets", q38, Some(q38Oracle)),
     GraftQuery("q39_user_growth", q39, Some(q39Oracle)),
     GraftQuery("q41_attribution", q41, Some(q41Oracle)),
-    GraftQuery("q42_basket_lift", q42, Some(q42Oracle)))
+    GraftQuery("q42_basket_lift", q42, Some(q42Oracle)),
+    GraftQuery("q43_pagerank", q43, Some(q43Oracle)))
 }

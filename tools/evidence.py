@@ -81,7 +81,7 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
 # (dq07). Corpus queries are out of scope by construction (documents/
 # embeddings copy verbatim, unscaled).
 INCLUDE_100X = {
-    "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",
+    "q01_pricing_summary", "q43_pagerank", "q15_latest_events", "q26_shipping_priority",
     "q34_funnel", "q37_peak_concurrency", "dq07_exact_percentiles",
 }
 
