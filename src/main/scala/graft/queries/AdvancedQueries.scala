@@ -864,6 +864,43 @@ object AdvancedQueries {
       |JOIN tc tb ON tb.event_type = p.type_b
       |CROSS JOIN m""".stripMargin
 
+  // ---- q44: point-in-time snapshot (temporal AS OF) over the SCD2
+  //      history — "what state was every user in at instant T?", the
+  //      read side that makes q36's type-2 history useful. T is the
+  //      midpoint of the event-time range (derived in-plan on both
+  //      engines — no collected literal), and the snapshot is a pure
+  //      map-side interval filter over the history with the cutoff
+  //      riding a one-row broadcast: the expensive part is q36's
+  //      single exchange+sort, reused as-is; AS OF adds zero
+  //      exchanges. ----
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val cut = Tables.events(spark, dir)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cut"))
+    q36(spark, dir).crossJoin(broadcast(cut))
+      .filter(col("valid_from_us") <= col("cut") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("cut")))
+      .select(col("user_id"), col("state"), col("valid_from_us"))
+  }
+
+  private val q44Oracle =
+    """WITH o AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, state, tus, event_id FROM o
+      |       WHERE prev IS NULL OR prev <> state),
+      |hist AS (
+      |  SELECT user_id, state, tus AS valid_from_us,
+      |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS valid_to_us
+      |  FROM ch),
+      |cut AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS cut FROM o)
+      |SELECT h.user_id, h.state, h.valid_from_us
+      |FROM hist h CROSS JOIN cut
+      |WHERE h.valid_from_us <= cut.cut
+      |  AND (h.valid_to_us IS NULL OR h.valid_to_us > cut.cut)""".stripMargin
+
   // ---- q43: integer-exact PageRank over the customer↔supplier
   //      purchase graph — iterative link analysis (who are the most
   //      central buyers/vendors?) as 10 rounds of the damped integer
@@ -927,5 +964,6 @@ object AdvancedQueries {
     GraftQuery("q39_user_growth", q39, Some(q39Oracle)),
     GraftQuery("q41_attribution", q41, Some(q41Oracle)),
     GraftQuery("q42_basket_lift", q42, Some(q42Oracle)),
-    GraftQuery("q43_pagerank", q43, Some(q43Oracle)))
+    GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
+    GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)))
 }

@@ -580,6 +580,32 @@ object StorageQueries {
     cdcProject(graft.ops.Relational.applyChangeFeed(
       Tables.orders(spark, dir), cdcFeed(spark, dir), "o_orderkey"))
 
+  // ---- io16: CDC time travel — the table AS OF sequence number 1,
+  //      i.e. before the seq-2 delete wave landed. Time travel over a
+  //      change feed IS the apply restricted to seq ≤ S (the lakehouse
+  //      "version AS OF" read re-expressed on the feed): same
+  //      one-broadcast-join scale shape as io15, the seq predicate
+  //      filters the feed map-side before its only shuffle. The %15
+  //      keys whose U@1 was erased by D@2 in io15 must RESURFACE as
+  //      updated rows here — that's the semantic the oracle pins. ----
+  private def io16(spark: SparkSession, dir: String): DataFrame =
+    cdcProject(graft.ops.Relational.applyChangeFeed(
+      Tables.orders(spark, dir),
+      cdcFeed(spark, dir).filter(col("seq") <= 1), "o_orderkey"))
+
+  /** io15's oracle with the feed truncated at seq 1 — the only change
+    * time travel makes is the feed predicate, so the oracle derives by
+    * the same one-line restriction (asserted non-trivial in
+    * RegistrySanity via the shared suffix). */
+  // lazy: io15Oracle is declared further down this object; a strict
+  // val here would read it as null during object init
+  private[queries] lazy val io16Oracle: String = {
+    val truncated = io15Oracle.replace(
+      "FROM changes) t", "FROM changes WHERE seq <= 1) t")
+    require(truncated != io15Oracle, "io16 oracle derivation anchor moved")
+    truncated
+  }
+
   private[queries] val io15Oracle =
     """WITH changes AS (
       |  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_custkey,
@@ -635,5 +661,6 @@ object StorageQueries {
     GraftQuery("io12_snapshot_expiry", io12, Some(io12Oracle)),
     GraftQuery("io13_reconciliation", io13, Some(io13Oracle)),
     GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle), headline = true),
-    GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)))
+    GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)),
+    GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)))
 }
