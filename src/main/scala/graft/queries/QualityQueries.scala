@@ -577,6 +577,80 @@ object QualityQueries {
       |      / (SQRT(s.n * s.ss - s.s * s.s) / s.n) AS z
       |  FROM events e JOIN st s ON e.event_type = s.event_type) t""".stripMargin
 
+  // ---- dq12: CUSUM changepoint detection — the drift monitor that
+  //      catches a sustained shift in daily volume that per-day
+  //      z-scores miss: per event type, the one-sided cumulative sum
+  //      S_i = max(0, S_{i-1} + (n_i − target)) over the day series,
+  //      reporting the peak cumulative excess and the first day it was
+  //      reached. The recursion is inherently sequential (not
+  //      associative), so it CANNOT be a distributed fold — and does
+  //      not need to be: the time dimension is bounded by nature (a
+  //      year is 365 rows per type), so daily counts aggregate
+  //      distributed (one narrow exchange), collapse to one bounded
+  //      sorted array per type, and the walk runs inside a codegen'd
+  //      higher-order `aggregate` over that array. All integer math —
+  //      the target is the truncated mean daily count — so the oracle
+  //      (the same recurrence as a recursive CTE) gates cell-exact. ----
+  private def dq12(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val perType = daily.groupBy(col("event_type")).agg(
+      sort_array(collect_list(struct(col("day"), col("n")))).as("days"),
+      expr("sum(n) div count(*)").as("target"))
+    val init = struct(
+      lit(0L).as("s"), lit(0L).as("max_s"),
+      lit(null).cast(DateType).as("max_day"))
+    val walked = perType.select(
+      col("event_type"),
+      aggregate(col("days"), init, (st, d) => {
+        val s2 = greatest(lit(0L), st.getField("s") + d.getField("n") - col("target"))
+        struct(
+          s2.as("s"),
+          when(s2 > st.getField("max_s"), s2)
+            .otherwise(st.getField("max_s")).as("max_s"),
+          when(s2 > st.getField("max_s"), d.getField("day"))
+            .otherwise(st.getField("max_day")).as("max_day"))
+      }).as("w"))
+    walked.select(
+      col("event_type"),
+      col("w.max_s").as("peak_excess"),
+      col("w.max_day").cast(StringType).as("peak_day"))
+  }
+
+  private val dq12Oracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS (
+      |  SELECT event_type, day, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |tgt AS (
+      |  SELECT event_type, SUM(n) // COUNT(*) AS target, COUNT(*) AS k
+      |  FROM daily GROUP BY 1),
+      |rec AS (
+      |  WITH RECURSIVE walk AS (
+      |    SELECT n.event_type, n.rn,
+      |      GREATEST(0, n.n - t.target) AS s,
+      |      GREATEST(0, n.n - t.target) AS max_s,
+      |      CASE WHEN n.n - t.target > 0 THEN n.day ELSE NULL END AS max_day
+      |    FROM numbered n JOIN tgt t USING (event_type) WHERE n.rn = 1
+      |    UNION ALL
+      |    SELECT w.event_type, n.rn,
+      |      GREATEST(0, w.s + n.n - t.target) AS s,
+      |      CASE WHEN GREATEST(0, w.s + n.n - t.target) > w.max_s
+      |           THEN GREATEST(0, w.s + n.n - t.target) ELSE w.max_s END,
+      |      CASE WHEN GREATEST(0, w.s + n.n - t.target) > w.max_s
+      |           THEN n.day ELSE w.max_day END
+      |    FROM walk w
+      |    JOIN numbered n ON n.event_type = w.event_type AND n.rn = w.rn + 1
+      |    JOIN tgt t ON t.event_type = w.event_type)
+      |  SELECT * FROM walk)
+      |SELECT r.event_type, CAST(r.max_s AS BIGINT) AS peak_excess,
+      |  CAST(r.max_day AS VARCHAR) AS peak_day
+      |FROM rec r JOIN tgt t ON t.event_type = r.event_type AND r.rn = t.k""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -588,5 +662,6 @@ object QualityQueries {
     GraftQuery("dq08_benford", dq08, Some(dq08Oracle)),
     GraftQuery("dq09_histogram", dq09, Some(dq09Oracle)),
     GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)),
-    GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)))
+    GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)),
+    GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)))
 }

@@ -580,6 +580,60 @@ object StorageQueries {
     cdcProject(graft.ops.Relational.applyChangeFeed(
       Tables.orders(spark, dir), cdcFeed(spark, dir), "o_orderkey"))
 
+  // ---- io17: the inverted text index ON DISK — io03's layout trick
+  //      applied to search: posting lists (term, doc_id, tf) stored
+  //      `partitionBy(term-bucket)`, so a multi-term query is a
+  //      partition-pruned scan: the terms are LITERALS, so their
+  //      buckets are computable at plan time and the pruning is
+  //      STATIC — strictly stronger than io03's DPP (no runtime
+  //      subquery; the file index lists ≤ |terms| of 64 directories
+  //      before the job starts; pinned in PlanShapeSpec). The bucket
+  //      of each query term comes from evaluating the writer's own
+  //      xxhash64 expression over a 3-row literal frame (one
+  //      metadata-sized driver action, the UpsertSink pattern) — the
+  //      bucket function is engine-internal LAYOUT, so the oracle
+  //      never needs to reproduce it: it answers the search from the
+  //      raw corpus. tf sums are integers, so the AND-semantics
+  //      top-10 gates cell-exact. ----
+  private val Io17Terms = Seq("spark", "window", "join")
+
+  private def io17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-io17-").toString
+    val docs = Tables.documents(spark, dir)
+    val bucket = pmod(xxhash64(col("term")), lit(64))
+    docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("tb", bucket)
+      .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val termBuckets = Io17Terms.toDF("term").select(bucket)
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val perDoc = store
+      .filter(col("tb").isin(termBuckets: _*) &&
+        col("term").isin(Io17Terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === Io17Terms.size)
+    graft.ops.Relational.topKPerGroup(
+      perDoc.withColumn("__g", lit(1)), Seq("__g"),
+      Seq(col("total_tf").desc, col("doc_id")), 10, rankName = "rank")
+      .select("doc_id", "n_terms", "total_tf", "rank")
+  }
+
+  private val io17Oracle =
+    """WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT doc_id, term FROM t WHERE term IN ('spark', 'window', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+      |        CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1)
+      |SELECT doc_id, n_terms, total_tf, rank FROM (
+      |  SELECT doc_id, n_terms, total_tf,
+      |    ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS rank
+      |  FROM agg WHERE n_terms = 3) z
+      |WHERE rank <= 10""".stripMargin
+
   // ---- io16: CDC time travel — the table AS OF sequence number 1,
   //      i.e. before the seq-2 delete wave landed. Time travel over a
   //      change feed IS the apply restricted to seq ≤ S (the lakehouse
@@ -662,5 +716,6 @@ object StorageQueries {
     GraftQuery("io13_reconciliation", io13, Some(io13Oracle)),
     GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle), headline = true),
     GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)),
-    GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)))
+    GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)),
+    GraftQuery("io17_inverted_index", io17, Some(io17Oracle)))
 }

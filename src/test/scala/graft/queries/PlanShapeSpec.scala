@@ -474,6 +474,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the boilerplate set to broadcast:\n$p")
   }
 
+  test("io17: the inverted-index probe is statically pruned to the terms' buckets") {
+    // a 3-term search must NOT scan the whole posting store: literal
+    // terms mean plan-time bucket values, so the scan's
+    // PartitionFilters restrict the file listing to ≤ 3 of 64 bucket
+    // directories — static pruning, stronger than io03's runtime DPP
+    val p = plan("io17_inverted_index")
+    val pf = "PartitionFilters: \\[[^\\]]*tb[^\\]]*(IN |EqualTo|= )[^\\]]*\\]".r
+    assert(pf.findFirstIn(p).isDefined,
+      s"expected a static bucket predicate in PartitionFilters:\n$p")
+    assert(p.contains("PushedFilters: [In(term") || p.contains("In(term, "),
+      s"expected the term IN-list pushed to the posting scan:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
