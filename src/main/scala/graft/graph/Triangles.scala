@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed triangle counting via the node-iterator (degree-ordered
+ * wedge) scheme — the clique-census primitive behind cohesion and
+ * community analytics.
+ *
+ * Every undirected edge is oriented from its (degree, id)-smaller
+ * endpoint to the larger; triangles are wedges `u→v→w` whose closing
+ * edge `u→w` exists. The orientation is the whole scale story: it
+ * bounds every out-degree by O(√m), so the wedge frame — the only
+ * super-linear intermediate — is O(m^1.5) worst case instead of Σdeg²
+ * on the raw graph, and hub nodes become wedge TARGETS (high
+ * in-degree), never wedge SOURCES. On a power-law graph at 100 TB that
+ * is the difference between a plan that finishes and one that
+ * materializes a hub's deg² wedges on a single task.
+ *
+ * Each triangle {a, b, c} appears as EXACTLY one oriented wedge
+ * (acyclic total order ⇒ unique least/middle/greatest endpoint), so
+ * the count needs no dedup and equals the count under any other
+ * consistent orientation — q45's oracle proves that equivalence
+ * against the naive a<b<c orientation cell-exact.
+ */
+object Triangles {
+
+  /** Per-node triangle participation over an undirected edge list.
+    * `edges` must carry one row per undirected edge as `(a, b)` with
+    * `a < b` (canonical form — no duplicates, no self-loops). Returns
+    * `(node, n_tri)` for nodes in ≥1 triangle. `persist` is applied to
+    * the oriented edge frame, which all three join legs scan — pass a
+    * lifecycle-managed persist (a PlanCache) when the edge subtree is
+    * expensive to recompute. */
+  def perNodeCounts(edges: DataFrame,
+                    persist: DataFrame => DataFrame = identity): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // degree frame is |V|-sized — broadcast both annotation joins so
+    // the edge list is never shuffled to learn its endpoint degrees
+    val oriented = persist(edges
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")))
+    val tri = triangleEnds(oriented)
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The oriented-wedge close: `(u, v, w)` triples with `u→v`, `v→w`
+    * and the closing `u→w` all present. `oriented` should be persisted
+    * by the caller when the input subtree is expensive — it is scanned
+    * by all three join legs. */
+  private def triangleEnds(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    wedges.join(oriented.as("e3"),
+        col("u") === col("e3.src") && col("w") === col("e3.dst"))
+      .select(col("u"), col("v"), col("w"))
+  }
+}

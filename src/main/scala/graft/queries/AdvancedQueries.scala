@@ -940,6 +940,57 @@ object AdvancedQueries {
        |  node // 2 AS key, pr
        |FROM pr10""".stripMargin
 
+  // ---- q45: distributed triangle counting over the part co-purchase
+  //      graph — the clique-census primitive behind community/cohesion
+  //      analytics. Edges are distinct part pairs sharing an order
+  //      (per-order fanout is bounded by basket size — C(4,2)-ish rows
+  //      per order, never quadratic in the catalog). Triangles via the
+  //      node-iterator scheme: orient every edge from its (degree, id)-
+  //      smaller endpoint to the larger, join oriented⋈oriented on the
+  //      middle vertex to form wedges, then probe the edge list once
+  //      more for the closing edge. The orientation bounds every
+  //      out-degree by O(√m), so the wedge frame — the only
+  //      super-linear intermediate — is O(m^1.5) worst case instead of
+  //      Σdeg² on the raw graph; hub nodes become wedge TARGETS, not
+  //      sources, which is what keeps the shape alive on a power-law
+  //      graph at scale. The oracle counts the SAME triangle set with
+  //      the naive a<b<c orientation — the gate therefore proves the
+  //      degree-ordered plan equivalent to the textbook definition.
+  //      Output: per-part triangle participation, top-20. ----
+  private val triCache = new graft.util.PlanCache(maxEntries = 2)
+
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    val cnt = graft.graph.Triangles.perNodeCounts(edges, triCache.persisted)
+    graft.ops.Relational.topKPerGroup(
+      cnt.withColumn("__g", lit(1)), Seq("__g"),
+      Seq(col("n_tri").desc, col("node")), 20, rankName = "rank")
+      .select(col("node").as("partkey"), col("n_tri"), col("rank"))
+  }
+
+  private val q45Oracle =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb
+      |          FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      |edges AS (SELECT pa, pb FROM pairs GROUP BY 1, 2),
+      |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      |        FROM edges e1
+      |        JOIN edges e2 ON e2.pa = e1.pb
+      |        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+      |nodes AS (SELECT a AS node FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri),
+      |cnt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1)
+      |SELECT partkey, n_tri, rank FROM (
+      |  SELECT node AS partkey, n_tri,
+      |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rank
+      |  FROM cnt) z
+      |WHERE rank <= 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -965,5 +1016,6 @@ object AdvancedQueries {
     GraftQuery("q41_attribution", q41, Some(q41Oracle)),
     GraftQuery("q42_basket_lift", q42, Some(q42Oracle)),
     GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
-    GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)))
+    GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
+    GraftQuery("q45_triangles", q45, Some(q45Oracle)))
 }

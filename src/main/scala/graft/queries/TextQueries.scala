@@ -1325,6 +1325,88 @@ object TextQueries {
       |  array_to_string(list_filter(d.segs, s -> NOT list_contains(bl_list, s)), ' ') AS clean_text
       |FROM segd d CROSS JOIN bl""".stripMargin
 
+  // ---- tx36: BM25 ranked retrieval — tx33's tf-idf consumer upgraded
+  //      to the Okapi/Lucene scoring that production search actually
+  //      runs: idf = ln((N - df + 0.5)/(df + 0.5) + 1), term score =
+  //      idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+  //      k1 = 1.2, b = 0.75 — tf saturation plus document-length
+  //      normalization, which plain tf-idf lacks. Scale shape is
+  //      tx33's: the literal term list filters the corpus explode
+  //      MAP-SIDE before any aggregation; df/N/avgdl are single-row
+  //      broadcast stats; doc length joins from a narrow (doc_id, dl)
+  //      aggregate on the same exploded frame. Cross-engine float
+  //      discipline: every per-term score is an identical IEEE-double
+  //      expression tree on both engines (same literals, same
+  //      parenthesization), rounded to a ×10⁴ integer BEFORE the
+  //      per-doc sum — the only float fold is per-term, never across
+  //      terms, so the gate is cell-exact. AND semantics; top-10. ----
+  private def tx36(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(
+      col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val dl = docs.select(
+      col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(TextAnalysis.tokenCount(col("text"))).as("total_dl"))
+    val terms = toks.filter(col("term").isin(Tx33Terms: _*))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), {
+        val nD = col("n").cast(DoubleType)
+        val dfD = col("df").cast(DoubleType)
+        val tfD = col("tf").cast(DoubleType)
+        val dlD = col("dl").cast(DoubleType)
+        val avgdl = col("total_dl").cast(DoubleType) / nD
+        val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+        val num = tfD * lit(2.2)
+        val den = tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl))
+        round(idf * (num / den) * 10000).cast(LongType).as("s")
+      })
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_i"))
+      .filter(col("n_terms") === Tx33Terms.size)
+      .select(col("doc_id"),
+        (col("score_i").cast(DoubleType) / 10000.0).as("score"))
+    graft.ops.Relational.topKPerGroup(
+      perDoc.withColumn("__g", lit(1)), Seq("__g"),
+      Seq(col("score").desc, col("doc_id")), 10, rankName = "rank")
+      .select("doc_id", "score", "rank")
+  }
+
+  private val tx36Oracle =
+    """WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, SUM(len(str_split(text, ' '))) AS total_dl
+      |          FROM documents),
+      |f AS (SELECT doc_id, term FROM t WHERE term IN ('spark', 'window', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(
+      |      ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |         / (CAST(tf.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                                    / (CAST(s.total_dl AS DOUBLE)
+      |                                       / CAST(s.n AS DOUBLE))))))
+      |      * 10000) AS BIGINT) AS s
+      |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_terms, SUM(s) AS score_i
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, score, rank FROM (
+      |  SELECT doc_id, CAST(score_i AS DOUBLE) / 10000.0 AS score,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(score_i AS DOUBLE) / 10000.0 DESC, doc_id) AS rank
+      |  FROM agg WHERE n_terms = 3) z
+      |WHERE rank <= 10""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1366,5 +1448,6 @@ object TextQueries {
     GraftQuery("tx32_fuzzy_dedup", tx32, Some(tx32Oracle)),
     GraftQuery("tx33_search_rank", tx33, Some(tx33Oracle)),
     GraftQuery("tx34_pii_redaction", tx34, Some(tx34Oracle)),
-    GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true))
+    GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true),
+    GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)))
 }

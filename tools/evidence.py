@@ -49,6 +49,11 @@ EXCLUDE_SF01_SWEEP = {
     "mm01_media_features", "mm02_media_ann", "mm07_feature_norms",
     "mm09_image_phash_dedup", "mm10_image_dup_clusters",
     "st07_stream_incremental_dedup",
+    # q45's ORACLE closes triangles with the naive a<b<c wedge join —
+    # 47 s in DuckDB at sf0.1 (1.2M edges); the Spark side is the
+    # degree-oriented plan and stays cheap, but the gate is only as
+    # fast as its oracle. Gated at sf0.01 (413k triangles).
+    "q45_triangles",
 }
 
 # Additional 10x-tier exclusions — wall-clock, not correctness: the
