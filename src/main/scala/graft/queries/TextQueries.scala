@@ -1407,6 +1407,52 @@ object TextQueries {
       |  FROM agg WHERE n_terms = 3) z
       |WHERE rank <= 10""".stripMargin
 
+  // ---- tx37: exact duplicated-substring removal — ExactSubstr from
+  //      Lee et al. 2022, the span-level complement of tx35's aligned
+  //      segments: any 30-char window occurring elsewhere in the
+  //      corpus is struck except its corpus-wide first (min (doc,
+  //      pos)) occurrence; overlapping duplicate windows merge into
+  //      one covered span before removal. The gate compares the exact
+  //      rebuilt text. The per-window stats are one skew-tolerant
+  //      hash aggregate (count + min-carrier — never a
+  //      row_number-over-window sort), the occurrences join back on
+  //      the reused (win) exchange, and the span merge walks each
+  //      document's sorted dup positions inside a higher-order
+  //      `aggregate` map-side. The oracle re-derives coverage
+  //      char-by-char — a deliberately different (quadratic-ish)
+  //      formulation, so the interval walk is gated against an
+  //      independent definition of "covered". ----
+  private def tx37(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Scrub.substringDedup(
+      Tables.documents(spark, dir), "doc_id", "text", width = 30)
+
+  private val tx37Oracle =
+    """WITH wins AS (
+      |  SELECT doc_id, text, UNNEST(range(0, len(text) - 30 + 1)) AS p
+      |  FROM documents WHERE len(text) >= 30),
+      |w2 AS (SELECT doc_id, p, substr(text, CAST(p AS INT) + 1, 30) AS win
+      |       FROM wins),
+      |occ AS (SELECT doc_id, p,
+      |          ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn,
+      |          COUNT(*) OVER (PARTITION BY win) AS c
+      |        FROM w2),
+      |dup AS (SELECT doc_id, p FROM occ WHERE c >= 2 AND rn >= 2),
+      |chars AS (SELECT doc_id, text, UNNEST(range(0, len(text))) AS i
+      |          FROM documents),
+      |cov AS (SELECT DISTINCT c.doc_id, c.i
+      |        FROM chars c JOIN dup d
+      |        ON d.doc_id = c.doc_id AND c.i >= d.p AND c.i < d.p + 30),
+      |clean AS (
+      |  SELECT c.doc_id,
+      |    string_agg(CASE WHEN v.i IS NULL THEN substr(c.text, CAST(c.i AS INT) + 1, 1)
+      |               ELSE '' END, '' ORDER BY c.i) AS clean_text,
+      |    SUM(CASE WHEN v.i IS NULL THEN 0 ELSE 1 END) AS n_removed
+      |  FROM chars c LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.i = c.i
+      |  GROUP BY c.doc_id)
+      |SELECT d.doc_id, len(d.text) AS n_chars,
+      |  CAST(cl.n_removed AS BIGINT) AS n_removed, cl.clean_text
+      |FROM documents d JOIN clean cl ON cl.doc_id = d.doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1449,5 +1495,6 @@ object TextQueries {
     GraftQuery("tx33_search_rank", tx33, Some(tx33Oracle)),
     GraftQuery("tx34_pii_redaction", tx34, Some(tx34Oracle)),
     GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true),
-    GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)))
+    GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)),
+    GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)))
 }

@@ -120,6 +120,69 @@ object Scrub {
           .as("clean_text"))
   }
 
+  /**
+   * Exact duplicated-SUBSTRING removal — the other half of Lee et al.
+   * 2022 (ExactSubstr): a `width`-char window of text that occurs
+   * anywhere else in the corpus is a duplicated span, and every
+   * occurrence EXCEPT the corpus-wide first (min (doc, pos)) is
+   * struck from its document. Unlike [[segmentDedup]]'s aligned
+   * token segments, windows here OVERLAP (stride 1), so consecutive
+   * duplicate windows merge into one covered span and the rebuild is
+   * an interval-coverage walk, not an array filter.
+   *
+   * Output: (idCol, n_chars, n_removed, clean_text).
+   *
+   * Scale shape: the corpus explodes once into narrow (id, pos, win)
+   * rows; per-window stats are ONE hash aggregate (count + min
+   * (id, pos) carrier — map-side combine, skew-tolerant: a window
+   * repeated a million times still partial-aggregates, where a
+   * row_number-over-window plan would sort all million rows in one
+   * task). The join back to occurrences reuses the same (win)
+   * exchange (canonicalized identically → ReuseExchange plans one
+   * scan). Duplicate positions regroup per document — a delta-sized
+   * frame, not the corpus — and the span merge + text rebuild run
+   * inside a codegen'd higher-order `aggregate` over each document's
+   * sorted position array, map-side. The recursion is inherently
+   * sequential per document but bounded by the document's own dup
+   * count; across documents it is embarrassingly parallel.
+   */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     width: Int = 30): DataFrame = {
+    val occ = docs
+      .filter(length(col(textCol)) >= width)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        explode(sequence(lit(0), length(col(textCol)) - width)).as("__p"))
+      .select(col("__id"), col("__p"),
+        col("__t").substr(col("__p") + 1, lit(width)).as("__w"))
+    val stats = occ.groupBy(col("__w")).agg(
+      count(lit(1)).as("__c"),
+      min(struct(col("__id"), col("__p"))).as("__first"))
+    val dups = occ.join(stats, "__w")
+      .filter(col("__c") >= 2 &&
+        !(col("__first.__id") === col("__id") && col("__first.__p") === col("__p")))
+      .select(col("__id"), col("__p"))
+    val perDoc = dups.groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+    val ps = coalesce(col("__ps"),
+      array().cast(ArrayType(IntegerType)))
+    val text = col(textCol)
+    val init = struct(lit(0).as("cur"), lit("").as("acc"))
+    val clean = aggregate(ps, init,
+      (st, p) => struct(
+        greatest(st.getField("cur"), p + width).as("cur"),
+        when(p > st.getField("cur"),
+          concat(st.getField("acc"),
+            text.substr(st.getField("cur") + 1, p - st.getField("cur"))))
+          .otherwise(st.getField("acc")).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("cur") + 1, length(text) - st.getField("cur"))))
+    docs.join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        length(text).cast(LongType).as("n_chars"),
+        (length(text) - length(clean)).cast(LongType).as("n_removed"),
+        clean.as("clean_text"))
+  }
+
   /** The full tx34/st18 scrub report over a documents frame (batch or
     * streaming — every stage is a stateless per-row projection):
     * plant the synthetic spans, then count and mask. */

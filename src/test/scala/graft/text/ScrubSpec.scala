@@ -72,4 +72,51 @@ class ScrubSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(whole == halves)
   }
+
+  private def substrOut(docs: Seq[(Long, String)], width: Int) =
+    Scrub.substringDedup(docs.toDF("doc_id", "text"), "doc_id", "text", width)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("substringDedup keeps the corpus-wide first occurrence only") {
+    // "ABCDE" appears in docs 1 and 2; doc 1 (min (doc, pos)) keeps it
+    val out = substrOut(Seq(
+      (1L, "xxABCDEyy"), (2L, "ppABCDEqq"), (3L, "nothing here")), 5)
+    assert(out(1L) == ((9L, 0L, "xxABCDEyy")))
+    assert(out(2L) == ((9L, 5L, "ppqq")))
+    assert(out(3L) == ((12L, 0L, "nothing here")))
+  }
+
+  test("substringDedup merges overlapping duplicate windows into one span") {
+    // the shared run "ABCDEF" yields two overlapping width-5 windows in
+    // doc 2 (pos 1 and 2); coverage must merge to chars [1, 7), not
+    // remove 10 chars
+    val out = substrOut(Seq((1L, "ABCDEFzz"), (2L, "qABCDEFq")), 5)
+    assert(out(1L)._2 == 0L)
+    assert(out(2L) == ((8L, 6L, "qq")))
+  }
+
+  test("substringDedup strikes a within-document repeat") {
+    // "HELLO" occurs twice in ONE doc: the first stays, the second goes
+    val out = substrOut(Seq((7L, "HELLO--HELLO")), 5)
+    assert(out(7L) == ((12L, 5L, "HELLO--")))
+  }
+
+  test("substringDedup leaves short documents and is partition-stable") {
+    val docs = Seq((1L, "abc"), (2L, "abc"), (3L, "same30chars___same30chars___X"),
+      (4L, "same30chars___same30chars___X"))
+    val base = substrOut(docs, 8)
+    assert(base(1L) == ((3L, 0L, "abc"))) // shorter than width: untouched
+    // doc 3 is periodic (period 14), so its second period self-dedups
+    // against its first; doc 4 duplicates doc 3 wholesale and loses
+    // every window to doc 3's first occurrences
+    assert(base(3L) == ((29L, 14L, "same30chars___X")))
+    assert(base(4L) == ((29L, 29L, "")))
+    val repart = Scrub.substringDedup(
+      docs.toDF("doc_id", "text").repartition(7, col("text")),
+      "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(repart == base)
+  }
 }
