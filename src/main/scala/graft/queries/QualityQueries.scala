@@ -651,6 +651,88 @@ object QualityQueries {
       |  CAST(r.max_day AS VARCHAR) AS peak_day
       |FROM rec r JOIN tgt t ON t.event_type = r.event_type AND r.rn = t.k""".stripMargin
 
+  // ---- dq13: EWMA one-step-ahead forecasting — the smoothing monitor
+  //      that dq12's CUSUM complements: per event type, exponentially
+  //      weighted (α = 1/2) daily volume, reporting the final smoothed
+  //      level and the day with the largest one-step-ahead forecast
+  //      error |x_t − e_{t−1}| (the volume anomaly a static threshold
+  //      misses when the mean drifts). Exactness: α = 1/2 makes the
+  //      recurrence integer — carrying S_t = e_t·2^(t−1) gives
+  //      S_t = S_{t−1} + x_t·2^(t−2), all BIGINT (30-day fixture ⇒
+  //      ≤ 2^28 scale; exact through the 100× tier) — and every float
+  //      is derived from those integers by the IDENTICAL expression
+  //      tree on both engines (one division, one subtraction), so the
+  //      argmax day and the reported doubles gate cell-exact. Same
+  //      scale shape as dq12: one narrow daily aggregate exchange,
+  //      then a bounded per-type array walk in a higher-order
+  //      `aggregate`, map-side. ----
+  private def dq13(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val perType = daily.groupBy(col("event_type")).agg(
+      sort_array(collect_list(struct(col("day"), col("n")))).as("days"))
+    val init = struct(
+      lit(0).as("k"), lit(1L).as("p"), lit(0L).as("s"),
+      lit(-1.0).as("maxr"), lit(null).cast(DateType).as("maxday"))
+    val walked = perType.select(
+      col("event_type"),
+      aggregate(col("days"), init, (st, d) => {
+        val k = st.getField("k"); val p = st.getField("p")
+        val s = st.getField("s")
+        val ePrev = s.cast(DoubleType) / p.cast(DoubleType)
+        val r = d.getField("n").cast(DoubleType) - ePrev
+        val better = abs(r) > st.getField("maxr")
+        val firstStep = k === 0
+        struct(
+          (k + 1).as("k"),
+          when(firstStep, lit(1L)).otherwise(p * 2).as("p"),
+          when(firstStep, d.getField("n").cast(LongType))
+            .otherwise(s + d.getField("n") * p).as("s"),
+          when(firstStep, lit(-1.0))
+            .otherwise(when(better, abs(r)).otherwise(st.getField("maxr")))
+            .as("maxr"),
+          when(firstStep, lit(null).cast(DateType))
+            .otherwise(when(better, d.getField("day"))
+              .otherwise(st.getField("maxday"))).as("maxday"))
+      }).as("w"))
+    walked.select(
+      col("event_type"),
+      (col("w.s").cast(DoubleType) / col("w.p").cast(DoubleType)).as("ewma"),
+      col("w.maxr").as("max_error"),
+      col("w.maxday").cast(StringType).as("anomaly_day"))
+  }
+
+  private val dq13Oracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS (
+      |  SELECT event_type, day, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |len AS (SELECT event_type, COUNT(*) AS k FROM daily GROUP BY 1),
+      |rec AS (
+      |  WITH RECURSIVE walk AS (
+      |    SELECT event_type, rn, CAST(1 AS BIGINT) AS p, CAST(n AS BIGINT) AS s,
+      |      CAST(-1.0 AS DOUBLE) AS maxr, CAST(NULL AS DATE) AS maxday
+      |    FROM numbered WHERE rn = 1
+      |    UNION ALL
+      |    SELECT w.event_type, n.rn, w.p * 2, w.s + n.n * w.p,
+      |      CASE WHEN abs(CAST(n.n AS DOUBLE) - CAST(w.s AS DOUBLE) / CAST(w.p AS DOUBLE)) > w.maxr
+      |           THEN abs(CAST(n.n AS DOUBLE) - CAST(w.s AS DOUBLE) / CAST(w.p AS DOUBLE))
+      |           ELSE w.maxr END,
+      |      CASE WHEN abs(CAST(n.n AS DOUBLE) - CAST(w.s AS DOUBLE) / CAST(w.p AS DOUBLE)) > w.maxr
+      |           THEN n.day ELSE w.maxday END
+      |    FROM walk w
+      |    JOIN numbered n ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+      |  SELECT * FROM walk)
+      |SELECT r.event_type,
+      |  CAST(r.s AS DOUBLE) / CAST(r.p AS DOUBLE) AS ewma,
+      |  r.maxr AS max_error,
+      |  CAST(r.maxday AS VARCHAR) AS anomaly_day
+      |FROM rec r JOIN len l ON l.event_type = r.event_type AND r.rn = l.k""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -663,5 +745,6 @@ object QualityQueries {
     GraftQuery("dq09_histogram", dq09, Some(dq09Oracle)),
     GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)),
     GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)),
-    GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)))
+    GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)),
+    GraftQuery("dq13_ewma_forecast", dq13, Some(dq13Oracle)))
 }
