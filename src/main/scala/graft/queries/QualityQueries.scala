@@ -666,10 +666,22 @@ object QualityQueries {
   //      scale shape as dq12: one narrow daily aggregate exchange,
   //      then a bounded per-type array walk in a higher-order
   //      `aggregate`, map-side. ----
-  private def dq13(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  /** Per-(type, day) volume counters — the daily aggregate dq13 walks,
+    * and the ONLY state its streaming twin st20 maintains (bounded by
+    * types × days, not event volume; counts are fold-order-free, so
+    * complete-mode streaming ≡ this batch aggregate). */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  private def dq13(spark: SparkSession, dir: String): DataFrame =
+    ewmaFromDaily(dailyCounts(Tables.events(spark, dir)))
+
+  /** The EWMA walk over drained (event_type, day, n) counters — shared
+    * verbatim by dq13 and st20 (see dq13's header for the scaled-
+    * integer recurrence). */
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
     val perType = daily.groupBy(col("event_type")).agg(
       sort_array(collect_list(struct(col("day"), col("n")))).as("days"))
     val init = struct(
@@ -703,7 +715,7 @@ object QualityQueries {
       col("w.maxday").cast(StringType).as("anomaly_day"))
   }
 
-  private val dq13Oracle =
+  private[graft] val dq13Oracle =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),

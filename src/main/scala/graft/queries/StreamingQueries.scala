@@ -208,5 +208,10 @@ object StreamingQueries {
     // aggregate — counts are fold-order-free) and the strike pass is
     // the same strikeBoilerplate view the batch operator runs
     GraftQuery("st19_stream_segment_dedup",
-      graft.streaming.ScrubStream.segmentDedupReplay, Some(TextQueries.tx35Oracle)))
+      graft.streaming.ScrubStream.segmentDedupReplay, Some(TextQueries.tx35Oracle)),
+    // st20 carries dq13's oracle verbatim: the stream maintains the
+    // (type, day) volume counters (complete mode ≡ batch aggregation)
+    // and the scaled-integer EWMA walk is the shared ewmaFromDaily view
+    GraftQuery("st20_stream_ewma",
+      EventStream.ewmaReplay, Some(QualityQueries.dq13Oracle)))
 }

@@ -188,6 +188,28 @@ object EventStream {
   }
 
   /**
+   * st20: streaming EWMA volume forecaster — the stream maintains
+   * dq13's (event_type, day) counters as its ONLY state (complete
+   * mode ≡ batch aggregation; counts are fold-order-free, so
+   * micro-batch boundaries cannot change them; state is bounded by
+   * types × days, not event volume), and the scaled-integer EWMA walk
+   * is the same `ewmaFromDaily` view dq13 runs, over the drained
+   * snapshot. dq13's oracle carries verbatim.
+   */
+  def ewmaReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ewma"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .dailyCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table(name)
+    counts.cache().count()
+    graft.queries.QualityQueries.ewmaFromDaily(counts)
+  }
+
+  /**
    * st12: streaming histogram monitor — the stream maintains dq09's
    * (event_type, bin) counters (complete mode ≡ batch aggregation;
    * the counts frame is the ONLY state, bounded by types × bins, not
