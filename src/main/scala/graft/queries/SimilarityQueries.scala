@@ -518,6 +518,93 @@ object SimilarityQueries {
        |GROUP BY e.query_id""".stripMargin
   }
 
+  // ---- sim12: product-quantization ANN — the storage-side ANN
+  //      compression (Jégou et al.): 4 subspace codebooks of 16
+  //      entries make every vector a 4-byte code, and queries score
+  //      candidates by ADC table lookups, never touching the vectors.
+  //      The fitted codebooks are deterministic, so the oracle renders
+  //      them as literals and re-derives the ENTIRE path in SQL —
+  //      per-subspace nearest-code assignment (same (dist, code)
+  //      tie-break as the NearestCells expression), the per-query
+  //      lookup tables as left-assoc dot chains, the 4-term ADC sum
+  //      and literal reconstruction norms — so the approximate cosine
+  //      itself gates cell-exact, not just the ranks. ----
+  private val PqSub = 4
+  private val PqCodes = 16
+
+  private def sim12(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(spark, dir), queriesDf(spark, dir), k = 5,
+      dim = Dim, subspaces = PqSub, nCodes = PqCodes)
+      .select("query_id", "cand_id", "cosine", "rank")
+
+  private[queries] def sim12OracleGen(spark: SparkSession, dir: String): String = {
+    val cbs = Similarity.fitPqCodebooks(emb(spark, dir), Dim, PqSub, PqCodes)
+    val subDim = Dim / PqSub
+    // per-(subspace, code) assignment distances: left-assoc squared
+    // chains matching NearestCells' sequential accumulation
+    val distBranches = (for {
+      m <- 0 until PqSub; c <- 0 until PqCodes
+    } yield {
+      val chain = cbs(m)(c).zipWithIndex.map { case (w, j) =>
+        val x = s"CAST(embedding[${m * subDim + j + 1}] AS DOUBLE)"
+        s" + ($x - ($w)) * ($x - ($w))"
+      }.mkString
+      s"SELECT vec_id, $m AS m, $c AS code, (0.0$chain) AS dist FROM embeddings"
+    }).mkString("\n  UNION ALL ")
+    // per-(subspace, code) query lookup values: left-assoc dot chains
+    val lutBranches = (for {
+      m <- 0 until PqSub; c <- 0 until PqCodes
+    } yield {
+      val chain = cbs(m)(c).zipWithIndex.map { case (w, j) =>
+        s" + CAST(embedding[${m * subDim + j + 1}] AS DOUBLE) * ($w)"
+      }.mkString
+      s"SELECT vec_id AS query_id, $m AS m, $c AS code, (0.0$chain) AS v FROM embeddings WHERE vec_id < 10"
+    }).mkString("\n  UNION ALL ")
+    // literal reconstruction squared norms per (subspace, code)
+    val n2Rows = (for {
+      m <- 0 until PqSub; c <- 0 until PqCodes
+    } yield {
+      val n2 = cbs(m)(c).foldLeft(0.0)((a, w) => a + w * w)
+      s"($m, $c, CAST($n2 AS DOUBLE))"
+    }).mkString(", ")
+    val codePivot = (0 until PqSub).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val lutJoins = (0 until PqSub).map(m =>
+      s"JOIN luts l$m ON l$m.query_id = q.query_id AND l$m.m = $m AND l$m.code = cd.c$m")
+      .mkString("\n       |  ")
+    val n2Joins = (0 until PqSub).map(m =>
+      s"JOIN cn2 v$m ON v$m.m = $m AND v$m.code = cd.c$m").mkString("\n       |  ")
+    val adcChain = (0 until PqSub).foldLeft("0.0")((s, m) => s"($s + l$m.v)")
+    val rn2Chain = (0 until PqSub).foldLeft("0.0")((s, m) => s"($s + v$m.n2)")
+    s"""WITH dists AS (
+       |  $distBranches),
+       |ranked AS (
+       |  SELECT vec_id, m, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |  FROM dists),
+       |codes AS (
+       |  SELECT vec_id, $codePivot FROM ranked WHERE rn = 1 GROUP BY vec_id),
+       |cn2(m, code, n2) AS (VALUES $n2Rows),
+       |luts AS (
+       |  $lutBranches),
+       |$normsCte,
+       |scored AS (
+       |  SELECT q.query_id, cd.vec_id AS cand_id,
+       |    ROUND($adcChain / (nq.nrm * sqrt($rn2Chain)), 4) AS cosine
+       |  FROM codes cd
+       |  CROSS JOIN (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+       |  $lutJoins
+       |  $n2Joins
+       |  JOIN norms nq ON nq.vec_id = q.query_id
+       |  WHERE cd.vec_id <> q.query_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -532,5 +619,6 @@ object SimilarityQueries {
     GraftQuery("sim08_quantized_ann", sim08, Some(sim08Oracle)),
     GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)),
     GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)),
-    GraftQuery("sim11_ann_recall", sim11, None, oracleGen = Some(sim11OracleGen)))
+    GraftQuery("sim11_ann_recall", sim11, None, oracleGen = Some(sim11OracleGen)),
+    GraftQuery("sim12_pq_ann", sim12, None, oracleGen = Some(sim12OracleGen)))
 }

@@ -150,6 +150,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(overlap >= 0.6, f"int8 ANN overlap $overlap%.3f below floor")
   }
 
+  test("PQ codes are in range and ADC equals explicit reconstruction scoring") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dim = 64
+    val cbs = Similarity.fitPqCodebooks(emb, dim)
+    assert(cbs.size == 4 && cbs.forall(_.size == 16) &&
+      cbs.forall(_.forall(_.length == 16)))
+    val layout = Similarity.pqLayout(emb, dim).collect()
+    assert(layout.nonEmpty)
+    layout.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 16))
+      // rn2 must equal the reconstruction's squared norm
+      val recon = codes.zipWithIndex.flatMap { case (c, m) => cbs(m)(c) }
+      val n2 = recon.foldLeft(0.0)((a, w) => a + w * w)
+      assert(math.abs(r.getDouble(2) - n2) < 1e-9)
+    }
+    // ADC identity: the lookup-table score of (q, cand) is the dot of
+    // q with the reconstructed candidate — table lookups change the
+    // COST, not the metric
+    val q = emb.filter(col("id") < 3)
+    val adc = Similarity.pqTopK(emb, q, k = 5, dim = dim).collect()
+    val codeById = layout.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecById = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    adc.foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      val recon = codeById(cid).zipWithIndex.flatMap { case (c, m) => cbs(m)(c) }
+      val qv = vecById(qid)
+      val dot = qv.zip(recon).map { case (a, b) => a * b }.sum
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val rn = math.sqrt(recon.map(x => x * x).sum)
+      val expected = dot / (qn * rn)
+      // pqTopK rounds to 4 decimals; allow exactly that quantization
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 5.1e-5,
+        s"ADC score ${r.getAs[Double]("cosine")} != reconstruction $expected")
+    }
+  }
+
   test("LSH top-k returns a subset of the exact ranking with true cosines") {
     val df = vecs.toDF("id", "vec")
     val q = df.filter(col("id") === 0L)

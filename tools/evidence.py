@@ -44,7 +44,7 @@ EXCLUDE_SF01_SWEEP = {
     "sim01_ann_cosine", "sim02_lsh_ann", "sim03_label_stats",
     "sim04_embedding_near_dup", "sim05_ivf_ann", "sim06_bucketed_near_dup",
     "sim07_quantize", "sim08_quantized_ann", "sim09_filtered_ann",
-    "sim11_ann_recall",
+    "sim11_ann_recall", "sim12_pq_ann",
     "io03_ivf_store", "io04_quantized_ivf_store",
     "mm01_media_features", "mm02_media_ann", "mm07_feature_norms",
     "mm09_image_phash_dedup", "mm10_image_dup_clusters",
