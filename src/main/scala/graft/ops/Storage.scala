@@ -167,4 +167,38 @@ object Storage {
     binned.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dst)
     spark.read.parquet(dst)
   }
+
+  /**
+   * Merge-on-read DELETE application — the lakehouse delete model
+   * (Iceberg v2 / Delta deletion vectors) where deletes land as small
+   * sidecar frames and the base files are never rewritten:
+   *
+   *  - POSITION deletes name exact rows as `(file, pos)` — the shape a
+   *    row-level DELETE compiles to when the writer knows where each
+   *    victim row physically lives;
+   *  - EQUALITY deletes name rows by VALUE on `eqKeys` — the shape a
+   *    late-arriving retraction takes when the writer knows only the
+   *    key, not the location.
+   *
+   * Read-time semantics: base minus both sets, applied as two
+   * LEFT ANTI joins with the delete frames BROADCAST — deletes are
+   * delta-sized by the model's premise (a day of deletes against years
+   * of data), so a 100 TB base is scanned once and never shuffled,
+   * repartitioned, or sorted to learn which of its rows are dead.
+   * Compaction ([[compact]]) is what eventually folds the deletes in
+   * and empties the sidecars; until then every reader applies them.
+   *
+   * `base` must carry `fileCol`/`posCol` (the physical address columns
+   * a real table format exposes as metadata columns); `posDeletes`
+   * carries exactly those two, `eqDeletes` exactly `eqKeys`.
+   */
+  def applyDeletes(base: DataFrame, posDeletes: DataFrame,
+                   eqDeletes: DataFrame, eqKeys: Seq[String],
+                   fileCol: String = "file_id",
+                   posCol: String = "pos"): DataFrame =
+    base
+      .join(org.apache.spark.sql.functions.broadcast(posDeletes),
+        Seq(fileCol, posCol), "left_anti")
+      .join(org.apache.spark.sql.functions.broadcast(eqDeletes),
+        eqKeys, "left_anti")
 }

@@ -698,6 +698,44 @@ object StorageQueries {
       |  o_orderpriority
       |FROM unioned""".stripMargin
 
+  // ---- io18: merge-on-read deletes — Iceberg-v2-style POSITION
+  //      deletes ((file, pos) sidecar rows; every 7th order) plus an
+  //      EQUALITY delete (retract priority '5-LOW' by value), applied
+  //      at read time by [[graft.ops.Storage.applyDeletes]] as two
+  //      BROADCAST anti-joins: the base is scanned once and never
+  //      shuffled to learn which rows are dead (pinned in
+  //      PlanShapeSpec). The (file, pos) addresses here are
+  //      synthesized deterministically (file = key mod 8, pos = rank
+  //      within file — a real format exposes them as metadata
+  //      columns), and the victims are chosen by predicate so the
+  //      oracle can state the survivor set DIRECTLY as predicates —
+  //      gating the anti-join mechanism against plain relational
+  //      semantics. Output: per-status survivor counts + exact
+  //      decimal revenue. ----
+  private def io18(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val addressed = Tables.orders(spark, dir)
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(8)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))))
+    val posDeletes = addressed.filter(col("o_orderkey") % 7 === 0)
+      .select(col("file_id"), col("pos"))
+    val eqDeletes = spark.range(1).select(lit("5-LOW").as("o_orderpriority"))
+    graft.ops.Storage.applyDeletes(
+        addressed, posDeletes, eqDeletes, Seq("o_orderpriority"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        graft.ops.Exact.sumExact(
+          graft.ops.Exact.dec(col("o_totalprice"))).as("revenue"))
+  }
+
+  private val io18Oracle =
+    """SELECT o_orderstatus, COUNT(*) AS n_live,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0 AND o_orderpriority <> '5-LOW'
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -717,5 +755,6 @@ object StorageQueries {
     GraftQuery("io14_incremental_refresh", io14, Some(io14Oracle), headline = true),
     GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)),
     GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)),
-    GraftQuery("io17_inverted_index", io17, Some(io17Oracle)))
+    GraftQuery("io17_inverted_index", io17, Some(io17Oracle)),
+    GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)))
 }

@@ -487,6 +487,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected the term IN-list pushed to the posting scan:\n$p")
   }
 
+  test("io18: both delete sidecars broadcast — the base never shuffles to die") {
+    val p = plan("io18_merge_on_read_deletes")
+    // two anti-joins, both broadcast: position deletes and equality
+    // deletes are delta-sized sidecars; a SortMergeJoin here would
+    // mean the 100 TB base gets shuffled to learn its dead rows
+    // the position sidecar hash-joins on (file, pos); the single-row
+    // equality sidecar may constant-fold into a broadcast nested-loop
+    // anti — both are broadcast builds, neither moves the base
+    val anti = "Broadcast(HashJoin|NestedLoopJoin) .*LeftAnti".r.findAllIn(p).size
+    assert(anti == 2, s"expected 2 broadcast anti-joins, got $anti:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base must not shuffle for deletes:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
