@@ -213,5 +213,12 @@ object StreamingQueries {
     // (type, day) volume counters (complete mode ≡ batch aggregation)
     // and the scaled-integer EWMA walk is the shared ewmaFromDaily view
     GraftQuery("st20_stream_ewma",
-      EventStream.ewmaReplay, Some(QualityQueries.dq13Oracle)))
+      EventStream.ewmaReplay, Some(QualityQueries.dq13Oracle)),
+    // st21 carries tx37's oracle verbatim: the stream maintains the
+    // per-window (count, min-(doc, pos)) carriers — both fold-order-
+    // free, so the keep-first pick survives any micro-batch arrival
+    // order — and the strike pass is the shared strikeSubstrings view
+    GraftQuery("st21_stream_substring_dedup",
+      graft.streaming.ScrubStream.substringDedupReplay,
+      Some(TextQueries.tx37Oracle)))
 }

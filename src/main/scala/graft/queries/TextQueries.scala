@@ -1426,7 +1426,7 @@ object TextQueries {
     graft.text.Scrub.substringDedup(
       Tables.documents(spark, dir), "doc_id", "text", width = 30)
 
-  private val tx37Oracle =
+  private[queries] val tx37Oracle =
     """WITH wins AS (
       |  SELECT doc_id, text, UNNEST(range(0, len(text) - 30 + 1)) AS p
       |  FROM documents WHERE len(text) >= 30),

@@ -62,4 +62,32 @@ object ScrubStream {
     Scrub.strikeBoilerplate(Tables.documents(spark, dir), counts,
       "doc_id", "text", width = 2, thresholdDiv = 25.0)
   }
+
+  /**
+   * st21: streaming exact-substring dedup state — the stream maintains
+   * [[Scrub.substringStats]]'s per-window (count, min-(doc, pos))
+   * carriers as its ONLY state. Both aggregates are fold-order-free
+   * (`count` sums; `min` over the (doc, pos) struct is associative,
+   * commutative and idempotent), so ANY split of the corpus into
+   * micro-batches — including a window's occurrences arriving out of
+   * (doc, pos) order across batches — drains to exactly the batch
+   * aggregate, and the keep-first pick cannot flip with arrival order.
+   * The strike pass is the same [[Scrub.strikeSubstrings]] view the
+   * batch operator runs; tx37's oracle carries verbatim.
+   */
+  def substringDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_substr"
+    spark.catalog.dropTempView(name)
+    val q = Scrub.substringStats(
+      DocumentProbeStream.readDocuments(spark, s"$dir/documents.parquet"),
+      "doc_id", "text", width = 30)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the st10/st19 MemorySink
+    // attribute-dedup lesson
+    val stats = spark.table(name).localCheckpoint()
+    Scrub.strikeSubstrings(Tables.documents(spark, dir), stats,
+      "doc_id", "text", width = 30)
+  }
 }

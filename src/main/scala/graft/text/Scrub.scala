@@ -147,16 +147,43 @@ object Scrub {
    * count; across documents it is embarrassingly parallel.
    */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-                     width: Int = 30): DataFrame = {
-    val occ = docs
+                     width: Int = 30): DataFrame =
+    strikeSubstrings(docs, substringStats(docs, idCol, textCol, width),
+      idCol, textCol, width)
+
+  /** The corpus's window occurrences — narrow `(__id, __p, __w)` rows,
+    * map-side (one explode + substring per document position). */
+  def substringWindows(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int): DataFrame =
+    docs
       .filter(length(col(textCol)) >= width)
       .select(col(idCol).as("__id"), col(textCol).as("__t"),
         explode(sequence(lit(0), length(col(textCol)) - width)).as("__p"))
       .select(col("__id"), col("__p"),
         col("__t").substr(col("__p") + 1, lit(width)).as("__w"))
-    val stats = occ.groupBy(col("__w")).agg(
+
+  /** Per-window occurrence count + min-(doc, pos) carrier — the ONLY
+    * shuffled state of the substring dedup, and what its streaming
+    * twin (st21) maintains: both `count` and `min(struct)` are
+    * fold-order-free declarative aggregates, so complete-mode
+    * streaming state equals this batch aggregate on any micro-batch
+    * split of the corpus. */
+  def substringStats(docs: DataFrame, idCol: String, textCol: String,
+                     width: Int): DataFrame =
+    substringWindows(docs, idCol, textCol, width).groupBy(col("__w")).agg(
       count(lit(1)).as("__c"),
       min(struct(col("__id"), col("__p"))).as("__first"))
+
+  /** The strike pass over precomputed [[substringStats]] — shared by
+    * the batch operator and the streaming twin's drained-state view.
+    * Recomputes the occurrence rows map-side from `docs` (in the batch
+    * composition both legs canonicalize to one exchange via
+    * ReuseExchange) and rebuilds each document's text by the interval-
+    * coverage walk. */
+  def strikeSubstrings(docs: DataFrame, stats: DataFrame,
+                       idCol: String, textCol: String,
+                       width: Int): DataFrame = {
+    val occ = substringWindows(docs, idCol, textCol, width)
     val dups = occ.join(stats, "__w")
       .filter(col("__c") >= 2 &&
         !(col("__first.__id") === col("__id") && col("__first.__p") === col("__p")))
