@@ -825,6 +825,75 @@ object Multimodal {
   }
 
   /**
+   * Dominant periodicity of each audio row by INTEGER autocorrelation:
+   * R(L) = Σ x[i]·x[i+L] over the decoded 16-bit PCM for every lag in
+   * [minLag, maxLag], reporting the argmax lag (ties → the smaller
+   * lag), its raw correlation and the zero-lag energy R(0) — the
+   * pitch/periodicity feature an audio-curation pass thresholds on
+   * (R(best)/R(0) close to 1 ⇒ strongly periodic ⇒ tones/beeps;
+   * near 0 ⇒ noise). Everything is exact Long arithmetic (|x| ≤ 32767
+   * ⇒ each term ≤ 2³⁰; bounded-clip audio keeps the sums far under
+   * 2⁶³ — overflow needs ~8e12 samples per clip), so every cell is
+   * reproducible by an independent engine from the sample values
+   * alone — no FFT, no floats, no fold-order caveats. One decode per
+   * payload per partition, lag sweep in a tight local loop; only the
+   * ~40-byte feature row leaves the partition. Undecodable rows and
+   * non-audio kinds drop.
+   */
+  def audioPeriodicity(media: DataFrame, minLag: Int, maxLag: Int): DataFrame = {
+    require(0 < minLag && minLag <= maxLag, "need 0 < minLag <= maxLag")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "audio") Iterator.empty
+        else {
+          val samples =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                val bytes = in.readAllBytes()
+                val out = new Array[Int](bytes.length / 2)
+                var i = 0
+                while (i < out.length) { // 16-bit little-endian signed PCM
+                  out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+                  i += 1
+                }
+                out
+              } finally in.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (samples == null) Iterator.empty
+          else {
+            val n = samples.length
+            var r0 = 0L
+            var i = 0
+            while (i < n) { r0 += samples(i).toLong * samples(i); i += 1 }
+            var bestLag = minLag
+            var bestR = Long.MinValue
+            var lag = minLag
+            while (lag <= maxLag) {
+              var acc = 0L
+              var j = 0
+              while (j + lag < n) {
+                acc += samples(j).toLong * samples(j + lag)
+                j += 1
+              }
+              if (acc > bestR) { bestR = acc; bestLag = lag }
+              lag += 1
+            }
+            Iterator.single((r.media_id, n, r0, bestLag, bestR))
+          }
+        }
+      })
+      .toDF("media_id", "n_samples", "r0", "best_lag", "best_r")
+  }
+
+  /**
    * Per-channel pixel statistics of a media table's image rows: one
    * per-partition decode pass emits (id, width, height, sum_r, sum_g,
    * sum_b) — exact integer channel totals read out of the DECODED

@@ -658,6 +658,45 @@ object MultimodalQueries {
        |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5""".stripMargin
   }
 
+  // ---- mm16: audio periodicity by integer autocorrelation — the
+  //      pitch/tonality feature (R(L) = Σ x[i]·x[i+L], lag sweep
+  //      16..64, argmax with smaller-lag tie-break) over REAL decoded
+  //      PCM. All-Long arithmetic, so every cell — including the raw
+  //      argmax correlation — is predicted by the fixture's sample
+  //      FORMULA with no audio library at all
+  //      ([[ReferenceHashes.wavAutocorr]]); the mm12 gating recipe
+  //      applied to the lag domain. periodicity_ratio is the one
+  //      double: an identical division of two gated integers. ----
+  private val Mm16MinLag = 16
+  private val Mm16MaxLag = 64
+
+  private def mm16(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioPeriodicity(
+      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
+      Mm16MinLag, Mm16MaxLag)
+      .withColumn("periodicity_ratio",
+        col("best_r").cast(org.apache.spark.sql.types.DoubleType) /
+          col("r0").cast(org.apache.spark.sql.types.DoubleType))
+
+  private def mm16OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val (n, r0, lag, best) =
+          ReferenceHashes.wavAutocorr(id, Mm16MinLag, Mm16MaxLag)
+        s"($id, $n, $r0, $lag, $best)"
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT), " +
+        "CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH ref(media_id, n_samples, r0, best_lag, best_r) AS ($vals)
+       |SELECT d.doc_id AS media_id, r.n_samples, r.r0, r.best_lag, r.best_r,
+       |  CAST(r.best_r AS DOUBLE) / CAST(r.r0 AS DOUBLE) AS periodicity_ratio
+       |FROM documents d JOIN ref r ON r.media_id = d.doc_id
+       |WHERE d.doc_id % 3 = 1""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -682,5 +721,7 @@ object MultimodalQueries {
     GraftQuery("mm14_channel_stats", mm14, None,
       oracleGen = Some(mm14OracleGen)),
     GraftQuery("mm15_video_near_dup", mm15, None, headline = true,
-      oracleGen = Some(mm15OracleGen)))
+      oracleGen = Some(mm15OracleGen)),
+    GraftQuery("mm16_audio_periodicity", mm16, None,
+      oracleGen = Some(mm16OracleGen)))
 }

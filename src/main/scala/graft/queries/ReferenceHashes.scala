@@ -292,4 +292,35 @@ object ReferenceHashes {
       (idx, frame.length, energy, peak)
     }.toSeq
   }
+
+  /** Integer autocorrelation periodicity of audio row `id` — predicted
+    * from the fixture's sample FORMULA alone (mm16's oracle side; no
+    * audio library): (n, R(0), argmax lag in [minLag, maxLag] with
+    * smaller-lag tie-break, R(argmax)). */
+  def wavAutocorr(id: Long, minLag: Int, maxLag: Int): (Int, Long, Int, Long) = {
+    val n = 256 + (id % 7).toInt * 64
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    val samples = new Array[Int](n)
+    samples(0) = 32767
+    var i = 1
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      samples(i) = ((s >>> 24) % 65535L).toInt - 32767
+      i += 1
+    }
+    var r0 = 0L
+    i = 0
+    while (i < n) { r0 += samples(i).toLong * samples(i); i += 1 }
+    var bestLag = minLag
+    var bestR = Long.MinValue
+    var lag = minLag
+    while (lag <= maxLag) {
+      var acc = 0L
+      var j = 0
+      while (j + lag < n) { acc += samples(j).toLong * samples(j + lag); j += 1 }
+      if (acc > bestR) { bestR = acc; bestLag = lag }
+      lag += 1
+    }
+    (n, r0, bestLag, bestR)
+  }
 }
