@@ -255,6 +255,51 @@ object Dedup {
   }
 
   /**
+   * Shingle-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
+   * the quote/inclusion detector Jaccard structurally misses (a short
+   * document fully embedded in a long one has high containment but
+   * low Jaccard, because the union is dominated by the long side).
+   * The standard second axis of corpus dedup (Broder's containment,
+   * CC-dedup quote filters).
+   *
+   * Scale shape: the intersection counts come from the inverted-index
+   * self-join on shingles, with a DOCUMENT-FREQUENCY CAP — shingles
+   * appearing in more than `dfCap` documents are dropped from the
+   * intersection as non-discriminative (boilerplate n-grams would
+   * otherwise pair every document with every other: the cap bounds
+   * the join fanout at C(dfCap, 2) pairs per shingle, which is what
+   * keeps the plan alive on a 100 TB corpus; tx06's bucket cap, to
+   * the same end). The df aggregate and the pair join shuffle the
+   * SAME (shingle) exchange — canonicalized identically, planned
+   * once. The cap is part of the operator's declared semantics
+   * (capped intersection over full-set denominators), so an
+   * independent engine applying the same cap reproduces every cell.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double = 0.8, shingleWidth: Int = 3,
+                       dfCap: Int = 20): DataFrame = {
+    val sh = baseCache.persisted(docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("l", size(col("sh"))))
+    val tokens = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfc = tokens.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val capped = tokens.join(dfc, Seq("s")).filter(col("__df") <= dfCap)
+      .select(col("id"), col("s"))
+    val shared = capped.as("a").join(capped.as("b"), Seq("s"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("li"))
+    shared
+      .join(sh.select(col("id").as("id_a"), col("l").as("la")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("l").as("lb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("li").cast(DoubleType) /
+          least(col("la"), col("lb")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /**
    * 64-bit SimHash from the token multiset: each token votes ±1 on each
    * bit position of its xxhash64; the sign of the per-bit sum is the
    * fingerprint bit. Near-duplicates have small Hamming distance.

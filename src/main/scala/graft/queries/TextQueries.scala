@@ -1453,6 +1453,41 @@ object TextQueries {
       |  CAST(cl.n_removed AS BIGINT) AS n_removed, cl.clean_text
       |FROM documents d JOIN clean cl ON cl.doc_id = d.doc_id""".stripMargin
 
+  // ---- tx38: shingle-containment pairs — the quote/inclusion axis of
+  //      dedup (|A∩B| / min(|A|,|B|)): a short document embedded in a
+  //      long one scores ~1 here while its Jaccard (tx13) stays low.
+  //      Intersections come from the inverted-index shingle self-join
+  //      under a df ≤ 20 cap (declared semantics — boilerplate
+  //      shingles drop from the intersection; the cap is what bounds
+  //      the join fanout at corpus scale). The oracle applies the
+  //      identical cap in SQL, so containment gates cell-exact. ----
+  private def tx38(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+      minContainment = 0.8)
+
+  private val tx38Oracle =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+      |  FROM documents),
+      |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+      |tok AS (SELECT doc_id, UNNEST(s) AS g FROM f),
+      |dfc AS (SELECT g, COUNT(*) AS df FROM tok GROUP BY 1),
+      |capped AS (SELECT t.doc_id, t.g FROM tok t JOIN dfc d ON d.g = t.g
+      |           WHERE d.df <= 20),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS li
+      |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, containment FROM (
+      |  SELECT s.id_a, s.id_b,
+      |    CAST(s.li AS DOUBLE) / CAST(least(fa.l, fb.l) AS DOUBLE) AS containment
+      |  FROM shared s
+      |  JOIN f fa ON fa.doc_id = s.id_a
+      |  JOIN f fb ON fb.doc_id = s.id_b) t
+      |WHERE containment >= 0.8""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1496,5 +1531,6 @@ object TextQueries {
     GraftQuery("tx34_pii_redaction", tx34, Some(tx34Oracle)),
     GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true),
     GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)),
-    GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)))
+    GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)),
+    GraftQuery("tx38_containment_pairs", tx38, Some(tx38Oracle)))
 }

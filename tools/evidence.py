@@ -76,6 +76,11 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # same within-bucket cost model as the excluded sim06; the prune
     # stays gated at sf0.01 + sf0.1
     "sim10_semantic_dedup",
+    # tx38's oracle re-runs the capped inverted-index shingle self-join
+    # in DuckDB — 13 s at sf0.1 and the blow-up's replicated documents
+    # push every shingle's df toward the cap boundary, exploding the
+    # pre-cap df aggregate (~14M shingle rows); gated sf0.01 + sf0.1
+    "tx38_containment_pairs",
 }
 
 # The 100x relational decade tier (two decades past the driver's gate):
