@@ -93,6 +93,10 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
 INCLUDE_100X = {
     "q01_pricing_summary", "q43_pagerank", "q15_latest_events", "q26_shipping_priority",
     "q34_funnel", "q37_peak_concurrency", "dq07_exact_percentiles",
+    # the EWMA walk's scaled-integer recurrence is exact by declared
+    # bound through this tier (S ≈ 7e13 < 2^53); 100x events stress the
+    # daily-count exchange feeding it
+    "dq13_ewma_forecast",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
