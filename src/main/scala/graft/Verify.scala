@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // complete-mode streaming replays (st19/st21) drain their whole
+      // maintained state through the memory sink — corpus-keyed state
+      // at the blow-up tiers exceeds the 1g default; the verify JVM is
+      // provisioned via SPARK_DRIVER_MEM, so let the drain use it
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // data-dependent oracles (sim05's fitted centroids) need the session

@@ -35,6 +35,16 @@ def cells_equal(a, b) -> bool:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Heavy oracles (unrolled-iteration graph CTEs at blow-up tiers)
+    # can out-spill the box: default temp dir is ./.tmp INSIDE THE REPO
+    # and the default memory limit is 80% of RAM, so a too-big oracle
+    # fills the root filesystem before failing (observed: q43 at 100x,
+    # ENOSPC). Pin the spill location and a bounded memory budget so a
+    # too-big oracle fails ITS query cleanly instead of taking the
+    # repo's filesystem down with it.
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='60GB'")
 
     def src(t):
         # driver fixtures are single parquet FILES; Spark-derived dirs
