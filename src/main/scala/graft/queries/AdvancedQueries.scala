@@ -991,6 +991,81 @@ object AdvancedQueries {
       |  FROM cnt) z
       |WHERE rank <= 20""".stripMargin
 
+  // ---- q46: trailing-window distinct actives (7-day rolling DAU→WAU)
+  //      — the rolling COUNT(DISTINCT) this engine bans done the
+  //      scalable way. A per-day `COUNT(DISTINCT user) OVER (RANGE 6
+  //      PRECEDING)` either rescans the fact per day or funnels a
+  //      global window through one task; instead: (1) collapse the
+  //      fact to distinct (user, day) — one narrow exchange at
+  //      user×day grain; (2) per user, MERGE the overlapping [d, d+6]
+  //      coverage windows into disjoint intervals with a bounded
+  //      array fold (state is days-per-user, bounded by the CALENDAR,
+  //      not event volume — the dq12/dq13 walk shape); (3) sweep
+  //      line: each merged interval is a ±1 delta at day grain, so a
+  //      user counts ONCE wherever their coverage overlaps — that
+  //      interval merge is exactly what makes the sweep count
+  //      DISTINCT users; (4) the cumulative count rides
+  //      [[Relational.runningTotal]]'s distributed prefix sum over a
+  //      zero-filled dense day calendar (boundaries are day-grain, so
+  //      every calendar day is exact, not just change points). The
+  //      calendar fill explodes ONE (min, max) row — time-dimension
+  //      sized, declared. Window length is a constant: unlike the
+  //      explode-by-W alternative, cost does not scale with W. ----
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val W = 7L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .distinct()
+    val init = struct(
+      array().cast("array<struct<s:bigint,e:bigint>>").as("iv"),
+      lit(null).cast("bigint").as("cs"), lit(null).cast("bigint").as("ce"))
+    val perUser = ud.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(col("user_id"), aggregate(col("ds"), init, (st, d) => {
+        val iv = st.getField("iv"); val cs = st.getField("cs")
+        val ce = st.getField("ce")
+        // days arrive sorted strictly increasing: a window starting at
+        // d extends (never shrinks) the open interval, so the merged
+        // end is always d + W - 1; d > ce + 1 closes the interval
+        struct(
+          when(cs.isNull || d <= ce + 1, iv)
+            .otherwise(concat(iv, array(struct(cs.as("s"), ce.as("e"))))).as("iv"),
+          when(cs.isNull || d > ce + 1, d).otherwise(cs).as("cs"),
+          (d + W - 1).as("ce"))
+      }, st => concat(st.getField("iv"),
+        array(struct(st.getField("cs").as("s"), st.getField("ce").as("e")))))
+        .as("ivs"))
+    val intervals = perUser.select(explode(col("ivs")).as("iv"))
+      .select(col("iv.s").as("s"), col("iv.e").as("e"))
+    val deltas = intervals.select(col("s").as("t"), lit(1L).as("dl"))
+      .unionByName(intervals.select((col("e") + 1).as("t"), lit(-1L).as("dl")))
+    val cal = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("t"),
+        lit(0L).as("dl"))
+    val byDay = deltas.unionByName(cal).groupBy(col("t"))
+      .agg(sum(col("dl")).as("dl"))
+    Relational.runningTotal(byDay, Seq(col("t")), col("dl"), "active_7d")
+      .join(ud.select(col("d")).distinct(), col("t") === col("d"), "left_semi")
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("t").cast("int")), "yyyy-MM-dd").as("day"),
+        col("active_7d"))
+  }
+
+  // oracle by a DIFFERENT algorithm — the direct windowed distinct
+  // count over the user×day grain (fine at oracle scale)
+  private val q46Oracle =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM ud)
+      |SELECT strftime(DATE '1970-01-01' + CAST(dd.d AS INTEGER),
+      |         '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+      |FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1017,5 +1092,6 @@ object AdvancedQueries {
     GraftQuery("q42_basket_lift", q42, Some(q42Oracle)),
     GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
     GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
-    GraftQuery("q45_triangles", q45, Some(q45Oracle)))
+    GraftQuery("q45_triangles", q45, Some(q45Oracle)),
+    GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)))
 }

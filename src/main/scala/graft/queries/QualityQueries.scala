@@ -745,6 +745,66 @@ object QualityQueries {
       |  CAST(r.maxday AS VARCHAR) AS anomaly_day
       |FROM rec r JOIN len l ON l.event_type = r.event_type AND r.rn = l.k""".stripMargin
 
+  // ---- dq14: day-of-week seasonal profile — the decomposition that
+  //      tells dq12/dq13's monitors which volume swings are CALENDAR,
+  //      not drift: per (event_type, weekday), the mean daily volume
+  //      and the day deviating most above it. Weekday index is pure
+  //      integer arithmetic — days-since-epoch mod 7 (0 = Thursday:
+  //      1970-01-01), identical on both engines, never a locale'd
+  //      day-name or a 0-vs-1-based dayofweek mismatch. Exactness:
+  //      the residual comparison is INTEGER — rs = n·n_days − Σn (the
+  //      residual scaled by the group's day count), so the argmax day
+  //      never hinges on a float compare; doubles are derived from
+  //      those integers by one identical division at the very end.
+  //      Scale shape: day-grain aggregate (one narrow exchange),
+  //      35-row stats frame broadcast back, final aggregate at
+  //      (type, weekday) grain — the fact table is scanned once. ----
+  private def dq14(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(Tables.events(spark, dir))
+      .withColumn("dowi",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+    val stats = daily.groupBy(col("event_type"), col("dowi"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"))
+    daily.join(broadcast(stats), Seq("event_type", "dowi"))
+      .withColumn("rs", col("n") * col("n_days") - col("s"))
+      .groupBy(col("event_type"), col("dowi"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
+        max(struct(col("rs"), col("day"))).as("pk"))
+      .select(col("event_type"), col("dowi").cast("int").as("dowi"),
+        col("n_days"),
+        (col("s").cast(DoubleType) / col("n_days").cast(DoubleType)).as("mean_n"),
+        col("pk.day").cast(StringType).as("peak_day"),
+        (col("pk.rs").cast(DoubleType) / col("n_days").cast(DoubleType))
+          .as("peak_resid"))
+  }
+
+  private val dq14Oracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dows AS (
+      |  SELECT event_type, day, n,
+      |    (day - DATE '1970-01-01') % 7 AS dowi
+      |  FROM daily),
+      |stats AS (
+      |  SELECT event_type, dowi, COUNT(*) AS n_days, SUM(n) AS s
+      |  FROM dows GROUP BY 1, 2),
+      |resid AS (
+      |  SELECT d.event_type, d.dowi, d.day, st.n_days, st.s,
+      |    d.n * st.n_days - st.s AS rs
+      |  FROM dows d JOIN stats st
+      |    ON st.event_type = d.event_type AND st.dowi = d.dowi),
+      |pick AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dowi
+      |    ORDER BY rs DESC, day DESC) AS rn
+      |  FROM resid)
+      |SELECT event_type, CAST(dowi AS INT) AS dowi,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_n,
+      |  CAST(day AS VARCHAR) AS peak_day,
+      |  CAST(rs AS DOUBLE) / CAST(n_days AS DOUBLE) AS peak_resid
+      |FROM pick WHERE rn = 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -758,5 +818,6 @@ object QualityQueries {
     GraftQuery("dq10_quarantine", dq10, Some(dq10Oracle)),
     GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)),
     GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)),
-    GraftQuery("dq13_ewma_forecast", dq13, Some(dq13Oracle)))
+    GraftQuery("dq13_ewma_forecast", dq13, Some(dq13Oracle)),
+    GraftQuery("dq14_seasonal_dow", dq14, Some(dq14Oracle)))
 }
