@@ -1011,11 +1011,19 @@ object AdvancedQueries {
   //      calendar fill explodes ONE (min, max) row — time-dimension
   //      sized, declared. Window length is a constant: unlike the
   //      explode-by-W alternative, cost does not scale with W. ----
-  private def q46(spark: SparkSession, dir: String): DataFrame = {
+  private def q46(spark: SparkSession, dir: String): DataFrame =
+    rollingFromUserDays(
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .distinct())
+
+  /** The interval-merge sweep over distinct (user_id, d) activity —
+    * shared verbatim by q46 and its streaming twin st22 (whose ONLY
+    * state is this distinct frame, maintained as a complete-mode
+    * aggregation: distinctness is fold-order-free, so micro-batch
+    * arrival order cannot change it). */
+  private[graft] def rollingFromUserDays(ud: DataFrame): DataFrame = {
     val W = 7L
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
-      .distinct()
     val init = struct(
       array().cast("array<struct<s:bigint,e:bigint>>").as("iv"),
       lit(null).cast("bigint").as("cs"), lit(null).cast("bigint").as("ce"))
@@ -1054,7 +1062,7 @@ object AdvancedQueries {
 
   // oracle by a DIFFERENT algorithm — the direct windowed distinct
   // count over the user×day grain (fine at oracle scale)
-  private val q46Oracle =
+  private[graft] val q46Oracle =
     """WITH ud AS (
       |  SELECT DISTINCT user_id,
       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d

@@ -605,6 +605,71 @@ object SimilarityQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- sim13: k-NN label classification — the consumer that turns
+  //      similarity search into a labeler: each query vector takes the
+  //      majority label of its 10 exact nearest neighbors (the
+  //      weak-supervision / data-curation primitive — label new data
+  //      by its labeled neighbors). Vote ties break to the SMALLEST
+  //      label (declared, total). Scale shape: the expensive part IS
+  //      sim01's scan-bound brute-force top-k (queries broadcast,
+  //      codegen'd dot); the label attach then broadcasts the
+  //      queries×k result frame into the corpus-sized label table —
+  //      the corpus never shuffles — and the vote is a queries×labels
+  //      aggregate. Swapping the top-k stage for the IVF/PQ variants
+  //      changes recall, not this consumer. ----
+  private def sim13(spark: SparkSession, dir: String): DataFrame = {
+    val topk = Similarity.bruteForceTopK(emb(spark, dir), queriesDf(spark, dir),
+      k = 10).select("query_id", "cand_id")
+    val labels = Tables.embeddings(spark, dir)
+      .filter(col("label").isNotNull)
+      .select(col("vec_id").as("cand_id"), col("label"))
+    val votes = labels.join(broadcast(topk), "cand_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    graft.ops.Relational.topKPerGroup(votes, Seq("query_id"),
+        Seq(col("votes").desc, col("label")), 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
+  private val sim13Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      |  GROUP BY query_id, cand_id),
+      |scored AS (
+      |  SELECT p.query_id, p.cand_id,
+      |    ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      |  FROM pairs p
+      |  JOIN norms nq ON nq.vec_id = p.query_id
+      |  JOIN norms nc ON nc.vec_id = p.cand_id),
+      |topk AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, cand_id) AS rank
+      |    FROM scored) t
+      |  WHERE rank <= 10),
+      |votes AS (
+      |  SELECT t.query_id, e.label, COUNT(*) AS votes
+      |  FROM topk t JOIN embeddings e ON e.vec_id = t.cand_id
+      |  WHERE e.label IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT query_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+      |FROM (
+      |  SELECT query_id, label, votes,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY votes DESC, label) AS rn
+      |  FROM votes) z
+      |WHERE rn = 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -620,5 +685,6 @@ object SimilarityQueries {
     GraftQuery("sim09_filtered_ann", sim09, Some(sim09Oracle)),
     GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)),
     GraftQuery("sim11_ann_recall", sim11, None, oracleGen = Some(sim11OracleGen)),
-    GraftQuery("sim12_pq_ann", sim12, None, oracleGen = Some(sim12OracleGen)))
+    GraftQuery("sim12_pq_ann", sim12, None, oracleGen = Some(sim12OracleGen)),
+    GraftQuery("sim13_knn_label", sim13, Some(sim13Oracle)))
 }

@@ -220,5 +220,11 @@ object StreamingQueries {
     // order — and the strike pass is the shared strikeSubstrings view
     GraftQuery("st21_stream_substring_dedup",
       graft.streaming.ScrubStream.substringDedupReplay,
-      Some(TextQueries.tx37Oracle)))
+      Some(TextQueries.tx37Oracle)),
+    // st22 carries q46's oracle verbatim: the stream maintains the
+    // distinct (user, day) activity frame (complete mode ≡ batch
+    // distinct — the st11 shape at day grain) and the trailing-window
+    // distinct count is the shared rollingFromUserDays sweep
+    GraftQuery("st22_stream_rolling_distinct",
+      EventStream.rollingActivesReplay, Some(AdvancedQueries.q46Oracle)))
 }

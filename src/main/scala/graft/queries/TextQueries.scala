@@ -1488,6 +1488,77 @@ object TextQueries {
       |  JOIN f fb ON fb.doc_id = s.id_b) t
       |WHERE containment >= 0.8""".stripMargin
 
+  // ---- tx39: collocation mining — the top word PAIRS whose
+  //      co-occurrence beats chance, ranked by a scaled-integer PMI
+  //      (pointwise mutual information): score = c_ab·T·10^6 div
+  //      (c_a·c_b), the PMI's operand before the log — monotone in
+  //      PMI, so the RANKING is identical, and pure int64 arithmetic,
+  //      so the gate is cell-exact where ln() would differ in the
+  //      last ulp across engines (the tx31 rationale). Tokenization
+  //      and bigram construction carry tx27's exact conventions.
+  //      Overflow bound (declared): c_ab·T·10^6 needs c_ab·T < 9.2e12
+  //      — holds through the 10× tier (T ≈ 6e6); a 100 TB corpus
+  //      would lift the intermediate to DECIMAL(38,0), same plan.
+  //      Scale shape: one corpus scan explodes unigrams and tagged
+  //      bigram-head/tail structs together; both count aggregates are
+  //      vocab-bounded map-side partials; the unigram table broadcasts
+  //      twice into the bigram frame (vocab-sized — the tx12
+  //      broadcast-vocab premise); min-support c_ab ≥ 5 prunes the
+  //      noise floor BEFORE the joins; top-20 rides the straggler-free
+  //      grouped top-k. ----
+  private def tx39(spark: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(ts).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("t"))
+    // sequence(0, size-2) DESCENDS when size < 2 — guard to empty
+    val pairs = when(size(ts) >= 2,
+      transform(sequence(lit(0), size(ts) - 2), i =>
+        struct(element_at(ts, i + 1).as("a"), element_at(ts, i + 2).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val bc = docs.select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val scored = bc
+      .join(broadcast(uc).withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
+      .join(broadcast(uc).withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("a"), col("b")).as("gram"), col("cab"),
+        expr("cab * t * 1000000 div (ca * cb)").as("pmi_scaled"))
+    graft.ops.Relational.topKPerGroupScalable(
+        scored.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("pmi_scaled").desc, col("gram")), 20, rankName = "rank")
+      .select("gram", "cab", "pmi_scaled", "rank")
+  }
+
+  private val tx39Oracle =
+    """WITH toks AS (SELECT str_split(text, ' ') AS ts FROM documents),
+      |uni AS (SELECT UNNEST(ts) AS w FROM toks),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t FROM uni),
+      |big AS (
+      |  SELECT UNNEST(list_transform(range(1, len(ts)),
+      |    i -> struct_pack(a := ts[i], b := ts[i+1]))) AS p
+      |  FROM toks),
+      |bc AS (
+      |  SELECT p.a AS a, p.b AS b, COUNT(*) AS cab
+      |  FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |sc AS (
+      |  SELECT bc.a || ' ' || bc.b AS gram, bc.cab,
+      |    (bc.cab * t.t * 1000000) // (ua.c * ub.c) AS pmi_scaled
+      |  FROM bc CROSS JOIN tot t
+      |  JOIN uc ua ON ua.w = bc.a
+      |  JOIN uc ub ON ub.w = bc.b)
+      |SELECT gram, CAST(cab AS BIGINT) AS cab,
+      |  CAST(pmi_scaled AS BIGINT) AS pmi_scaled, rank
+      |FROM (
+      |  SELECT gram, cab, pmi_scaled,
+      |    ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, gram) AS rank
+      |  FROM sc) z
+      |WHERE rank <= 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1532,5 +1603,7 @@ object TextQueries {
     GraftQuery("tx35_segment_dedup", tx35, Some(tx35Oracle), headline = true),
     GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)),
     GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)),
-    GraftQuery("tx38_containment_pairs", tx38, Some(tx38Oracle)))
+    GraftQuery("tx38_containment_pairs", tx38, Some(tx38Oracle)),
+    GraftQuery("tx39_collocations", tx39, Some(tx39Oracle)))
+
 }

@@ -210,6 +210,31 @@ object EventStream {
   }
 
   /**
+   * st22: streaming rolling-actives monitor — the stream maintains
+   * q46's distinct (user_id, day) activity frame as its ONLY state (a
+   * complete-mode aggregation at user×day grain: distinctness is
+   * fold-order-free, so micro-batch arrival order cannot change it;
+   * state is bounded by active user-days, not event volume), and the
+   * trailing-7-day distinct count is the same interval-merge sweep
+   * (`rollingFromUserDays`) q46 runs, over the drained snapshot.
+   * q46's oracle carries verbatim.
+   */
+  def rollingActivesReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_rolling"
+    spark.catalog.dropTempView(name)
+    val q = readEvents(spark, s"$dir/events.parquet")
+      .groupBy(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("__n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager): runningTotal re-reads the ranged frame
+    // for its offsets pass (the st10/st14 MemorySink-leaf lesson)
+    val ud = spark.table(name).select("user_id", "d").localCheckpoint()
+    graft.queries.AdvancedQueries.rollingFromUserDays(ud)
+  }
+
+  /**
    * st12: streaming histogram monitor — the stream maintains dq09's
    * (event_type, bin) counters (complete mode ≡ batch aggregation;
    * the counts frame is the ONLY state, bounded by types × bins, not
