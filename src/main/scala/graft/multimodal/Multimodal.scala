@@ -894,6 +894,70 @@ object Multimodal {
   }
 
   /**
+   * Clipping profile of a media table's audio rows: per audio payload,
+   * how many decoded 16-bit PCM samples sit at or beyond ±`threshold`
+   * (`n_clipped`), the LONGEST consecutive clipped run (`max_run` —
+   * the distortion signature: noise grazes the rail for 1–2 samples,
+   * true clipping flat-tops for many), and the number of distinct
+   * clipped runs (`n_runs`). The audio-QC gate a speech corpus prep
+   * applies before transcription. Same shape as [[audioPeriodicity]]:
+   * one per-partition decode pass, a single integer walk over the
+   * samples, and only the ~40-byte stats row leaves the partition —
+   * payloads never shuffle. All-integer output: reproducible
+   * cell-exact by an independent engine from the sample values alone.
+   * Undecodable rows and non-audio kinds drop.
+   */
+  def audioClipping(media: DataFrame, threshold: Int): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "sample_rate_hz")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.kind != "audio") Iterator.empty
+        else {
+          val samples =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                val bytes = in.readAllBytes()
+                val out = new Array[Int](bytes.length / 2)
+                var i = 0
+                while (i < out.length) { // 16-bit little-endian signed PCM
+                  out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+                  i += 1
+                }
+                out
+              } finally in.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (samples == null) Iterator.empty
+          else {
+            var nClipped = 0L
+            var maxRun = 0L
+            var nRuns = 0L
+            var run = 0L
+            var i = 0
+            while (i < samples.length) {
+              if (math.abs(samples(i)) >= threshold) {
+                run += 1
+                if (run == 1) nRuns += 1
+                if (run > maxRun) maxRun = run
+                nClipped += 1
+              } else run = 0
+              i += 1
+            }
+            Iterator.single((r.media_id, samples.length, nClipped, maxRun, nRuns))
+          }
+        }
+      })
+      .toDF("media_id", "n_samples", "n_clipped", "max_run", "n_runs")
+  }
+
+  /**
    * Per-channel pixel statistics of a media table's image rows: one
    * per-partition decode pass emits (id, width, height, sum_r, sum_g,
    * sum_b) — exact integer channel totals read out of the DECODED

@@ -1074,6 +1074,65 @@ object AdvancedQueries {
       |FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
       |GROUP BY 1""".stripMargin
 
+  // ---- q47: k-core decomposition of the STABLE co-purchase graph
+  //      (edges need support ≥ 2 orders — the single-co-occurrence
+  //      noise floor q45's triangle graph keeps is exactly what a
+  //      curation pass drops first). The 2-core and 3-core are peeled
+  //      by [[graft.graph.KCore]] — degree aggregate + two semi-joins
+  //      per round, all hash-partitioned, lineage truncated per round;
+  //      no node-sized broadcast, no driver-side graph. The oracle
+  //      unrolls a FIXED 16 peeling rounds (the q43 unrolled-iteration
+  //      recipe); the operator throws beyond 16 rounds rather than
+  //      letting a deeper fixpoint silently disagree with the unroll
+  //      (measured: 11 rounds worst-case on the fixtures, k ∈ {2,3}).
+  //      Extra oracle rounds past the fixpoint are no-ops, so a
+  //      shallower cascade still compares exactly. ----
+  private val Q47Rounds = 16
+
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2).select("a", "b")
+      .localCheckpoint() // consumed by BOTH peels — compute the support join once
+    Seq(2, 3).map { k =>
+      graft.graph.KCore.kCore(edges, k, maxRounds = Q47Rounds)
+        .select(lit(k).as("k"), col("node").as("partkey"), col("core_degree"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val q47Oracle: String = {
+    // every round references its predecessor 3× — without MATERIALIZED
+    // the inlined references compound to 3^16 base scans (observed as
+    // fd exhaustion on the parquet), so each round pins one scan
+    def peel(k: Int): String = {
+      val base = s"e${k}_0 AS MATERIALIZED (SELECT u, v FROM sym)"
+      val rounds = (1 to Q47Rounds).map { r =>
+        val p = s"e${k}_${r - 1}"
+        s"""e${k}_$r AS MATERIALIZED (
+           |  SELECT s.u, s.v FROM $p s
+           |  WHERE s.u IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k)
+           |    AND s.v IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k))""".stripMargin
+      }
+      (base +: rounds).mkString(",\n")
+    }
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT a.p AS pa, b.p AS pb
+       |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sym AS (SELECT pa AS u, pb AS v FROM e0
+       |        UNION ALL SELECT pb, pa FROM e0),
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT CAST(2 AS INT) AS k, u AS partkey, COUNT(*) AS core_degree
+       |FROM e2_$Q47Rounds GROUP BY 2
+       |UNION ALL
+       |SELECT CAST(3 AS INT), u, COUNT(*) FROM e3_$Q47Rounds GROUP BY 2""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1101,5 +1160,6 @@ object AdvancedQueries {
     GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
     GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
     GraftQuery("q45_triangles", q45, Some(q45Oracle)),
-    GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)))
+    GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)),
+    GraftQuery("q47_kcore", q47, Some(q47Oracle)))
 }

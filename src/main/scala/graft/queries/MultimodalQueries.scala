@@ -697,6 +697,43 @@ object MultimodalQueries {
        |WHERE d.doc_id % 3 = 1""".stripMargin
   }
 
+  // ---- mm17: audio clipping profile over REAL decoded PCM — the
+  //      distortion gate a speech corpus applies before transcription:
+  //      per audio row, samples at/beyond ±threshold, the LONGEST
+  //      flat-topped run, and the run count. All-Long integers, so
+  //      every cell is predicted by the fixture's sample FORMULA with
+  //      no audio library at all ([[ReferenceHashes.wavClipStats]]) —
+  //      the mm16 independence recipe applied to the rail. clip_ratio
+  //      is the one double: an identical division of gated integers. ----
+  private val Mm17Threshold = 32000
+
+  private def mm17(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioClipping(
+      Multimodal.mediaWithRealImages(Tables.documents(spark, dir)),
+      Mm17Threshold)
+      .withColumn("clip_ratio",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+
+  private def mm17OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val (n, nClipped, maxRun, nRuns) =
+          ReferenceHashes.wavClipStats(id, Mm17Threshold)
+        s"($id, $n, $nClipped, $maxRun, $nRuns)"
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH ref(media_id, n_samples, n_clipped, max_run, n_runs) AS ($vals)
+       |SELECT d.doc_id AS media_id, r.n_samples, r.n_clipped, r.max_run,
+       |  r.n_runs,
+       |  CAST(r.n_clipped AS DOUBLE) / CAST(r.n_samples AS DOUBLE) AS clip_ratio
+       |FROM documents d JOIN ref r ON r.media_id = d.doc_id
+       |WHERE d.doc_id % 3 = 1""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -723,5 +760,7 @@ object MultimodalQueries {
     GraftQuery("mm15_video_near_dup", mm15, None, headline = true,
       oracleGen = Some(mm15OracleGen)),
     GraftQuery("mm16_audio_periodicity", mm16, None,
-      oracleGen = Some(mm16OracleGen)))
+      oracleGen = Some(mm16OracleGen)),
+    GraftQuery("mm17_audio_clipping", mm17, None,
+      oracleGen = Some(mm17OracleGen)))
 }

@@ -293,6 +293,38 @@ object ReferenceHashes {
     }.toSeq
   }
 
+  /** Clipping profile of audio row `id` — predicted from the
+    * fixture's sample FORMULA alone (mm17's oracle side; no audio
+    * library): (n, samples with |x| ≥ threshold, longest consecutive
+    * such run, number of runs). */
+  def wavClipStats(id: Long, threshold: Int): (Int, Long, Long, Long) = {
+    val n = 256 + (id % 7).toInt * 64
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    val samples = new Array[Int](n)
+    samples(0) = 32767
+    var i = 1
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      samples(i) = ((s >>> 24) % 65535L).toInt - 32767
+      i += 1
+    }
+    var nClipped = 0L
+    var maxRun = 0L
+    var nRuns = 0L
+    var run = 0L
+    i = 0
+    while (i < n) {
+      if (math.abs(samples(i)) >= threshold) {
+        run += 1
+        if (run == 1) nRuns += 1
+        if (run > maxRun) maxRun = run
+        nClipped += 1
+      } else run = 0
+      i += 1
+    }
+    (n, nClipped, maxRun, nRuns)
+  }
+
   /** Integer autocorrelation periodicity of audio row `id` — predicted
     * from the fixture's sample FORMULA alone (mm16's oracle side; no
     * audio library): (n, R(0), argmax lag in [minLag, maxLag] with

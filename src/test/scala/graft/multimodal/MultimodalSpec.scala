@@ -239,6 +239,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       media.filter($"kind" =!= "audio"), frameSize = 100).isEmpty)
   }
 
+  test("audioClipping: decode matches the codec-free formula; runs count maximal") {
+    import spark.implicits._
+    val thr = 20000 // low enough that multi-sample runs actually occur
+    val docs = (0L until 60L).map(id => (id, s"doc-$id")).toDF("doc_id", "text")
+    val got = Multimodal.audioClipping(
+        Multimodal.mediaWithRealImages(docs), threshold = thr)
+      .select("media_id", "n_samples", "n_clipped", "max_run", "n_runs")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val want = (0L until 60L).filter(_ % 3 == 1).map { id =>
+      val (n, c, m, k) = graft.queries.ReferenceHashes.wavClipStats(id, thr)
+      (id, n, c, m, k)
+    }
+    assert(got.toSeq == want)
+    // the fixture pins sample 0 at +32767 — every row clips at least once
+    assert(got.forall(_._3 >= 1))
+    // maximality invariants: max_run ≤ n_clipped, runs partition the mass
+    assert(got.forall(t => t._4 <= t._3 && t._5 <= t._3 && t._4 * t._5 >= t._3))
+    // at a low threshold some run must exceed 1 or the invariant is vacuous
+    assert(got.exists(_._4 > 1), "fixture produced no multi-sample run at low threshold")
+    // non-audio rows drop
+    assert(Multimodal.audioClipping(
+      Multimodal.mediaWithRealImages(docs).filter($"kind" =!= "audio"), thr).isEmpty)
+  }
+
   test("activeSegments: segments are exactly the maximal active runs") {
     import spark.implicits._
     val thr = 357913941L

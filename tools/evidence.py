@@ -45,6 +45,9 @@ EXCLUDE_SF01_SWEEP = {
     "sim04_embedding_near_dup", "sim05_ivf_ann", "sim06_bucketed_near_dup",
     "sim07_quantize", "sim08_quantized_ann", "sim09_filtered_ann",
     "sim11_ann_recall", "sim12_pq_ann",
+    # sim13's oracle embeds sim01's all-pairs brute-force CTE (the
+    # declared exactness anchor) — same cost model as sim01
+    "sim13_knn_label",
     "io03_ivf_store", "io04_quantized_ivf_store",
     "mm01_media_features", "mm02_media_ann", "mm07_feature_norms",
     "mm09_image_phash_dedup", "mm10_image_dup_clusters",
@@ -89,6 +92,12 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # sf0.1, and dq13 carries iterative integer exactness at the deep
     # tiers.
     "q43_pagerank",
+    # q47's oracle is a FIXED 16-round unrolled peel (fitted to the
+    # base fixtures' measured 11-round worst case, Spark side throws
+    # loudly past it) over the same lp self-join q45's oracle pays;
+    # the peeling operator itself is gated by KCoreSpec's adversarial
+    # cascades plus the sf0.01 (11-round) and sf0.1 gates
+    "q47_kcore",
 }
 
 # The 100x relational decade tier (two decades past the driver's gate):
