@@ -201,4 +201,47 @@ object Storage {
         Seq(fileCol, posCol), "left_anti")
       .join(org.apache.spark.sql.functions.broadcast(eqDeletes),
         eqKeys, "left_anti")
+
+  /**
+   * Write-audit-publish (WAP) — the staged-commit discipline that
+   * keeps a bad batch out of every reader's view: the frame lands in
+   * an UNPUBLISHED generation directory, the audits run against the
+   * STAGED FILES (what readers would actually see — not the in-memory
+   * plan, so a lossy write would fail its own audit), and only if
+   * every audit passes does the `_PUBLISHED` pointer swing to the new
+   * generation via an ATOMIC same-filesystem rename. A refused batch
+   * leaves its staging directory for inspection and the pointer — and
+   * therefore every concurrent reader — exactly where it was. Readers
+   * never list generations; they read one pointer file, so publish is
+   * all-or-nothing at any table size (the pointer is metadata, the
+   * data never moves).
+   *
+   * Returns (published?, per-audit outcomes).
+   */
+  def writeAuditPublish(df: DataFrame, root: String, gen: Long,
+      audits: Seq[(String, DataFrame => Boolean)]): (Boolean, Seq[(String, Boolean)]) = {
+    val spark = df.sparkSession
+    new java.io.File(root).mkdirs()
+    val stage = s"$root/gen-$gen"
+    df.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val report = audits.map { case (name, check) => name -> check(staged) }
+    if (report.forall(_._2)) {
+      val tmp = java.nio.file.Paths.get(root, s"_PUBLISHED.tmp-$gen")
+      java.nio.file.Files.write(tmp, s"gen-$gen".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_PUBLISHED"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (true, report)
+    } else (false, report)
+  }
+
+  /** The generation the `_PUBLISHED` pointer names, or None before the
+    * first successful publish. */
+  def readPublished(spark: SparkSession, root: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(root, "_PUBLISHED")
+    if (!java.nio.file.Files.exists(ptr)) None
+    else Some(spark.read.parquet(
+      s"$root/${new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")}"))
+  }
 }

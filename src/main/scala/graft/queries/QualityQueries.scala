@@ -759,10 +759,16 @@ object QualityQueries {
   //      Scale shape: day-grain aggregate (one narrow exchange),
   //      35-row stats frame broadcast back, final aggregate at
   //      (type, weekday) grain — the fact table is scanned once. ----
-  private def dq14(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCounts(Tables.events(spark, dir))
-      .withColumn("dowi",
-        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+  private def dq14(spark: SparkSession, dir: String): DataFrame =
+    seasonalFromDaily(dailyCounts(Tables.events(spark, dir)))
+
+  /** The weekday-seasonality view over drained (event_type, day, n)
+    * counters — shared verbatim by dq14 and its streaming twin st23
+    * (same state contract as dq13/st20: counters are fold-order-free,
+    * bounded by types × days). */
+  private[graft] def seasonalFromDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn.withColumn("dowi",
+      pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
     val stats = daily.groupBy(col("event_type"), col("dowi"))
       .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"))
     daily.join(broadcast(stats), Seq("event_type", "dowi"))
@@ -778,7 +784,7 @@ object QualityQueries {
           .as("peak_resid"))
   }
 
-  private val dq14Oracle =
+  private[graft] val dq14Oracle =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),

@@ -736,6 +736,59 @@ object StorageQueries {
       |WHERE o_orderkey % 7 <> 0 AND o_orderpriority <> '5-LOW'
       |GROUP BY 1""".stripMargin
 
+  // ---- io19: write-audit-publish — the staged-commit gate that keeps
+  //      a bad batch out of every reader's view. The query publishes a
+  //      clean daily-order summary (gen 0), then attempts a POISONED
+  //      generation (a NULL key row + a duplicate key row — the two
+  //      classic upstream corruptions) whose audits fail, so the
+  //      pointer must refuse to advance; the gated result is whatever
+  //      the pointer serves afterwards. If the refusal logic ever
+  //      regresses — audits pass the poison, or the pointer moves on a
+  //      failed audit — the published table carries the poison rows
+  //      and the oracle catches it as a row/hash mismatch, so the
+  //      REFUSAL ITSELF is oracle-gated, not just spec'd. Audits run
+  //      on the staged FILES (a lossy writer fails its own audit);
+  //      publish is one atomic pointer rename, metadata-sized at any
+  //      table scale. ----
+  private def io19(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val root = Files.createTempDirectory("graft-io19-").toString
+    def daily(extra: DataFrame => DataFrame) = extra(
+      Tables.orders(spark, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumExact(dec(col("o_totalprice"))).as("revenue")))
+    val audits = Seq[(String, DataFrame => Boolean)](
+      "nonempty" -> (d => d.limit(1).count() == 1),
+      "key_not_null" -> (d => d.filter(col("day").isNull).limit(1).count() == 0),
+      "key_unique" -> (d =>
+        d.groupBy(col("day")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count() == 0))
+    val (ok0, _) = graft.ops.Storage.writeAuditPublish(
+      daily(identity), root, gen = 0, audits)
+    require(ok0, "clean generation must publish")
+    val poison = daily(d => d
+      .unionByName(d.limit(1).select(lit(null).cast("string").as("day"),
+        col("n_orders"), col("revenue")))
+      .unionByName(d.limit(1)))
+    val (ok1, _) = graft.ops.Storage.writeAuditPublish(poison, root, gen = 1, audits)
+    require(!ok1, "poisoned generation must be refused")
+    val out = graft.ops.Storage.readPublished(spark, root)
+      .getOrElse(sys.error("pointer vanished"))
+    out.cache().count() // materialize before the scratch tree goes away
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    out
+  }
+
+  private val io19Oracle =
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -756,5 +809,6 @@ object StorageQueries {
     GraftQuery("io15_cdc_apply", io15, Some(io15Oracle)),
     GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)),
     GraftQuery("io17_inverted_index", io17, Some(io17Oracle)),
-    GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)))
+    GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)),
+    GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)))
 }

@@ -226,5 +226,10 @@ object StreamingQueries {
     // distinct — the st11 shape at day grain) and the trailing-window
     // distinct count is the shared rollingFromUserDays sweep
     GraftQuery("st22_stream_rolling_distinct",
-      EventStream.rollingActivesReplay, Some(AdvancedQueries.q46Oracle)))
+      EventStream.rollingActivesReplay, Some(AdvancedQueries.q46Oracle)),
+    // st23 carries dq14's oracle verbatim: the stream maintains the
+    // (type, day) volume counters (st20's exact state contract) and
+    // the weekday profile is the shared seasonalFromDaily view
+    GraftQuery("st23_stream_seasonal",
+      EventStream.seasonalReplay, Some(QualityQueries.dq14Oracle)))
 }

@@ -235,6 +235,29 @@ object EventStream {
   }
 
   /**
+   * st23: streaming weekday-seasonality monitor — the stream maintains
+   * dq14's (event_type, day) volume counters (the EXACT state st20
+   * maintains for the EWMA — complete mode ≡ batch aggregation, counts
+   * fold-order-free, state bounded by types × days), and the seasonal
+   * profile is the same `seasonalFromDaily` view dq14 runs, over the
+   * drained snapshot. dq14's oracle carries verbatim.
+   */
+  def seasonalReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_seasonal"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .dailyCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager): seasonalFromDaily joins the stats frame
+    // back to the daily frame — both derive from this view, and
+    // attribute dedup cannot clone a MemorySink leaf (the st10 lesson)
+    val counts = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.seasonalFromDaily(counts)
+  }
+
+  /**
    * st12: streaming histogram monitor — the stream maintains dq09's
    * (event_type, bin) counters (complete mode ≡ batch aggregation;
    * the counts frame is the ONLY state, bounded by types × bins, not

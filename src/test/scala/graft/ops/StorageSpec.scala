@@ -205,6 +205,34 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("write-audit-publish: refusal pins the pointer, a fixed batch advances it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wapspec-").toString
+    val audits = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+      "positive" -> (d => d.filter(col("v") <= 0).limit(1).count() == 0))
+    // before any publish: no pointer, no view
+    assert(Storage.readPublished(spark, root).isEmpty)
+    // gen 0 publishes
+    val (ok0, _) = Storage.writeAuditPublish(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root, 0, audits)
+    assert(ok0)
+    assert(Storage.readPublished(spark, root).get.count() == 2)
+    // gen 1 fails its audit: pointer must not move, staging stays for
+    // inspection, readers still see gen 0
+    val (ok1, report) = Storage.writeAuditPublish(
+      Seq((3L, -5L)).toDF("k", "v"), root, 1, audits)
+    assert(!ok1 && report == Seq("positive" -> false))
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
+    assert(new java.io.File(s"$root/gen-1").isDirectory, "refused staging kept")
+    // the corrected batch republishes the SAME generation slot
+    val (ok2, _) = Storage.writeAuditPublish(
+      Seq((3L, 5L)).toDF("k", "v"), root, 1, audits)
+    assert(ok2)
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((3L, 5L)))
+  }
+
   test("degenerate splitting direction still hits the target count") {
     val tmp = writeSmallStore(1)
     val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
