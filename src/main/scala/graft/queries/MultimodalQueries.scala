@@ -734,6 +734,73 @@ object MultimodalQueries {
        |WHERE d.doc_id % 3 = 1""".stripMargin
   }
 
+  // ---- mm18: scene-cut detection — the video-curation segmenter:
+  //      consecutive decoded frames whose 64-bit perceptual hashes
+  //      differ by ≥ threshold bits mark a cut; a video's scene count,
+  //      sharpest jump, and first cut position are the features a
+  //      sampling pass keys on (one frame per SCENE beats one frame
+  //      per N — mm08's stride sampler upgraded by content). Runs
+  //      entirely on mm11's frame-hash stream — per-media windows
+  //      bounded by frames-per-video, payloads long gone — and in
+  //      integer Hamming arithmetic (bit_count of xor), so the oracle
+  //      predicts every cell from the fixture's frame FORMULA with no
+  //      codec ([[ReferenceHashes.gifFrameHash64]] literals walked by
+  //      the same lag/xor/bit_count in DuckDB). ----
+  private val Mm18CutBits = 16
+
+  private def mm18(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    Multimodal.videoFrameHashes(
+        Multimodal.mediaWithRealVideos(Tables.documents(spark, dir)))
+      .withColumn("__prev", lag(col("frame_hash"), 1).over(w))
+      .withColumn("__jump",
+        when(col("__prev").isNull, lit(0))
+          .otherwise(bit_count(col("__prev").bitwiseXOR(col("frame_hash")))))
+      .withColumn("__cut",
+        (col("__prev").isNotNull && col("__jump") >= Mm18CutBits).cast("int"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("__cut")).as("n_cuts"),
+        max(col("__jump")).as("max_jump"),
+        min(when(col("__cut") === 1, col("frame_idx"))).as("first_cut_idx"))
+      .withColumn("n_scenes", col("n_cuts") + 1)
+  }
+
+  private def mm18OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        (0 until Multimodal.gifFrameCount(id)).flatMap(f =>
+          ReferenceHashes.gifFrameHash64(id, w, h, f)
+            .map(hash => s"($id, $f, $hash)"))
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH fh(media_id, frame_idx, frame_hash) AS ($vals),
+       |j AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    LAG(frame_hash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+       |  FROM fh),
+       |m AS (
+       |  SELECT media_id, frame_idx,
+       |    CASE WHEN prev IS NULL THEN 0
+       |         ELSE bit_count(xor(prev, frame_hash)) END AS jump,
+       |    CASE WHEN prev IS NOT NULL
+       |          AND bit_count(xor(prev, frame_hash)) >= $Mm18CutBits
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM j)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(cut) AS BIGINT) AS n_cuts,
+       |  CAST(MAX(jump) AS INT) AS max_jump,
+       |  MIN(CASE WHEN cut = 1 THEN frame_idx END) AS first_cut_idx,
+       |  CAST(SUM(cut) + 1 AS BIGINT) AS n_scenes
+       |FROM m GROUP BY media_id""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -762,5 +829,7 @@ object MultimodalQueries {
     GraftQuery("mm16_audio_periodicity", mm16, None,
       oracleGen = Some(mm16OracleGen)),
     GraftQuery("mm17_audio_clipping", mm17, None,
-      oracleGen = Some(mm17OracleGen)))
+      oracleGen = Some(mm17OracleGen)),
+    GraftQuery("mm18_scene_cuts", mm18, None,
+      oracleGen = Some(mm18OracleGen)))
 }

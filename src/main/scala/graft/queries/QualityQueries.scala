@@ -811,6 +811,85 @@ object QualityQueries {
       |  CAST(rs AS DOUBLE) / CAST(n_days AS DOUBLE) AS peak_resid
       |FROM pick WHERE rn = 1""".stripMargin
 
+  // ---- dq15: MAD outlier screen — dq11's z-score hardened against
+  //      its own weakness: mean and stddev are dragged by the very
+  //      outliers they're meant to find, while the median/MAD pair is
+  //      breakdown-50% robust. Per event type: lower median of value,
+  //      MAD = lower median of |value − med|, and the count/extreme of
+  //      rows beyond 3·MAD. Both medians ride dq07's EXACT distributed
+  //      percentile machinery (value-grain counts → grouped running
+  //      total → rank pick — no global sort, no per-type funnel task);
+  //      the deviation regroup is a second value-grain aggregate, so
+  //      the fact table is scanned, not sorted. |v − med| and 3·MAD
+  //      are the same double expressions on both engines — exact
+  //      operands in, identical operations, cell-exact out. ----
+  private def dq15(spark: SparkSession, dir: String): DataFrame = {
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val counts = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy(col("event_type")).agg(sum(col("cnt")).as("__n"))
+      val cums = graft.ops.Relational.groupedRunningTotals(
+        counts, Seq("event_type"), Seq(col(valueCol)), Seq(col("cnt") -> "cum"))
+      cums.join(broadcast(totals), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >=
+          ceil(lit(0.5) * col("__n").cast(DoubleType)).cast(LongType),
+          col(valueCol))).as(out))
+    }
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = lowerMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("absdev")),
+      "absdev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum((col("absdev") > lit(3.0) * col("mad")).cast("long")).as("n_outliers"),
+        max(col("absdev")).as("max_absdev"))
+  }
+
+  private val dq15Oracle =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |c1 AS (SELECT event_type, value, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |t1 AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c1 GROUP BY 1),
+      |cum1 AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM c1),
+      |med AS (
+      |  SELECT cum1.event_type,
+      |    MIN(value) FILTER (WHERE cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) AS med
+      |  FROM cum1 JOIN t1 ON cum1.event_type = t1.event_type
+      |  GROUP BY cum1.event_type),
+      |dev AS (
+      |  SELECT ev.event_type, ev.value, ABS(ev.value - med.med) AS absdev, med.med
+      |  FROM ev JOIN med ON ev.event_type = med.event_type),
+      |c2 AS (SELECT event_type, absdev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+      |cum2 AS (
+      |  SELECT event_type, absdev,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY absdev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM c2),
+      |mad AS (
+      |  SELECT cum2.event_type,
+      |    MIN(absdev) FILTER (WHERE cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) AS mad
+      |  FROM cum2 JOIN t1 ON cum2.event_type = t1.event_type
+      |  GROUP BY cum2.event_type)
+      |SELECT dev.event_type, COUNT(*) AS n, MIN(dev.med) AS med,
+      |  MIN(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN dev.absdev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  MAX(dev.absdev) AS max_absdev
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY dev.event_type""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -825,5 +904,6 @@ object QualityQueries {
     GraftQuery("dq11_zscore_outliers", dq11, Some(dq11Oracle)),
     GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)),
     GraftQuery("dq13_ewma_forecast", dq13, Some(dq13Oracle)),
-    GraftQuery("dq14_seasonal_dow", dq14, Some(dq14Oracle)))
+    GraftQuery("dq14_seasonal_dow", dq14, Some(dq14Oracle)),
+    GraftQuery("dq15_mad_outliers", dq15, Some(dq15Oracle)))
 }
