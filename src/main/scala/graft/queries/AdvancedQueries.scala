@@ -1133,6 +1133,87 @@ object AdvancedQueries {
        |SELECT CAST(3 AS INT), u, COUNT(*) FROM e3_$Q47Rounds GROUP BY 2""".stripMargin
   }
 
+  // ---- q48: daily active time — the engagement metric behind every
+  //      "time spent" dashboard: per day, how many users were in
+  //      session, their summed in-session time, and the heaviest
+  //      single user. Sessions are q37's gap rule (30 min, event_id
+  //      tie-break); per user the merged sessions are DISJOINT by
+  //      construction, so per-user time is a plain sum — no union
+  //      arithmetic — and the only subtlety is sessions CROSSING
+  //      MIDNIGHT, split exactly by exploding each session's day span
+  //      (bounded by session length in days, a small constant) and
+  //      clipping half-open [s, e+1) to the day's micros window.
+  //      Integer micros throughout; one user-key exchange for the
+  //      sessionization, one (user, day) aggregate, one day-grain
+  //      report aggregate. ----
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 30L * 60 * 1000000
+    val dayUs = 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("s"), max(col("tus")).as("e"))
+    val perUserDay = sessions
+      .select(col("user_id"), col("s"), col("e"),
+        explode(sequence(expr("s DIV 86400000000"),
+          expr("e DIV 86400000000"))).as("d"))
+      .withColumn("lo", greatest(col("s"), col("d") * dayUs))
+      .withColumn("hi", least(col("e") + 1, (col("d") + 1) * dayUs))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("hi") - col("lo")).as("active_us"))
+    perUserDay.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(col("active_us")).as("total_active_us"),
+        max(col("active_us")).as("max_user_active_us"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("d").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_active_users"), col("total_active_us"), col("max_user_active_us"))
+  }
+
+  private val q48Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, tus, event_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |iv AS (SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e
+      |       FROM sess GROUP BY 1, 2),
+      |split AS (
+      |  SELECT user_id, s, e,
+      |    UNNEST(range(s // 86400000000, e // 86400000000 + 1)) AS d
+      |  FROM iv),
+      |clipped AS (
+      |  SELECT user_id, d,
+      |    GREATEST(s, d * 86400000000) AS lo,
+      |    LEAST(e + 1, (d + 1) * 86400000000) AS hi
+      |  FROM split),
+      |ud AS (
+      |  SELECT user_id, d, CAST(SUM(hi - lo) AS BIGINT) AS active_us
+      |  FROM clipped GROUP BY 1, 2)
+      |SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_active_users,
+      |  CAST(SUM(active_us) AS BIGINT) AS total_active_us,
+      |  CAST(MAX(active_us) AS BIGINT) AS max_user_active_us
+      |FROM ud GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1161,5 +1242,6 @@ object AdvancedQueries {
     GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
     GraftQuery("q45_triangles", q45, Some(q45Oracle)),
     GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)),
-    GraftQuery("q47_kcore", q47, Some(q47Oracle)))
+    GraftQuery("q47_kcore", q47, Some(q47Oracle)),
+    GraftQuery("q48_active_time", q48, Some(q48Oracle)))
 }

@@ -670,6 +670,70 @@ object SimilarityQueries {
       |  FROM votes) z
       |WHERE rn = 1""".stripMargin
 
+  // ---- sim14: one Lloyd (k-means) update step, gated end-to-end —
+  //      the clustering primitive behind embedding-space curation
+  //      (topic balancing, cluster-based dedup, SemDeDup's buckets).
+  //      sim05 gates ASSIGNMENT against fitted centroids; this gates
+  //      the UPDATE: from 8 deterministic init centroids (the first 8
+  //      vectors), every vector assigns map-side via the native
+  //      NearestCells expression (the sim05 fold order, reproduced
+  //      literally in SQL), and the new per-cell mean numerators
+  //      accumulate as QUANTIZED integers — Σ floor(x·2²⁰ + 0.5) per
+  //      (cell, dim) — so the distributed sum is fold-order-free and
+  //      cell-exact where a double mean would be partitioning-
+  //      dependent. Scale shape: assignment is map-only; the update is
+  //      one (cell, dim)-grain hash aggregate with map-side partials
+  //      (the 64× posexplode collapses to K×64 rows per partition
+  //      before the shuffle). Dividing sum_q by n_members · 2²⁰
+  //      yields the iterated centroid downstream. ----
+  private def initCentroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
+    emb(spark, dir).filter(col("id") < 8).orderBy(col("id"))
+      .select(Similarity.toDoubleVec(col("vec")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+
+  private def sim14(spark: SparkSession, dir: String): DataFrame = {
+    val cents = initCentroids(spark, dir)
+    emb(spark, dir)
+      .withColumn("cvec", Similarity.toDoubleVec(col("vec")))
+      .withColumn("cell", explode(
+        graft.expressions.VectorExpressions.nearestCells(col("cvec"), cents, 1)))
+      .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x") * 1048576.0 + 0.5).cast("long"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
+      .select(col("cell").cast("int").as("cell"), col("dim").cast("int").as("dim"),
+        col("n_members"), col("sum_q"))
+  }
+
+  private[queries] def sim14OracleGen(spark: SparkSession, dir: String): String = {
+    val cents = initCentroids(spark, dir)
+    val distBranches = cents.zipWithIndex.map { case (c, cell) =>
+      val chain = c.zipWithIndex.map { case (w, j) =>
+        s" + (CAST(embedding[${j + 1}] AS DOUBLE) - ($w)) * (CAST(embedding[${j + 1}] AS DOUBLE) - ($w))"
+      }.mkString
+      s"SELECT vec_id, $cell AS cell, (0.0$chain) AS dist FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dists AS (
+       |  $distBranches),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM dists),
+       |assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |el AS (
+       |  SELECT vec_id, UNNEST(list_transform(range(1, len(embedding) + 1),
+       |    i -> struct_pack(d := i - 1, x := CAST(embedding[i] AS DOUBLE)))) AS e
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, e.d AS dim,
+       |    CAST(FLOOR(e.x * 1048576.0 + 0.5) AS BIGINT) AS q
+       |  FROM el)
+       |SELECT CAST(a.cell AS INT) AS cell, CAST(q.dim AS INT) AS dim,
+       |  COUNT(*) AS n_members, CAST(SUM(q.q) AS BIGINT) AS sum_q
+       |FROM q JOIN assigned a ON a.vec_id = q.vec_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -686,5 +750,7 @@ object SimilarityQueries {
     GraftQuery("sim10_semantic_dedup", sim10, Some(sim10Oracle)),
     GraftQuery("sim11_ann_recall", sim11, None, oracleGen = Some(sim11OracleGen)),
     GraftQuery("sim12_pq_ann", sim12, None, oracleGen = Some(sim12OracleGen)),
-    GraftQuery("sim13_knn_label", sim13, Some(sim13Oracle)))
+    GraftQuery("sim13_knn_label", sim13, Some(sim13Oracle)),
+    GraftQuery("sim14_kmeans_step", sim14, None,
+      oracleGen = Some(sim14OracleGen)))
 }
