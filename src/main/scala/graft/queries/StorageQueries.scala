@@ -789,6 +789,59 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- io20: compaction UNDER merge-on-read deletes — the OPTIMIZE
+  //      that retires io18's sidecars: the live set (base minus both
+  //      delete shapes, the io18 read path) rewrites into bin-packed
+  //      files and the sidecars come back EMPTY, so post-compaction
+  //      readers pay zero anti-join work. The gated result reads the
+  //      COMPACTED store back through the same MoR read path (empty
+  //      sidecars applied) and must equal io18's survivor aggregate —
+  //      if the rewrite forgot a delete (resurrection) or dropped a
+  //      live row, the oracle catches it as a count/revenue mismatch.
+  //      Scale shape: one scan of the base with broadcast anti-joins
+  //      (io18's plan), then [[graft.ops.Storage.compact]]'s
+  //      exchange-free bin-packing; deletes are applied ONCE at
+  //      rewrite time instead of per-read forever — that trade is the
+  //      whole point of OPTIMIZE. ----
+  private def io20(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory("graft-io20-").toString
+    val addressed = Tables.orders(spark, dir)
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(8)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))))
+    val posDeletes = addressed.filter(col("o_orderkey") % 7 === 0)
+      .select(col("file_id"), col("pos"))
+    val eqDeletes = spark.range(1).select(lit("5-LOW").as("o_orderpriority"))
+    graft.ops.Storage.applyDeletes(addressed, posDeletes, eqDeletes,
+        Seq("o_orderpriority"))
+      .drop("file_id", "pos")
+      .write.mode("overwrite").parquet(s"$tmp/live")
+    val (bytes, _) = graft.ops.Storage.dataFiles(spark, s"$tmp/live")
+    graft.ops.Storage.compact(spark, s"$tmp/live", s"$tmp/compacted",
+      math.max(1L, bytes / 2))
+    // sidecars now EMPTY: the rewrite retired every delete
+    posDeletes.limit(0).write.mode("overwrite").parquet(s"$tmp/posdel")
+    val base2 = spark.read.parquet(s"$tmp/compacted")
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(8)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))))
+    val out = graft.ops.Storage.applyDeletes(
+        base2, spark.read.parquet(s"$tmp/posdel"),
+        eqDeletes.limit(0), Seq("o_orderpriority"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        graft.ops.Exact.sumExact(
+          graft.ops.Exact.dec(col("o_totalprice"))).as("revenue"))
+    out.cache().count() // materialize before the scratch tree goes away
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    out
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -810,5 +863,6 @@ object StorageQueries {
     GraftQuery("io16_cdc_time_travel", io16, Some(io16Oracle)),
     GraftQuery("io17_inverted_index", io17, Some(io17Oracle)),
     GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)),
-    GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)))
+    GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)),
+    GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)))
 }

@@ -1559,6 +1559,59 @@ object TextQueries {
       |  FROM sc) z
       |WHERE rank <= 20""".stripMargin
 
+  // ---- tx40: per-source boilerplate profile — CCNet's actual strike
+  //      granularity: boilerplate is DOMAIN-local (every site repeats
+  //      its own footer), so the counters and the threshold both live
+  //      per source, where tx35's global strike would miss a template
+  //      that floods one domain but stays corpus-rare. Per source:
+  //      distinct boilerplate segments (> docs_in_source/10
+  //      occurrences WITHIN the source), their total occurrence mass,
+  //      and the heaviest segment (count desc, ties to the LAST
+  //      segment in byte order — the struct-max total order). Scale
+  //      shape: ONE (source, seg) hash aggregate
+  //      (narrow rows, map-side combine), a broadcast per-source doc
+  //      count, and a (source)-grain argmax — the corpus never
+  //      shuffles. Segment construction carries tx35's exact
+  //      conventions (2-token aligned segments). ----
+  private def tx40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val segCounts = docs
+      .select(col("source"),
+        explode(graft.text.Scrub.segments(col("text"), 2)).as("seg"))
+      .groupBy(col("source"), col("seg")).agg(count(lit(1)).as("n"))
+    val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    segCounts.join(broadcast(srcDocs), "source")
+      .filter(col("n") > col("n_docs") / 10.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_boiler_segments"),
+        sum(col("n")).as("boiler_occurrences"),
+        max(struct(col("n"), col("seg"))).as("__top"))
+      .select(col("source"), col("n_boiler_segments"),
+        col("boiler_occurrences"),
+        col("__top.seg").as("top_segment"), col("__top.n").as("top_n"))
+  }
+
+  private val tx40Oracle =
+    """WITH segd AS (
+      |  SELECT source,
+      |    UNNEST(list_transform(range(0, CAST(ceil(len(str_split(text,' '))/2.0) AS INT)),
+      |      i -> array_to_string((str_split(text,' '))[i*2+1:i*2+2], ' '))) AS seg
+      |  FROM documents),
+      |cnt AS (SELECT source, seg, COUNT(*) AS n FROM segd GROUP BY 1, 2),
+      |sd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |bl AS (
+      |  SELECT c.source, c.seg, c.n FROM cnt c JOIN sd ON sd.source = c.source
+      |  WHERE c.n > sd.n_docs / 10.0),
+      |top AS (
+      |  SELECT source, seg, n,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, seg DESC) AS rn
+      |  FROM bl)
+      |SELECT b.source, COUNT(*) AS n_boiler_segments,
+      |  CAST(SUM(b.n) AS BIGINT) AS boiler_occurrences,
+      |  MIN(t.seg) AS top_segment, CAST(MIN(t.n) AS BIGINT) AS top_n
+      |FROM bl b JOIN (SELECT * FROM top WHERE rn = 1) t ON t.source = b.source
+      |GROUP BY b.source""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1604,6 +1657,7 @@ object TextQueries {
     GraftQuery("tx36_bm25_rank", tx36, Some(tx36Oracle)),
     GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)),
     GraftQuery("tx38_containment_pairs", tx38, Some(tx38Oracle)),
-    GraftQuery("tx39_collocations", tx39, Some(tx39Oracle)))
+    GraftQuery("tx39_collocations", tx39, Some(tx39Oracle)),
+    GraftQuery("tx40_source_boilerplate", tx40, Some(tx40Oracle)))
 
 }
