@@ -1214,6 +1214,106 @@ object AdvancedQueries {
       |  CAST(MAX(active_us) AS BIGINT) AS max_user_active_us
       |FROM ud GROUP BY 1""".stripMargin
 
+  // ---- q49: ordered within-session funnel — q34's funnel constrained
+  //      to a single session AND to event ORDER: a session converts
+  //      stage k only if click, then view, then purchase occur in
+  //      (ts, event_id) sequence inside it. Greedy earliest-match is
+  //      the correct subsequence semantics (matching each stage at its
+  //      earliest opportunity never forecloses a later stage), and it
+  //      runs as ONE pass: each session's events fold in order through
+  //      a 4-state machine inside a higher-order `aggregate` (the
+  //      dq12/dq13 walk at session grain — state is one integer; the
+  //      collected array is session-bounded by the 30-min gap rule,
+  //      declared). One (user)-key exchange for sessionization, one
+  //      (user, sid) aggregate, one day-grain report. The oracle
+  //      reaches the same stages by a DIFFERENT algorithm — three
+  //      chained min-rank-after joins — so the gate cross-checks the
+  //      greedy, not just re-runs it. ----
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val walked = sessioned
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("start_tus"),
+        sort_array(collect_list(
+          struct(col("tus"), col("event_id"), col("event_type")))).as("evs"))
+      .withColumn("stage", aggregate(col("evs"), lit(0), (st, e) => {
+        val t = e.getField("event_type")
+        when(st === 0 && t === "click", 1)
+          .when(st === 1 && t === "view", 2)
+          .when(st === 2 && t === "purchase", 3)
+          .otherwise(st)
+      }))
+    walked
+      .groupBy(expr("start_tus DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("stage") >= 1).cast("long")).as("n_clicked"),
+        sum((col("stage") >= 2).cast("long")).as("n_viewed"),
+        sum((col("stage") === 3).cast("long")).as("n_converted"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("d").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("n_clicked"), col("n_viewed"), col("n_converted"))
+  }
+
+  private val q49Oracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, event_type, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, tus,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |ranked AS (
+      |  SELECT user_id, sid, event_type, tus,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+      |      ORDER BY tus, event_id) AS rn
+      |  FROM sess),
+      |base AS (
+      |  SELECT user_id, sid, MIN(tus) AS start_tus,
+      |    MIN(rn) FILTER (WHERE event_type = 'click') AS r1
+      |  FROM ranked GROUP BY 1, 2),
+      |f2 AS (
+      |  SELECT r.user_id, r.sid, MIN(r.rn) AS r2
+      |  FROM ranked r JOIN base b ON b.user_id = r.user_id AND b.sid = r.sid
+      |  WHERE r.event_type = 'view' AND r.rn > b.r1 GROUP BY 1, 2),
+      |f3 AS (
+      |  SELECT r.user_id, r.sid, MIN(r.rn) AS r3
+      |  FROM ranked r JOIN f2 ON f2.user_id = r.user_id AND f2.sid = r.sid
+      |  WHERE r.event_type = 'purchase' AND r.rn > f2.r2 GROUP BY 1, 2),
+      |staged AS (
+      |  SELECT b.user_id, b.sid, b.start_tus,
+      |    CASE WHEN f3.r3 IS NOT NULL THEN 3
+      |         WHEN f2.r2 IS NOT NULL THEN 2
+      |         WHEN b.r1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM base b
+      |  LEFT JOIN f2 ON f2.user_id = b.user_id AND f2.sid = b.sid
+      |  LEFT JOIN f3 ON f3.user_id = b.user_id AND f3.sid = b.sid)
+      |SELECT strftime(DATE '1970-01-01' + CAST(start_tus // 86400000000 AS INTEGER),
+      |         '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+      |  CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |  CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM staged GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1243,5 +1343,6 @@ object AdvancedQueries {
     GraftQuery("q45_triangles", q45, Some(q45Oracle)),
     GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)),
     GraftQuery("q47_kcore", q47, Some(q47Oracle)),
-    GraftQuery("q48_active_time", q48, Some(q48Oracle)))
+    GraftQuery("q48_active_time", q48, Some(q48Oracle)),
+    GraftQuery("q49_session_funnel", q49, Some(q49Oracle)))
 }

@@ -231,5 +231,15 @@ object StreamingQueries {
     // (type, day) volume counters (st20's exact state contract) and
     // the weekday profile is the shared seasonalFromDaily view
     GraftQuery("st23_stream_seasonal",
-      EventStream.seasonalReplay, Some(QualityQueries.dq14Oracle)))
+      EventStream.seasonalReplay, Some(QualityQueries.dq14Oracle)),
+    // st24: io19's write-audit-publish discipline at the streaming
+    // sink — every micro-batch stages, audits the staged files, and
+    // atomically publishes (or refuses, pinning the pointer, spec'd in
+    // StreamingSpec); the fixture's batches are all clean, so the
+    // published result is the last complete snapshot ≡ the batch SQL
+    GraftQuery("st24_stream_audited_publish",
+      graft.streaming.PublishStream.auditedPublishReplay,
+      Some("""SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)))
 }

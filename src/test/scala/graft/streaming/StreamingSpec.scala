@@ -668,4 +668,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("audited publish: a poisoned micro-batch pins the pointer and the stream survives") {
+    val base = java.nio.file.Files.createTempDirectory("graft-st24spec-").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    new java.io.File(s"$base/feed").mkdirs()
+    // the file stream lists the feed dir FLAT — stage each batch and
+    // move its single part file in as feed/<name>.parquet
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage-$name")
+      val part = new java.io.File(s"$base/stage-$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/feed/$name.parquet"))
+      ()
+    }
+    // batch 1: clean; batch 2: a NULL ts row poisons the (type, day)
+    // state with a NULL day key — key_not_null must refuse from then on
+    write("f1", Seq((1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, t("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}")))
+    val q0 = spark.readStream
+      .schema(spark.read.parquet(s"$base/feed/f1.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+    val query = PublishStream.runAuditedPublish(
+      graft.queries.QualityQueries.dailyCounts(q0),
+      s"$base/pub", s"$base/chk", PublishStream.dailyAudits)
+    try {
+      query.processAllAvailable()
+      val gen0 = graft.ops.Storage.readPublished(spark, s"$base/pub").get
+        .collect().map(r => (r.getString(0), r.getLong(2))).sorted.toSeq
+      assert(gen0 == Seq(("click", 1L), ("view", 1L)))
+      write("f2", Seq((3L, null.asInstanceOf[Timestamp], 3L, "click", 1.0, "{}")))
+      query.processAllAvailable()
+      assert(query.isActive, "a refused batch must not kill the stream")
+      // pointer still serves the clean generation — the poisoned
+      // snapshot (with its NULL day) never became visible
+      val after = graft.ops.Storage.readPublished(spark, s"$base/pub").get
+        .collect().map(r => (r.getString(0), r.getLong(2))).sorted.toSeq
+      assert(after == gen0)
+    } finally query.stop()
+  }
 }
