@@ -1341,8 +1341,8 @@ object AdvancedQueries {
     GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
     GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
     GraftQuery("q45_triangles", q45, Some(q45Oracle)),
-    GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle)),
+    GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle), headline = true),
     GraftQuery("q47_kcore", q47, Some(q47Oracle)),
     GraftQuery("q48_active_time", q48, Some(q48Oracle)),
-    GraftQuery("q49_session_funnel", q49, Some(q49Oracle)))
+    GraftQuery("q49_session_funnel", q49, Some(q49Oracle), headline = true))
 }

@@ -500,6 +500,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"base must not shuffle for deletes:\n$p")
   }
 
+  test("q46: the sweep rides a range exchange; the fact scans once") {
+    val p = plan("q46_rolling_distinct")
+    // the distributed prefix sum must range-repartition the day-grain
+    // deltas — a global unpartitioned window over them would be the
+    // single-task shape the operator exists to avoid
+    assert(p.contains("rangepartitioning"), s"expected a range exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join in the sweep:\n$p")
+  }
+
+  test("sim13: the label attach broadcasts the top-k frame — the corpus never shuffles") {
+    val p = plan("sim13_knn_label")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized label table must not shuffle for a queries x k attach:\n$p")
+  }
+
+  test("tx39: the unigram vocabulary broadcasts twice; no sort-merge join") {
+    val p = plan("tx39_collocations")
+    val b = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(b >= 2, s"expected the vocab broadcast into both bigram ends:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mm18: payloads never reach an exchange — only frame-hash rows shuffle") {
+    val p = plan("mm18_scene_cuts")
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload")),
+      s"binary payloads must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
