@@ -890,6 +890,110 @@ object QualityQueries {
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |GROUP BY dev.event_type""".stripMargin
 
+  // ---- dq16: exact heavy hitters — the profiling question "which
+  //      values dominate this column" answered EXACTLY without ever
+  //      shuffling the value-grain stream. Tokens from the documents
+  //      corpus fold through per-partition Misra–Gries summaries (≤ k
+  //      rows leave each partition); the summed summaries are a
+  //      PROVEN superset of every token above n/(k+1), and a second
+  //      candidate-only exact pass (broadcast semi-join, map-side
+  //      partials) makes the output identical to the full groupBy the
+  //      oracle runs. MG's partition-order dependence is confined to
+  //      the candidate set — FrequencySpec pins result identity under
+  //      adversarial partitionings. k = 63 → strict threshold n/64;
+  //      share_ppm is floor-scaled int64 (div / //), no float fold
+  //      anywhere. ----
+  private def dq16(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .as[String]
+    graft.ops.Frequency.exactHeavyHitters(toks, 63)
+      .withColumnRenamed("item", "token")
+  }
+
+  private val dq16Oracle =
+    """WITH toks AS (SELECT UNNEST(str_split(text, ' ')) AS t FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM toks),
+      |c AS (SELECT t AS token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
+      |FROM c CROSS JOIN tot
+      |WHERE cnt * 64 > n""".stripMargin
+
+  // ---- dq17: binned distribution drift as total-variation distance
+  //      with an EXACT INTEGER numerator. dq04 deliberately refused a
+  //      global drift row because summing per-type double shares is
+  //      partition-fold-ordered; this is the missing aggregate done
+  //      right: per (type, bin) cohort counts (dq09's fixed-width
+  //      bins × dq04's even/odd cohort, ONE conditional-agg scan),
+  //      then TVD = Σ|c_a·t_b − c_b·t_a| / (2·t_a·t_b) — the
+  //      numerator is an int64 sum (associative, order-free on any
+  //      partitioning), the division a single double expression both
+  //      engines evaluate identically. PSI/KL were rejected here for
+  //      the tx31/tx39 reason: ln() is not correctly rounded across
+  //      engines; TVD is the standard log-free binned drift metric.
+  //      Overflow bound (declared): c·t < 2^63 holds through the 100×
+  //      tier (6e6 events → ~3.6e13); a 100 TB feed lifts the
+  //      intermediate to DECIMAL(38,0), same plan. The counts/report
+  //      split mirrors dq09 so a streaming twin maintains the counts
+  //      as its only state (st25). ----
+  private[graft] def tvdCounts(events: DataFrame): DataFrame = {
+    val inA = pmod(col("user_id"), lit(2)) === 0
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / lit(25.0)).cast(LongType).as("bin"),
+        inA.as("in_a"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+  }
+
+  private[graft] def tvdFromCounts(counts0: DataFrame): DataFrame = {
+    // persisted (types × bins rows): totals re-aggregate THIS frame,
+    // not the upstream scan — the dq04 one-pass rationale
+    val counts = driftCache.persisted(counts0)
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("c_a")).as("t_a"), sum(col("c_b")).as("t_b"))
+    counts.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("t_a")).as("t_a"), first(col("t_b")).as("t_b"),
+        sum(abs(col("c_a") * col("t_b") - col("c_b") * col("t_a")))
+          .as("tvd_num"))
+      .select(col("event_type"), col("t_a"), col("t_b"), col("tvd_num"),
+        (col("tvd_num").cast(DoubleType) /
+          (lit(2.0) * col("t_a").cast(DoubleType) * col("t_b").cast(DoubleType)))
+          .as("tvd"))
+  }
+
+  private def dq17(spark: SparkSession, dir: String): DataFrame =
+    tvdFromCounts(tvdCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq17Oracle =
+    """WITH b AS (
+      |  SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+      |    user_id % 2 = 0 AS in_a
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, bin,
+      |    CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS c_a,
+      |    CAST(COUNT(*) FILTER (WHERE NOT in_a) AS BIGINT) AS c_b
+      |  FROM b GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(SUM(c_a) AS BIGINT) AS t_a,
+      |    CAST(SUM(c_b) AS BIGINT) AS t_b
+      |  FROM c GROUP BY 1),
+      |n AS (
+      |  SELECT c.event_type, MIN(t.t_a) AS t_a, MIN(t.t_b) AS t_b,
+      |    CAST(SUM(ABS(c.c_a * t.t_b - c.c_b * t.t_a)) AS BIGINT) AS tvd_num
+      |  FROM c JOIN t ON c.event_type = t.event_type
+      |  GROUP BY c.event_type)
+      |SELECT event_type, t_a, t_b, tvd_num,
+      |  CAST(tvd_num AS DOUBLE) /
+      |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS tvd
+      |FROM n""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -905,5 +1009,7 @@ object QualityQueries {
     GraftQuery("dq12_cusum_changepoint", dq12, Some(dq12Oracle)),
     GraftQuery("dq13_ewma_forecast", dq13, Some(dq13Oracle)),
     GraftQuery("dq14_seasonal_dow", dq14, Some(dq14Oracle)),
-    GraftQuery("dq15_mad_outliers", dq15, Some(dq15Oracle)))
+    GraftQuery("dq15_mad_outliers", dq15, Some(dq15Oracle)),
+    GraftQuery("dq16_heavy_hitters", dq16, Some(dq16Oracle)),
+    GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)))
 }

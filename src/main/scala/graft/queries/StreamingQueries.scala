@@ -241,5 +241,12 @@ object StreamingQueries {
       graft.streaming.PublishStream.auditedPublishReplay,
       Some("""SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              |  COUNT(*) AS n
-             |FROM events GROUP BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+    // st25 carries dq17's oracle verbatim: the stream maintains the
+    // per-(type, bin) cohort counters (complete mode ≡ batch
+    // aggregation) and the exact-integer-numerator TVD report is the
+    // shared tvdFromCounts view — the st08/st12 recipe applied to the
+    // log-free drift aggregate
+    GraftQuery("st25_stream_binned_tvd",
+      EventStream.binnedTvdReplay, Some(QualityQueries.dq17Oracle)))
 }

@@ -113,6 +113,31 @@ object EventStream {
   }
 
   /**
+   * Streaming binned-TVD drift monitor (st25): the stream maintains
+   * dq17's per-(event_type, bin) cohort counters — the only stateful
+   * part — in complete mode, and the exact-integer-numerator TVD
+   * report derives from the drained counts in batch via the SAME
+   * `tvdFromCounts` view dq17 runs. State is types × bins counters
+   * (plan constants, not data volume), the st08/st12 recipe applied
+   * to the log-free drift aggregate; dq17's oracle carries verbatim.
+   */
+  def binnedTvdReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_tvd"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .tvdCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager) rather than cache: tvdFromCounts
+    // equi-joins the counts frame with totals derived from itself, and
+    // attribute dedup cannot clone a MemorySink-backed view's leaf
+    // (the ksDriftReplay lesson)
+    val counts = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.tvdFromCounts(counts)
+  }
+
+  /**
    * Streaming two-sample KS drift: the stream maintains dq06's
    * per-(event_type, value) cohort counters (complete mode ≡ batch
    * aggregation — the counts frame is the ONLY stateful part of the KS
