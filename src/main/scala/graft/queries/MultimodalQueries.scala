@@ -801,6 +801,69 @@ object MultimodalQueries {
        |FROM m GROUP BY media_id""".stripMargin
   }
 
+  // ---- mm19: per-scene keyframe extraction — mm18's cuts turned into
+  //      the sampling pass itself: scene index is the running sum of
+  //      cut flags, each scene contributes its FIRST frame (start
+  //      index, length, keyframe hash) — one frame per scene, the
+  //      content-aware upgrade of mm08's fixed-stride sampler that a
+  //      video curation pipeline feeds to captioning/embedding. Same
+  //      bounded per-media windows over mm11's frame-hash stream
+  //      (payloads long gone), integer Hamming cuts, min_by/arg_min
+  //      keyframe pick; the oracle walks identical lag/xor/bit_count/
+  //      running-sum SQL over formula-predicted hash literals. ----
+  private def mm19(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    Multimodal.videoFrameHashes(
+        Multimodal.mediaWithRealVideos(Tables.documents(spark, dir)))
+      .withColumn("__prev", lag(col("frame_hash"), 1).over(w))
+      .withColumn("__cut",
+        (col("__prev").isNotNull &&
+          bit_count(col("__prev").bitwiseXOR(col("frame_hash"))) >= Mm18CutBits)
+          .cast("int"))
+      .withColumn("scene_idx", sum(col("__cut")).over(w))
+      .groupBy(col("media_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("scene_len"),
+        min_by(col("frame_hash"), col("frame_idx")).as("keyframe_hash"))
+  }
+
+  private def mm19OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        (0 until Multimodal.gifFrameCount(id)).flatMap(f =>
+          ReferenceHashes.gifFrameHash64(id, w, h, f)
+            .map(hash => s"($id, $f, $hash)"))
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH fh(media_id, frame_idx, frame_hash) AS ($vals),
+       |j AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    LAG(frame_hash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+       |  FROM fh),
+       |m AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    CASE WHEN prev IS NOT NULL
+       |          AND bit_count(xor(prev, frame_hash)) >= $Mm18CutBits
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM j),
+       |s AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS scene_idx
+       |  FROM m)
+       |SELECT media_id, scene_idx, MIN(frame_idx) AS start_frame,
+       |  COUNT(*) AS scene_len,
+       |  ARG_MIN(frame_hash, frame_idx) AS keyframe_hash
+       |FROM s GROUP BY media_id, scene_idx""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -831,5 +894,7 @@ object MultimodalQueries {
     GraftQuery("mm17_audio_clipping", mm17, None,
       oracleGen = Some(mm17OracleGen)),
     GraftQuery("mm18_scene_cuts", mm18, None,
-      oracleGen = Some(mm18OracleGen)))
+      oracleGen = Some(mm18OracleGen)),
+    GraftQuery("mm19_video_keyframes", mm19, None,
+      oracleGen = Some(mm19OracleGen)))
 }

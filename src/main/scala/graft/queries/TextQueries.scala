@@ -1612,6 +1612,101 @@ object TextQueries {
       |FROM bl b JOIN (SELECT * FROM top WHERE rn = 1) t ON t.source = b.source
       |GROUP BY b.source""".stripMargin
 
+  // ---- tx41: dedup quality evaluation — the report a pipeline owner
+  //      actually reads before trusting a near-dup config: the banded
+  //      LSH's predicted pairs (tx06's production machinery) scored
+  //      against the exact all-pairs ground truth (tx13's quadratic
+  //      exactness anchor) as tp/fp/fn and floor-scaled integer
+  //      precision/recall/F1 — pure int64 arithmetic end-to-end, so
+  //      the gate is cell-exact (the tx33 rationale: counts and
+  //      int64/int64 divisions, no float fold anywhere). The truth
+  //      side inherits tx13's declared quadratic cost model (an EVAL
+  //      harness is run on a sample/fixture corpus, not the 100 TB
+  //      feed; the prediction side keeps tx06's banded scale shape).
+  //      The oracle re-derives BOTH sides itself: banded VALUES
+  //      literals from the independent ReferenceHashes pipeline for
+  //      the prediction, the list-intersect brute force for the
+  //      truth, then the same outer-join scoring — so a drifted cap,
+  //      threshold, or join shape on either side breaks the hash. ----
+  private def tx41(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", minJaccard = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val scored = pred.withColumn("p", lit(1L))
+      .join(truth.withColumn("t", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+    scored.agg(
+        sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE tp * 1000000 div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE tp * 1000000 div (tp + fn) END").as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END").as("f1_ppm"))
+  }
+
+  private def tx41OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .flatMap(r => ReferenceHashes.minhashBandKeys(r.getString(1)).toSeq
+        .flatMap(_.map { case (band, key) => s"(${r.getLong(0)}, $band, $key)" }))
+      .mkString(", ")
+    val banded = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT))")
+    s"""WITH banded(id, band, band_hash) AS ($banded),
+       |sizes AS (
+       |  SELECT band, band_hash, COUNT(*) AS bsz
+       |  FROM banded GROUP BY band, band_hash),
+       |capped AS (
+       |  SELECT b.id, b.band, b.band_hash FROM banded b
+       |  JOIN sizes s ON s.band = b.band AND s.band_hash = b.band_hash
+       |  WHERE s.bsz <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a
+       |  JOIN capped b ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.id < b.id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
+       |  FROM documents),
+       |f AS (SELECT doc_id, s, len(s) AS l FROM sh WHERE len(s) > 0),
+       |pred AS (
+       |  SELECT c.id_a, c.id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |    FROM cand c
+       |    JOIN f a ON a.doc_id = c.id_a
+       |    JOIN f b ON b.doc_id = c.id_b) c
+       |  WHERE jaccard >= 0.7),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(a.l + b.l - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |    FROM f a JOIN f b ON a.doc_id < b.doc_id) z
+       |  WHERE jaccard >= 0.7),
+       |j AS (
+       |  SELECT COALESCE(p.one, 0) AS p, COALESCE(t.one, 0) AS t
+       |  FROM (SELECT id_a, id_b, 1 AS one FROM pred) p
+       |  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS one FROM truth) t
+       |    ON p.id_a = t.id_a AND p.id_b = t.id_b),
+       |agg AS (
+       |  SELECT CAST(SUM(CASE WHEN p = 1 AND t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM j)
+       |SELECT tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+       |  CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm
+       |FROM agg""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1658,6 +1753,8 @@ object TextQueries {
     GraftQuery("tx37_substring_dedup", tx37, Some(tx37Oracle)),
     GraftQuery("tx38_containment_pairs", tx38, Some(tx38Oracle)),
     GraftQuery("tx39_collocations", tx39, Some(tx39Oracle)),
-    GraftQuery("tx40_source_boilerplate", tx40, Some(tx40Oracle)))
+    GraftQuery("tx40_source_boilerplate", tx40, Some(tx40Oracle)),
+    GraftQuery("tx41_dedup_eval", tx41, None,
+      oracleGen = Some(tx41OracleGen)))
 
 }
