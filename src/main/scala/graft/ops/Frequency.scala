@@ -80,6 +80,23 @@ object Frequency {
    * at scale the caller persists or re-reads the columnar source,
    * both scans project a single column.
    */
+  /**
+   * Heavy-hitter report over a COMPLETE (item, cnt) counts frame —
+   * the read-time view a streaming twin derives from its maintained
+   * counters (counts are fold-order-free, so any micro-batch split
+   * drains to the batch aggregate). The total is the sum of the
+   * counts themselves, so the frame must cover every item; the
+   * threshold/share math is shared verbatim with
+   * [[exactHeavyHitters]]'s final filter.
+   */
+  def heavyHittersFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    val totals = counts.agg(sum(col("cnt")).as("__n"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(k + 1L) > col("__n"))
+      .select(col("item"), col("cnt"),
+        expr("cnt * 1000000 div __n").as("share_ppm"))
+  }
+
   def exactHeavyHitters(items: Dataset[String], k: Int): DataFrame = {
     val tok = items.toDF("item")
     val cands = misraGriesCandidates(items, k).select("item")

@@ -913,7 +913,7 @@ object QualityQueries {
       .withColumnRenamed("item", "token")
   }
 
-  private val dq16Oracle =
+  private[graft] val dq16Oracle =
     """WITH toks AS (SELECT UNNEST(str_split(text, ' ')) AS t FROM documents),
       |tot AS (SELECT COUNT(*) AS n FROM toks),
       |c AS (SELECT t AS token, COUNT(*) AS cnt FROM toks GROUP BY 1)

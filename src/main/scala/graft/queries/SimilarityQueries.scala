@@ -734,6 +734,39 @@ object SimilarityQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- sim15: cosine radius search — the "all sufficiently similar"
+  //      contract top-k cannot express (match counts per query are
+  //      unknown a priori: contamination screens, near-dup sweeps).
+  //      The threshold replaces the per-query heap in the same
+  //      broadcast + codegen'd-dot plan as sim01, so the predicate
+  //      evaluates map-side and NOTHING shuffles; scores round to 4dp
+  //      before the threshold (the sim01 convention), making the
+  //      boundary engine-reproducible. ----
+  private def sim15(spark: SparkSession, dir: String): DataFrame =
+    Similarity.radiusSearch(emb(spark, dir), queriesDf(spark, dir),
+      minCosine = 0.2)
+
+  private val sim15Oracle =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      |  GROUP BY query_id, cand_id)
+      |SELECT query_id, cand_id, cosine FROM (
+      |  SELECT p.query_id, p.cand_id,
+      |    ROUND(p.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      |  FROM pairs p
+      |  JOIN norms nq ON nq.vec_id = p.query_id
+      |  JOIN norms nc ON nc.vec_id = p.cand_id) t
+      |WHERE cosine >= 0.2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -752,5 +785,6 @@ object SimilarityQueries {
     GraftQuery("sim12_pq_ann", sim12, None, oracleGen = Some(sim12OracleGen)),
     GraftQuery("sim13_knn_label", sim13, Some(sim13Oracle)),
     GraftQuery("sim14_kmeans_step", sim14, None,
-      oracleGen = Some(sim14OracleGen)))
+      oracleGen = Some(sim14OracleGen)),
+    GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)))
 }

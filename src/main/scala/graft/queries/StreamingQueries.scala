@@ -248,5 +248,12 @@ object StreamingQueries {
     // shared tvdFromCounts view — the st08/st12 recipe applied to the
     // log-free drift aggregate
     GraftQuery("st25_stream_binned_tvd",
-      EventStream.binnedTvdReplay, Some(QualityQueries.dq17Oracle)))
+      EventStream.binnedTvdReplay, Some(QualityQueries.dq17Oracle)),
+    // st26 carries dq16's oracle verbatim: the stream maintains the
+    // per-token counters (complete mode ≡ batch aggregation — counts
+    // are fold-order-free) and the threshold/share report is the
+    // shared heavyHittersFromCounts view
+    GraftQuery("st26_stream_heavy_hitters",
+      graft.streaming.ScrubStream.heavyHittersReplay,
+      Some(QualityQueries.dq16Oracle)))
 }

@@ -59,6 +59,35 @@ object Similarity {
   }
 
   /**
+   * Cosine RADIUS search: every candidate within cosine ≥ `minCosine`
+   * of each query — the "find all sufficiently similar" shape (near-
+   * duplicate sweeps, contamination screens) where top-k's fixed
+   * cutoff is the wrong contract because the match count per query is
+   * unknown a priori. Same broadcast + codegen'd-dot plan as
+   * [[bruteForceTopK]], but the threshold replaces the per-query
+   * heap: the predicate evaluates map-side on the broadcast join's
+   * output, so NOTHING shuffles — matches stream straight out of the
+   * scan, and the corpus is read exactly once regardless of how many
+   * queries ride in the broadcast. Scores round to `scale` decimals
+   * before the threshold so the boundary is reproducible across
+   * engines/partitionings (the bruteForceTopK convention).
+   */
+  def radiusSearch(candidates: DataFrame, queries: DataFrame,
+                   minCosine: Double, scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")), scale)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /**
    * Recall@k of an approximate top-k result against exact ground
    * truth — the index-quality report every production ANN deployment
    * tracks (probe counts and cell counts are tuned against exactly

@@ -90,4 +90,32 @@ object ScrubStream {
     Scrub.strikeSubstrings(Tables.documents(spark, dir), stats,
       "doc_id", "text", width = 30)
   }
+
+  /**
+   * st26: streaming heavy-hitter monitor — the stream maintains the
+   * per-token counts as its ONLY state (complete-mode aggregation;
+   * counts are fold-order-free, so any micro-batch split drains to
+   * the batch aggregate) and the threshold/share report is the
+   * shared [[graft.ops.Frequency.heavyHittersFromCounts]] view.
+   * State here is vocabulary-bounded; a firehose whose ACTIVE
+   * vocabulary outgrows state would swap the maintained counters for
+   * the same Misra–Gries summary dq16's batch path runs per
+   * partition — the report view is unchanged either way. dq16's
+   * oracle carries verbatim.
+   */
+  def heavyHittersReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hh"
+    spark.catalog.dropTempView(name)
+    val q = DocumentProbeStream.readDocuments(spark, s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the st10/st19 MemorySink
+    // attribute-dedup lesson (the report crossJoins a derived total)
+    val counts = spark.table(name).localCheckpoint()
+    graft.ops.Frequency.heavyHittersFromCounts(counts, 63)
+      .withColumnRenamed("item", "token")
+  }
 }
