@@ -19,6 +19,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Storage {
 
+  // the boundary plan reads the key-grain counts twice (cumulative +
+  // total); persist so planning pays ONE scan of the counts shuffle
+  private val layoutCache = new graft.util.PlanCache(maxEntries = 2)
+
+  /**
+   * Deterministic balanced range-layout boundaries from EXACT
+   * percentiles: the `buckets − 1` cut keys such that bucket i holds
+   * the rows with key in [b_i, b_{i+1}) and each bucket covers
+   * ~1/buckets of the rows. This is what `repartitionByRange` does
+   * NOT give you: Spark's range partitioner SAMPLES, so its
+   * boundaries drift run-to-run and under skew — a production layout
+   * job plans boundaries from exact quantiles so the physical layout
+   * is reproducible (two writers of the same snapshot produce the
+   * same files) and balanced by construction. The machinery is the
+   * dq07/dq15 exact-percentile recipe: key-grain counts → distributed
+   * prefix sum ([[Relational.groupedRunningTotals]] — no one-task
+   * global window) → ceil-rank boundary pick; the returned plan is
+   * `buckets − 1` longs — metadata, the only thing that ever reaches
+   * the driver.
+   */
+  def rangeBoundaries(keyed: DataFrame, keyCol: String, buckets: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = layoutCache.persisted(
+      keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")))
+    val cums = Relational.groupedRunningTotals(
+      counts.withColumn("__g", lit(1)), Seq("__g"), Seq(col(keyCol)),
+      Seq(col("cnt") -> "cum"))
+    val total = counts.agg(sum(col("cnt")).as("__n"))
+    val aggs = (1 until buckets).map { i =>
+      min(when(col("cum") >=
+        ceil(lit(i) * col("__n").cast(DoubleType) / lit(buckets.toDouble))
+          .cast(LongType),
+        col(keyCol))).as(s"b$i")
+    }
+    val row = cums.crossJoin(broadcast(total))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    (1 until buckets).map(i => row.getAs[Long](s"b$i"))
+  }
+
   /** Total bytes and file count of the data files under `dir`
     * (recursive), ignoring `_SUCCESS`/metadata sidecars and CRCs. */
   def dataFiles(spark: SparkSession, dir: String): (Long, Int) = {

@@ -842,6 +842,66 @@ object StorageQueries {
     out
   }
 
+  // ---- io21: boundary-planned balanced range layout — the layout
+  //      job behind time-travel-friendly, skew-proof bucketed stores.
+  //      `repartitionByRange` SAMPLES its boundaries (drift run-to-run
+  //      — two writers of one snapshot produce different files);
+  //      here the cut keys come from EXACT percentiles
+  //      ([[graft.ops.Storage.rangeBoundaries]]: key-grain counts →
+  //      distributed prefix sum → ceil-rank pick, boundaries = 7
+  //      longs of metadata on the driver), the store writes
+  //      partitionBy(bucket), and the gated report is the AUDIT read
+  //      back from the store itself: per-bucket row counts and key
+  //      ranges plus a window-checked disjointness flag. Green means
+  //      (a) the deterministic plan matched the oracle's SQL-derived
+  //      boundaries and (b) the round-trip dropped/duplicated
+  //      nothing. The 8-row audit window is metadata-sized. ----
+  private def io21(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory("graft-io21-").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("__k"))
+    val bounds = graft.ops.Storage.rangeBoundaries(ev, "__k", buckets = 8)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + (col("__k") >= lit(b)).cast("int")
+    }
+    ev.withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val stats = spark.read.parquet(tmp)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__k")).as("min_k"), max(col("__k")).as("max_k"))
+    val w = Window.orderBy(col("bucket"))
+    stats.withColumn("disjoint_ok",
+      coalesce(col("min_k") > lag(col("max_k"), 1).over(w), lit(true)))
+  }
+
+  private val io21Oracle: String = {
+    val bs = (1 to 7).map { i =>
+      s"""MIN(kk) FILTER (WHERE cum >=
+         |    CAST(CEIL($i * CAST(n AS DOUBLE) / 8.0) AS BIGINT)) AS b$i""".stripMargin
+    }.mkString(",\n  ")
+    val assign = (1 to 7).map(i => s"CAST(kk >= b$i AS INT)").mkString(" + ")
+    s"""WITH k AS (SELECT epoch_us(ts) AS kk FROM events),
+       |c AS (SELECT kk, COUNT(*) AS cnt FROM k GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+       |cum AS (
+       |  SELECT kk, CAST(SUM(cnt) OVER (ORDER BY kk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM c),
+       |b AS (SELECT
+       |  $bs
+       |  FROM cum, t),
+       |a AS (SELECT kk, $assign AS bucket FROM k, b),
+       |g AS (SELECT bucket, COUNT(*) AS n_rows, MIN(kk) AS min_k,
+       |        MAX(kk) AS max_k
+       |      FROM a GROUP BY 1)
+       |SELECT bucket, n_rows, min_k, max_k,
+       |  COALESCE(min_k > LAG(max_k) OVER (ORDER BY bucket), TRUE) AS disjoint_ok
+       |FROM g""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -864,5 +924,6 @@ object StorageQueries {
     GraftQuery("io17_inverted_index", io17, Some(io17Oracle)),
     GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)),
     GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)),
-    GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)))
+    GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)),
+    GraftQuery("io21_range_layout", io21, Some(io21Oracle)))
 }

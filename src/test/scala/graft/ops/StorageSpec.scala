@@ -233,6 +233,34 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toSeq == Seq((3L, 5L)))
   }
 
+  test("rangeBoundaries: deterministic across partitionings, balanced, skew-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 distinct keys → boundaries at exact octile ranks, every
+    // partitioning must agree (repartitionByRange would not)
+    val keys = (1L to 1000L).toDF("k")
+    val b1 = Storage.rangeBoundaries(keys.repartition(1), "k", 8)
+    val b7 = Storage.rangeBoundaries(keys.repartition(7, col("k")), "k", 8)
+    assert(b1 == b7, "boundary plan must not depend on partitioning")
+    assert(b1 == Seq(125L, 250L, 375L, 500L, 625L, 750L, 875L),
+      "exact ceil-rank octiles of 1..1000 (cum(k) = k, target 125i)")
+    // bucket sizes from the plan: half-open [b_i, b_i+1) octiles of a
+    // distinct-key sequence are within ±1 of n/8
+    val bucket = b1.foldLeft(lit(0)) { (acc, b) =>
+      acc + (col("k") >= lit(b)).cast("int") }
+    val sizes = keys.groupBy(bucket.as("b")).count()
+      .orderBy(col("b")).as[(Int, Long)].collect()
+    assert(sizes.map(_._2).forall(n => n >= 124L && n <= 126L),
+      s"balanced by construction, got ${sizes.toSeq}")
+    // a hot key (half the rows) cannot push other buckets empty of
+    // plan: the hot key lands in ONE bucket; boundaries stay exact
+    val skewed = (keys.as[Long].collect().toSeq ++ Seq.fill(1000)(500L))
+      .toDF("k")
+    val bs = Storage.rangeBoundaries(skewed.repartition(5), "k", 4)
+    assert(bs.length == 3 && bs.contains(500L),
+      s"hot key must become a boundary, got $bs")
+  }
+
   test("degenerate splitting direction still hits the target count") {
     val tmp = writeSmallStore(1)
     val (bytes, n) = Storage.dataFiles(spark, s"$tmp/small")
