@@ -994,6 +994,43 @@ object QualityQueries {
       |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS tvd
       |FROM n""".stripMargin
 
+  // ---- dq18: freshness monitor — the first check a pipeline owner
+  //      reads at 9am: per source (event type), when did data last
+  //      arrive, how far does it trail the feed's frontier, and is it
+  //      stale. Lag is measured against the dataset's own frontier
+  //      (max ts anywhere), not wall-clock — CURRENT_TIMESTAMP in a
+  //      gated query would be nondeterministic by construction — and
+  //      entirely in integer microseconds (unix_micros / epoch_us),
+  //      no float or timezone math anywhere. One scan builds the
+  //      per-type aggregates; the 1-row frontier re-aggregates the
+  //      type-cardinality frame and broadcasts back (the dq04
+  //      recipe). Threshold 20 min exercises both flag values on
+  //      the fixture (type lags span 0 – ~33 min). ----
+  private def dq18(spark: SparkSession, dir: String): DataFrame = {
+    val StaleUs = 20L * 60L * 1000000L
+    val perType = driftCache.persisted(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us")))
+    val frontier = perType.agg(max(col("last_us")).as("frontier_us"))
+    perType.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        (col("frontier_us") - col("last_us")).as("lag_us"),
+        (col("frontier_us") - col("last_us") > lit(StaleUs)).as("is_stale"))
+  }
+
+  private val dq18Oracle =
+    """WITH p AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT MAX(last_us) AS frontier_us FROM p)
+      |SELECT event_type, n_events, last_us,
+      |  frontier_us - last_us AS lag_us,
+      |  frontier_us - last_us > 1200000000 AS is_stale
+      |FROM p, f""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1011,5 +1048,6 @@ object QualityQueries {
     GraftQuery("dq14_seasonal_dow", dq14, Some(dq14Oracle)),
     GraftQuery("dq15_mad_outliers", dq15, Some(dq15Oracle)),
     GraftQuery("dq16_heavy_hitters", dq16, Some(dq16Oracle)),
-    GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)))
+    GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)),
+    GraftQuery("dq18_freshness", dq18, Some(dq18Oracle)))
 }

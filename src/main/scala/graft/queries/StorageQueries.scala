@@ -902,6 +902,46 @@ object StorageQueries {
        |FROM g""".stripMargin
   }
 
+  // ---- io22: partition evolution — a long-lived store's layout
+  //      changes mid-life (day-partitioned generation 1, a finer
+  //      (day, event_type) layout from generation 2 on — the Iceberg
+  //      partition-evolution scenario), and the reader must reconcile
+  //      BOTH layouts: in gen 1 event_type is a data column inside
+  //      the files, in gen 2 it is a directory key that exists only
+  //      in paths. Each generation reads under its own layout and
+  //      unionByName aligns them — same logical schema, different
+  //      physical encodings — so queries keep partition pruning on
+  //      the new layout without rewriting the old data (the whole
+  //      point of evolution: at 100 TB you change the spec, not the
+  //      petabytes). Generation membership is a deterministic key
+  //      split (the io06 recipe); the oracle recomputes from the
+  //      original table, so green means the mixed-layout read
+  //      dropped/duplicated/misattributed nothing. ----
+  private def io22(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val tmp = Files.createTempDirectory("graft-io22-").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/g1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").partitionBy("day", "event_type")
+      .parquet(s"$tmp/g2")
+    val g1 = spark.read.parquet(s"$tmp/g1")
+    val g2 = spark.read.parquet(s"$tmp/g2")
+    g1.unionByName(g2)
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(dec(col("value"))).as("sum_value"))
+  }
+
+  private val io22Oracle =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -925,5 +965,6 @@ object StorageQueries {
     GraftQuery("io18_merge_on_read_deletes", io18, Some(io18Oracle)),
     GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)),
     GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)),
-    GraftQuery("io21_range_layout", io21, Some(io21Oracle)))
+    GraftQuery("io21_range_layout", io21, Some(io21Oracle)),
+    GraftQuery("io22_partition_evolution", io22, Some(io22Oracle)))
 }
