@@ -48,6 +48,12 @@ EXCLUDE_SF01_SWEEP = {
     # sim13's oracle embeds sim01's all-pairs brute-force CTE (the
     # declared exactness anchor) — same cost model as sim01
     "sim13_knn_label",
+    # sim15's oracle is sim01's brute-force pair CTE minus the rank —
+    # same all-pairs cost model
+    "sim15_radius_search",
+    # tx41 scores LSH pairs against tx13's brute-force truth — its
+    # oracle embeds the same quadratic all-pairs anchor
+    "tx41_dedup_eval",
     "io03_ivf_store", "io04_quantized_ivf_store",
     "mm01_media_features", "mm02_media_ann", "mm07_feature_norms",
     "mm09_image_phash_dedup", "mm10_image_dup_clusters",
@@ -120,6 +126,13 @@ INCLUDE_100X = {
     # bound through this tier (S ≈ 7e13 < 2^53); 100x events stress the
     # daily-count exchange feeding it
     "dq13_ewma_forecast",
+    # the binned-TVD integer numerator is exact by declared bound
+    # through this tier (c·t ≈ 3.6e13 < 2^63); 100x events stress the
+    # one-scan conditional (type, bin) aggregate
+    "dq17_binned_tvd",
+    # freshness is integer-micros min/max machinery — trivially cheap,
+    # rides the same 100x events fixture
+    "dq18_freshness",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
