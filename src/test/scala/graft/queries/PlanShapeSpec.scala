@@ -531,6 +531,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"binary payloads must not shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("dq16: candidate set broadcasts back — the token stream never sort-merge-joins") {
+    val p = plan("dq16_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the MG candidate semi-join must broadcast the tiny candidate set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a token-grain SMJ would shuffle the stream MG exists to keep local:\n$p")
+  }
+
+  test("dq17: per-type totals broadcast into the counts — no sort-merge join") {
+    val p = plan("dq17_binned_tvd")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sim15: the query set rides a broadcast nested-loop — no shuffled cartesian") {
+    val p = plan("sim15_radius_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi self-pair must broadcast the 10-query side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would move the corpus for a broadcastable probe:\n$p")
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
