@@ -735,6 +735,35 @@ object Multimodal {
   }
 
   /**
+   * Video CONTAINMENT pairs: n_shared / min(n_a, n_b) ≥ threshold over
+   * the distinct frame-hash sets — the trim/clip detector Jaccard
+   * structurally under-scores (a short clip fully inside a long video
+   * has containment 1.0 but Jaccard ≈ clip/video length; tx38's
+   * containment rationale at video grain). Same inverted-index plan,
+   * decode-once cache, and broadcast size frames as [[videoNearDups]]
+   * — only the final division differs, so the scale shape is
+   * identical: no all-pairs, payloads never shuffle.
+   */
+  def videoContainmentPairs(media: DataFrame, minContainment: Double): DataFrame = {
+    val fh = frameHashCache.persisted(
+      videoFrameHashes(media).select(col("media_id"), col("frame_hash")).distinct())
+    val sizes = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    fh.as("a").join(fh.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("media_id").as("id_a"), col("n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("media_id").as("id_b"), col("n").as("n_b"))), Seq("id_b"))
+      .withColumn("containment",
+        col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment"))
+  }
+
+  /**
    * Per-frame energy profile of a media table's audio rows: the
    * decoded 16-bit PCM stream cut into fixed `frameSize`-sample frames
    * (last frame partial), each summarized as (n_samples, energy =

@@ -864,6 +864,56 @@ object MultimodalQueries {
        |FROM s GROUP BY media_id, scene_idx""".stripMargin
   }
 
+  // ---- mm20: video trim/clip detection by frame-set CONTAINMENT —
+  //      the detector Jaccard under-scores (a clip fully inside a
+  //      long video has containment 1.0 but Jaccard ≈ length ratio;
+  //      tx38's rationale at video grain). mm15's trimmed-variant
+  //      population through the same inverted-index/decode-once
+  //      plan, only the final division differs; threshold 0.9 keeps
+  //      full-containment trims and drops coincidental overlaps. ----
+  private def mm20(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoContainmentPairs(
+      Multimodal.mediaWithTrimmedVideos(Tables.documents(spark, dir)),
+      minContainment = 0.9)
+
+  private def mm20OracleGen(spark: SparkSession, dir: String): String = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val n = Multimodal.gifFrameCount(id)
+        val base = (0 until n).flatMap(f =>
+          ReferenceHashes.gifFrameHash64(id, w, h, f)
+            .map(hash => s"($id, $hash)"))
+        val variant =
+          if (id % 6 == 5)
+            (1 until n).flatMap(f =>
+              ReferenceHashes.gifFrameHash64(id, w, h, f)
+                .map(hash => s"(${id + Multimodal.TrimVariantOffset}, $hash)"))
+          else Seq.empty
+        base ++ variant
+      }.mkString(", ")
+    val vals = OracleSql.valuesOrEmpty(rows,
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))")
+    s"""WITH fh(media_id, frame_hash) AS ($vals),
+       |d AS (SELECT DISTINCT media_id, frame_hash FROM fh),
+       |sz AS (SELECT media_id, COUNT(*) AS n FROM d GROUP BY 1),
+       |sh AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+       |  FROM d a JOIN d b
+       |    ON a.frame_hash = b.frame_hash AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+       |    AS containment
+       |FROM sh
+       |JOIN sz sa ON sa.media_id = id_a
+       |JOIN sz sb ON sb.media_id = id_b
+       |WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm01_media_features", mm01, None, oracleGen = Some(mm01OracleGen)),
     GraftQuery("mm02_media_ann", mm02, None, headline = true,
@@ -896,5 +946,7 @@ object MultimodalQueries {
     GraftQuery("mm18_scene_cuts", mm18, None,
       oracleGen = Some(mm18OracleGen)),
     GraftQuery("mm19_video_keyframes", mm19, None,
-      oracleGen = Some(mm19OracleGen)))
+      oracleGen = Some(mm19OracleGen)),
+    GraftQuery("mm20_video_containment", mm20, None,
+      oracleGen = Some(mm20OracleGen)))
 }

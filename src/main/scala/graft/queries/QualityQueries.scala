@@ -1006,13 +1006,19 @@ object QualityQueries {
   //      type-cardinality frame and broadcasts back (the dq04
   //      recipe). Threshold 20 min exercises both flag values on
   //      the fixture (type lags span 0 – ~33 min). ----
-  private def dq18(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-type (count, last-arrival) aggregates — dq18's stateful
+    * part, and exactly what st27's streaming aggregation maintains
+    * (count sums and max are fold-order-free). */
+  private[graft] def freshnessCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
+  /** Lag + staleness derived from a per-type counts frame — shared by
+    * dq18 (batch counts) and st27 (streamed counts). */
+  private[graft] def freshnessFromCounts(perType0: DataFrame): DataFrame = {
     val StaleUs = 20L * 60L * 1000000L
-    val perType = driftCache.persisted(
-      Tables.events(spark, dir)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          max(unix_micros(col("ts"))).as("last_us")))
+    val perType = driftCache.persisted(perType0)
     val frontier = perType.agg(max(col("last_us")).as("frontier_us"))
     perType.crossJoin(broadcast(frontier))
       .select(col("event_type"), col("n_events"), col("last_us"),
@@ -1020,7 +1026,10 @@ object QualityQueries {
         (col("frontier_us") - col("last_us") > lit(StaleUs)).as("is_stale"))
   }
 
-  private val dq18Oracle =
+  private def dq18(spark: SparkSession, dir: String): DataFrame =
+    freshnessFromCounts(freshnessCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq18Oracle =
     """WITH p AS (
       |  SELECT event_type, COUNT(*) AS n_events,
       |    MAX(epoch_us(ts)) AS last_us

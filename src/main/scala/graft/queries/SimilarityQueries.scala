@@ -767,6 +767,32 @@ object SimilarityQueries {
       |  JOIN norms nc ON nc.vec_id = p.cand_id) t
       |WHERE cosine >= 0.2""".stripMargin
 
+  // ---- sim16: maximum-inner-product top-5 — the recommender/reward
+  //      scoring where magnitude is signal and cosine's normalization
+  //      would erase it. sim01's broadcast + bounded-heap plan minus
+  //      the norms; ranks on the 4dp-rounded dot (tie → cand_id), the
+  //      sim01 reproducibility convention. Exactness anchor for the
+  //      norm-augmented bucketed MIPS path (see Similarity.dotTopK). ----
+  private def sim16(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dotTopK(emb(spark, dir), queriesDf(spark, dir), k = 5)
+
+  private val sim16Oracle =
+    """WITH pairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      |  GROUP BY query_id, cand_id),
+      |scored AS (
+      |  SELECT query_id, cand_id, ROUND(dot, 4) AS dot FROM pairs)
+      |SELECT query_id, cand_id, dot, rank FROM (
+      |  SELECT query_id, cand_id, dot,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -786,5 +812,6 @@ object SimilarityQueries {
     GraftQuery("sim13_knn_label", sim13, Some(sim13Oracle)),
     GraftQuery("sim14_kmeans_step", sim14, None,
       oracleGen = Some(sim14OracleGen)),
-    GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)))
+    GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)),
+    GraftQuery("sim16_mips_topk", sim16, Some(sim16Oracle)))
 }

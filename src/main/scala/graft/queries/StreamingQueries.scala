@@ -255,5 +255,11 @@ object StreamingQueries {
     // shared heavyHittersFromCounts view
     GraftQuery("st26_stream_heavy_hitters",
       graft.streaming.ScrubStream.heavyHittersReplay,
-      Some(QualityQueries.dq16Oracle)))
+      Some(QualityQueries.dq16Oracle)),
+    // st27 carries dq18's oracle verbatim: the stream maintains the
+    // per-type (count, last-arrival) aggregates — fold-order-free —
+    // and the lag/staleness report is the shared freshnessFromCounts
+    // view over the drained state
+    GraftQuery("st27_stream_freshness",
+      EventStream.freshnessReplay, Some(QualityQueries.dq18Oracle)))
 }

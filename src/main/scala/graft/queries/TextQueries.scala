@@ -1707,6 +1707,64 @@ object TextQueries {
        |FROM agg""".stripMargin
   }
 
+  // the confusion-cell frame feeds both the per-lang totals and the
+  // output join; persist so the corpus scan runs once
+  private val evalCache = new graft.util.PlanCache(maxEntries = 2)
+
+  // ---- tx42: language-ID evaluation — tx41's harness discipline
+  //      applied to the classifier: the full confusion matrix of
+  //      tx05's heuristic predictions against the labeled lang
+  //      column, one row per (true, predicted) cell with exact
+  //      counts, the true-language total, and a floor-scaled ppm
+  //      share — per-language accuracy IS the diagonal rows. Pure
+  //      int64 arithmetic, so the gate is cell-exact. The matrix is
+  //      langs² rows from ONE corpus scan (map-side classify →
+  //      cell aggregate; totals re-aggregate the persisted cell
+  //      frame and broadcast back). The oracle re-derives the
+  //      predictions from the same marker lists tx05's oracle uses
+  //      — classifier drift anywhere breaks a cell count. ----
+  private def tx42(spark: SparkSession, dir: String): DataFrame = {
+    val cells = evalCache.persisted(
+      Tables.documents(spark, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n")))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n"), col("n_lang"),
+        expr("n * 1000000 div n_lang").as("cell_ppm"),
+        (col("lang") === col("predicted_lang")).as("is_correct"))
+  }
+
+  private val tx42Oracle: String = {
+    val markers = TextAnalysis.LangMarkers
+    val scoreCols = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(str_split(text, ' '), t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val greatest = markers.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+    val byNameDesc = markers.map(_._1).sorted(Ordering[String].reverse)
+    val winner = byNameDesc.init.map(l => s"WHEN s_$l = m THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${byNameDesc.last}' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, $winner AS predicted_lang
+       |  FROM (SELECT *, $greatest AS m FROM s) t),
+       |cells AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n
+       |  FROM p GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+       |  FROM cells GROUP BY 1)
+       |SELECT c.lang, c.predicted_lang, c.n, t.n_lang,
+       |  (c.n * 1000000) // t.n_lang AS cell_ppm,
+       |  c.lang = c.predicted_lang AS is_correct
+       |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1755,6 +1813,7 @@ object TextQueries {
     GraftQuery("tx39_collocations", tx39, Some(tx39Oracle)),
     GraftQuery("tx40_source_boilerplate", tx40, Some(tx40Oracle)),
     GraftQuery("tx41_dedup_eval", tx41, None,
-      oracleGen = Some(tx41OracleGen)))
+      oracleGen = Some(tx41OracleGen)),
+    GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)))
 
 }

@@ -59,6 +59,34 @@ object Similarity {
   }
 
   /**
+   * Maximum-inner-product top-k (MIPS): rank candidates by the RAW dot
+   * product, not cosine — the scoring a recommender/reward model uses,
+   * where magnitude is signal (a high-norm item IS more relevant) and
+   * cosine's normalization would erase it. Same broadcast +
+   * codegen'd-dot + bounded-heap plan as [[bruteForceTopK]], minus the
+   * norm columns. For the bucketed scale path, MIPS reduces to cosine
+   * search by the standard norm-augmentation (append
+   * sqrt(M² − ‖x‖²) to each candidate, 0 to queries, M = max norm) —
+   * the ordering is preserved, so the IVF/LSH variants here extend
+   * unchanged; this operator is their exactness anchor.
+   */
+  def dotTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+    val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qvec"), col("cvec")), scale).as("dot"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("dot"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair._2").as("cand_id"),
+        col("pair._1").as("dot"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Cosine RADIUS search: every candidate within cosine ≥ `minCosine`
    * of each query — the "find all sufficiently similar" shape (near-
    * duplicate sweeps, contamination screens) where top-k's fixed

@@ -138,6 +138,30 @@ object EventStream {
   }
 
   /**
+   * st27: streaming freshness monitor — the stream maintains dq18's
+   * per-type (count, last-arrival) aggregates as its ONLY state
+   * (complete mode; count sums and max are fold-order-free, so any
+   * micro-batch split drains to the batch aggregate) and the
+   * lag/staleness report is the shared `freshnessFromCounts` view
+   * over the drained counters. State is type-cardinality rows — the
+   * cheapest monitor in the registry, which is the point: freshness
+   * is what you want streaming first. dq18's oracle carries verbatim.
+   */
+  def freshnessReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_fresh"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .freshnessCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the report crossJoins a
+    // frontier derived from the counts frame itself (st10 lesson)
+    val counts = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.freshnessFromCounts(counts)
+  }
+
+  /**
    * Streaming two-sample KS drift: the stream maintains dq06's
    * per-(event_type, value) cohort counters (complete mode ≡ batch
    * aggregation — the counts frame is the ONLY stateful part of the KS

@@ -51,6 +51,9 @@ EXCLUDE_SF01_SWEEP = {
     # sim15's oracle is sim01's brute-force pair CTE minus the rank —
     # same all-pairs cost model
     "sim15_radius_search",
+    # sim16 ranks the same brute-force pair CTE by raw dot — same
+    # all-pairs cost model
+    "sim16_mips_topk",
     # tx41 scores LSH pairs against tx13's brute-force truth — its
     # oracle embeds the same quadratic all-pairs anchor
     "tx41_dedup_eval",
