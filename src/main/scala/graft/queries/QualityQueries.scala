@@ -1040,6 +1040,49 @@ object QualityQueries {
       |  frontier_us - last_us > 1200000000 AS is_stale
       |FROM p, f""".stripMargin
 
+  // ---- dq19: modal values — the profiling row dq03's min/max/sum
+  //      battery can't show: per event type, WHICH value occurs most
+  //      (the "is this column secretly a default/sentinel" check —
+  //      a dominant mode is how stuck sensors and fallback writes
+  //      announce themselves, and dq16's heavy-hitter threshold can
+  //      miss a mode that dominates its type but not the table).
+  //      One value-grain conditional aggregate, then the
+  //      straggler-free grouped top-1 (map-side per-partition top-k
+  //      before the key exchange — no one-task-per-type window);
+  //      ties break to the smallest value, the oracle mirrors with
+  //      ROW_NUMBER (cnt DESC, value ASC). share_ppm is the dq16
+  //      floor-scaled int64 convention. ----
+  private def dq19(spark: SparkSession, dir: String): DataFrame = {
+    val counts = driftCache.persisted(
+      Tables.events(spark, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt")))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("cnt")).as("n_type"))
+    graft.ops.Relational.topKPerGroupScalable(
+        counts, Seq("event_type"), Seq(col("cnt").desc, col("value")), 1,
+        rankName = "rank")
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("value").as("modal_value"),
+        col("cnt"), col("n_type"),
+        expr("cnt * 1000000 div n_type").as("share_ppm"))
+  }
+
+  private val dq19Oracle =
+    """WITH c AS (
+      |  SELECT event_type, value, COUNT(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_type
+      |      FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, value, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY cnt DESC, value) AS rn
+      |  FROM c)
+      |SELECT r.event_type, r.value AS modal_value, r.cnt, t.n_type,
+      |  (r.cnt * 1000000) // t.n_type AS share_ppm
+      |FROM r JOIN t ON r.event_type = t.event_type
+      |WHERE r.rn = 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1058,5 +1101,6 @@ object QualityQueries {
     GraftQuery("dq15_mad_outliers", dq15, Some(dq15Oracle)),
     GraftQuery("dq16_heavy_hitters", dq16, Some(dq16Oracle)),
     GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)),
-    GraftQuery("dq18_freshness", dq18, Some(dq18Oracle)))
+    GraftQuery("dq18_freshness", dq18, Some(dq18Oracle)),
+    GraftQuery("dq19_modal_values", dq19, Some(dq19Oracle)))
 }

@@ -136,6 +136,9 @@ INCLUDE_100X = {
     # freshness is integer-micros min/max machinery — trivially cheap,
     # rides the same 100x events fixture
     "dq18_freshness",
+    # the modal-value pick rides the straggler-free grouped top-1 over
+    # the value-grain counts — 100x events stress exactly that exchange
+    "dq19_modal_values",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
