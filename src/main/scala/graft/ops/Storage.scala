@@ -277,6 +277,27 @@ object Storage {
     } else (false, report)
   }
 
+  /**
+   * Roll the `_PUBLISHED` pointer back to an earlier generation — the
+   * recovery half of write-audit-publish: when a published snapshot
+   * turns out semantically bad (passed its audits, failed in
+   * consumption — the bad-backfill case no staged audit can always
+   * catch), readers move back to the last good generation by ONE
+   * atomic pointer move, because publish never deletes prior
+   * generation dirs (that is snapshot-expiry's job, io12). Refuses
+   * loudly if the target generation's data is gone.
+   */
+  def rollback(root: String, gen: Long): Unit = {
+    val target = java.nio.file.Paths.get(root, s"gen-$gen")
+    require(java.nio.file.Files.isDirectory(target),
+      s"cannot roll back: generation dir $target does not exist")
+    val tmp = java.nio.file.Paths.get(root, s"_PUBLISHED.tmp-rb-$gen")
+    java.nio.file.Files.write(tmp, s"gen-$gen".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_PUBLISHED"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The generation the `_PUBLISHED` pointer names, or None before the
     * first successful publish. */
   def readPublished(spark: SparkSession, root: String): Option[DataFrame] = {

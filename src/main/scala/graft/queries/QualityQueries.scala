@@ -1052,11 +1052,17 @@ object QualityQueries {
   //      ties break to the smallest value, the oracle mirrors with
   //      ROW_NUMBER (cnt DESC, value ASC). share_ppm is the dq16
   //      floor-scaled int64 convention. ----
-  private def dq19(spark: SparkSession, dir: String): DataFrame = {
-    val counts = driftCache.persisted(
-      Tables.events(spark, dir).filter(col("value").isNotNull)
-        .groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("cnt")))
+  /** The per-(type, value) counts — dq19's stateful part, and exactly
+    * what st28's streaming aggregation maintains. */
+  private[graft] def modalCounts(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Modal pick + share derived from a counts frame — shared by dq19
+    * (batch counts) and st28 (streamed counts). */
+  private[graft] def modalFromCounts(counts0: DataFrame): DataFrame = {
+    val counts = driftCache.persisted(counts0)
     val totals = counts.groupBy(col("event_type")).agg(sum(col("cnt")).as("n_type"))
     graft.ops.Relational.topKPerGroupScalable(
         counts, Seq("event_type"), Seq(col("cnt").desc, col("value")), 1,
@@ -1067,7 +1073,10 @@ object QualityQueries {
         expr("cnt * 1000000 div n_type").as("share_ppm"))
   }
 
-  private val dq19Oracle =
+  private def dq19(spark: SparkSession, dir: String): DataFrame =
+    modalFromCounts(modalCounts(Tables.events(spark, dir)))
+
+  private[graft] val dq19Oracle =
     """WITH c AS (
       |  SELECT event_type, value, COUNT(*) AS cnt
       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
@@ -1082,6 +1091,48 @@ object QualityQueries {
       |  (r.cnt * 1000000) // t.n_type AS share_ppm
       |FROM r JOIN t ON r.event_type = t.event_type
       |WHERE r.rn = 1""".stripMargin
+
+  // ---- dq20: coverage-gap detection — dq18 says how STALE each
+  //      source is at the frontier; this says how CONTINUOUS it was
+  //      before that: per type over its distinct event DAYS, the
+  //      present/expected day counts, missing days, and the longest
+  //      outage run — how feed interruptions and backfill holes
+  //      actually surface. The day-grain distinct frame is types ×
+  //      days rows (plan constants, like dq12/dq13's daily state), so
+  //      the per-type lag window is metadata-sized; arithmetic is
+  //      pure integer date math, identical on both engines. ----
+  private def dq20(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    days.withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)) - 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("day")).cast(StringType).as("first_day"),
+        max(col("day")).cast(StringType).as("last_day"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1 - count(lit(1)))
+          .as("n_missing"),
+        coalesce(max(col("gap")), lit(0)).as("max_gap"))
+  }
+
+  private val dq20Oracle =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT event_type, day,
+      |    day - LAG(day) OVER (PARTITION BY event_type ORDER BY day) - 1
+      |      AS gap
+      |  FROM d)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(MIN(day) AS VARCHAR) AS first_day,
+      |  CAST(MAX(day) AS VARCHAR) AS last_day,
+      |  CAST(MAX(day) - MIN(day) + 1 AS INT) AS span_days,
+      |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+      |  CAST(COALESCE(MAX(gap), 0) AS INT) AS max_gap
+      |FROM g GROUP BY event_type""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
@@ -1102,5 +1153,6 @@ object QualityQueries {
     GraftQuery("dq16_heavy_hitters", dq16, Some(dq16Oracle)),
     GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)),
     GraftQuery("dq18_freshness", dq18, Some(dq18Oracle)),
-    GraftQuery("dq19_modal_values", dq19, Some(dq19Oracle)))
+    GraftQuery("dq19_modal_values", dq19, Some(dq19Oracle)),
+    GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)))
 }

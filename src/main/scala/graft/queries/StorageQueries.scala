@@ -942,6 +942,40 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- io23: snapshot rollback — the recovery half of io19's
+  //      write-audit-publish. A good snapshot publishes (gen 0), then
+  //      a semantically bad one follows (gen 1: a half-ingested
+  //      backfill — it PASSES the structural audits, which is exactly
+  //      why rollback must exist: not every defect is auditable at
+  //      the staged files). The operator rolls the pointer back by
+  //      one atomic move — possible because publish never deletes
+  //      prior generations — and the gated result reads THROUGH the
+  //      pointer: if the rollback silently failed, readers would see
+  //      gen 1's halved counts and every cell would mismatch. ----
+  private def io23(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Exact._
+    val root = Files.createTempDirectory("graft-io23-").toString
+    val ev = Tables.events(spark, dir)
+    val audits: Seq[(String, DataFrame => Boolean)] = Seq(
+      "nonempty" -> (df => df.limit(1).count() == 1),
+      "no_null_type" -> (df => df.filter(col("event_type").isNull).limit(1).count() == 0))
+    def daily(src: DataFrame): DataFrame =
+      src.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumExact(dec(col("value"))).as("sum_value"))
+    val (ok0, _) = graft.ops.Storage.writeAuditPublish(daily(ev), root, 0, audits)
+    val (ok1, _) = graft.ops.Storage.writeAuditPublish(
+      daily(ev.filter(col("event_id") % 2 === 0)), root, 1, audits)
+    require(ok0 && ok1, "both generations must publish before the rollback")
+    graft.ops.Storage.rollback(root, 0)
+    graft.ops.Storage.readPublished(spark, root).get
+  }
+
+  private val io23Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -966,5 +1000,6 @@ object StorageQueries {
     GraftQuery("io19_write_audit_publish", io19, Some(io19Oracle)),
     GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)),
     GraftQuery("io21_range_layout", io21, Some(io21Oracle)),
-    GraftQuery("io22_partition_evolution", io22, Some(io22Oracle)))
+    GraftQuery("io22_partition_evolution", io22, Some(io22Oracle)),
+    GraftQuery("io23_snapshot_rollback", io23, Some(io23Oracle)))
 }

@@ -261,5 +261,10 @@ object StreamingQueries {
     // and the lag/staleness report is the shared freshnessFromCounts
     // view over the drained state
     GraftQuery("st27_stream_freshness",
-      EventStream.freshnessReplay, Some(QualityQueries.dq18Oracle)))
+      EventStream.freshnessReplay, Some(QualityQueries.dq18Oracle)),
+    // st28 carries dq19's oracle verbatim: the stream maintains the
+    // per-(type, value) counters and the modal pick + share report is
+    // the shared modalFromCounts view (grouped top-1 included)
+    GraftQuery("st28_stream_modal_values",
+      EventStream.modalValuesReplay, Some(QualityQueries.dq19Oracle)))
 }

@@ -162,6 +162,30 @@ object EventStream {
   }
 
   /**
+   * st28: streaming modal-value monitor — the stream maintains dq19's
+   * per-(type, value) counts as its ONLY state (complete mode; counts
+   * are fold-order-free) and the modal pick + share report is the
+   * shared `modalFromCounts` view — including the straggler-free
+   * grouped top-1 — over the drained counters. dq19's oracle carries
+   * verbatim. State is value-grain-bounded; a continuous-valued
+   * firehose would bin first (dq09's state contract) and take the
+   * modal BIN, same view.
+   */
+  def modalValuesReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_modal"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .modalCounts(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the report joins totals
+    // derived from the counts frame itself (st10 lesson)
+    val counts = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.modalFromCounts(counts)
+  }
+
+  /**
    * Streaming two-sample KS drift: the stream maintains dq06's
    * per-(event_type, value) cohort counters (complete mode ≡ batch
    * aggregation — the counts frame is the ONLY stateful part of the KS

@@ -233,6 +233,26 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toSeq == Seq((3L, 5L)))
   }
 
+  test("rollback: pointer returns to a live generation, refuses a missing one") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-rb-spec-").toString
+    val audits: Seq[(String, org.apache.spark.sql.DataFrame => Boolean)] = Seq.empty
+    assert(Storage.writeAuditPublish(Seq((1L, 10L)).toDF("k", "v"), root, 0, audits)._1)
+    assert(Storage.writeAuditPublish(Seq((2L, 20L)).toDF("k", "v"), root, 1, audits)._1)
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+    Storage.rollback(root, 0)
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)),
+      "readers must see generation 0 after the rollback")
+    // a generation that was never published (or already expired) must
+    // refuse loudly instead of pointing readers at nothing
+    intercept[IllegalArgumentException](Storage.rollback(root, 7))
+    // the failed attempt must not have moved the pointer
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+  }
+
   test("rangeBoundaries: deterministic across partitionings, balanced, skew-stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

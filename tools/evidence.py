@@ -139,6 +139,9 @@ INCLUDE_100X = {
     # the modal-value pick rides the straggler-free grouped top-1 over
     # the value-grain counts — 100x events stress exactly that exchange
     "dq19_modal_values",
+    # coverage gaps are a day-grain distinct + metadata-sized window —
+    # 100x events stress the distinct exchange feeding it
+    "dq20_coverage_gaps",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
