@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/**
+ * The engine's one WHOLE-OPERATOR Catalyst extension, demonstrating
+ * preference path (c) end-to-end: a custom `LogicalPlan` node planned
+ * by a custom `SparkStrategy`, surfaced through the public Dataset
+ * API. The as-of join is the natural candidate — Spark has no
+ * relational operator for it, and [[graft.ops.Relational.asOfJoin]]
+ * already proved the composed union/window lowering correct (q19's
+ * DuckDB `ASOF JOIN` oracle) — so the node buys DECLARATIVE value:
+ * callers get one logical operator Catalyst can see (column pruning
+ * reaches THROUGH it into the right side, because the node declares
+ * exactly which attributes it references), and the physical plan is
+ * the proven lowering, attribute-remapped so downstream operators
+ * bind against the node's declared output.
+ *
+ * Semantic args are resolved `Attribute`s, not names: Catalyst
+ * derives `expressions`/`references` from constructor fields by
+ * reflection, which is what lets the optimizer prune unreferenced
+ * right-side columns under the node while never pruning what the
+ * lowering needs.
+ *
+ * Registration rides the PUBLIC runtime seam
+ * (`spark.experimental.extraStrategies`) rather than config-time
+ * `spark.sql.extensions` injection, so the operator works in an
+ * already-running session — [[GraftStrategies.register]] is
+ * idempotent and [[AsOf.join]] calls it for you.
+ */
+case class GraftAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftOrder: Attribute,
+    rightOrder: Attribute,
+    rightValues: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Plans [[GraftAsOfJoin]]: lower to the proven composed plan
+ * (union + last-ignoring-nulls window + side filter), then remap the
+ * lowered output onto the node's declared attribute ids so every
+ * downstream operator's bindings hold. `planLater` hands the lowered
+ * logical plan back to the planner — the strategy composes with every
+ * other strategy and with AQE for free.
+ */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: GraftAsOfJoin =>
+      val spark = SparkSession.active
+      val l = GraftPlanBridge.ofRows(spark, j.left)
+      val r = GraftPlanBridge.ofRows(spark, j.right)
+      val lowered = graft.ops.Relational.asOfJoin(
+          l, r,
+          keys = j.leftKeys.map(_.name),
+          leftOrder = j.leftOrder.name,
+          rightOrder = j.rightOrder.name,
+          rightValues = j.rightValues.map(_.name))
+        .queryExecution.analyzed
+      val remapped = Project(j.output.map { a =>
+        val src = lowered.output.find(_.name == a.name).getOrElse(
+          throw new IllegalStateException(
+            s"as-of lowering lost column ${a.name}: ${lowered.output}"))
+        Alias(src, a.name)(exprId = a.exprId)
+      }, lowered)
+      planLater(remapped) :: Nil
+    case _ => Nil
+  }
+}
+
+object GraftStrategies {
+  /** Idempotently add the engine's strategies to a running session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+}
+
+/** Public API over the custom node. */
+object AsOf {
+  /**
+   * As-of join `left` to `right` on equal `keys`, matching each left
+   * row to the right row with the greatest `rightOrder` ≤ its
+   * `leftOrder` (inclusive), surfacing `rightValues` (NULL when no
+   * right row precedes). Key/value/order column NAMES must be
+   * unambiguous across the two sides — the same contract as
+   * [[graft.ops.Relational.asOfJoin]], which this operator plans to.
+   */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftOrder: String, rightOrder: String,
+           rightValues: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    GraftStrategies.register(spark)
+    def attr(df: DataFrame, name: String): Attribute =
+      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${df.columns.mkString(", ")}"))
+    val leftOut = left.queryExecution.analyzed.output.map(_.name).toSet
+    rightValues.foreach(v => require(!leftOut.contains(v),
+      s"right value column $v collides with a left column"))
+    GraftPlanBridge.ofRows(spark, GraftAsOfJoin(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      keys.map(attr(left, _)), keys.map(attr(right, _)),
+      attr(left, leftOrder), attr(right, rightOrder),
+      rightValues.map(attr(right, _))))
+  }
+}

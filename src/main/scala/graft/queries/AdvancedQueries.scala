@@ -35,6 +35,28 @@ object AdvancedQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.event_id >= c.event_id""".stripMargin
 
+  // ---- q50: the as-of join AGAIN, through the engine's custom
+  //      Catalyst whole-operator path — a `GraftAsOfJoin` LogicalPlan
+  //      node planned by `AsOfJoinStrategy` (registered through the
+  //      public spark.experimental.extraStrategies seam), exercising
+  //      preference (c) of the extension ladder end-to-end where q19
+  //      exercises preference (a). Same inputs, same semantics, same
+  //      DuckDB ASOF JOIN oracle: green means the node's declared
+  //      output attributes, the strategy's lowering, and the exprId
+  //      remap all hold under a real gate, not just a spec. ----
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+      keys = Seq("user_id"), leftOrder = "event_id", rightOrder = "click_event_id",
+      rightValues = Seq("click_event_id", "click_value"))
+      .select("user_id", "event_id", "purchase_value", "click_event_id", "click_value")
+  }
+
   // ---- q20: salted skew join ≡ plain equi-join (the oracle IS the
   //      plain join — salting must not change semantics) ----
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -1344,5 +1366,8 @@ object AdvancedQueries {
     GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle), headline = true),
     GraftQuery("q47_kcore", q47, Some(q47Oracle)),
     GraftQuery("q48_active_time", q48, Some(q48Oracle)),
-    GraftQuery("q49_session_funnel", q49, Some(q49Oracle), headline = true))
+    GraftQuery("q49_session_funnel", q49, Some(q49Oracle), headline = true),
+    // q50 carries q19's oracle verbatim: same as-of semantics, custom
+    // Catalyst whole-operator path instead of the inline composition
+    GraftQuery("q50_asof_plan", q50, Some(q19Oracle)))
 }

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The custom whole-operator path: the GraftAsOfJoin node must plan
+  * through AsOfJoinStrategy to EXACTLY the proven composed lowering's
+  * results, and its declared output attributes must bind under
+  * downstream operators (the exprId-remap contract). */
+class AsOfPlanSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def trades = Seq(
+    (1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 15L, 50.0), (3L, 5L, 7.0))
+    .toDF("k", "t", "px")
+  private def quotes = Seq(
+    (1L, 5L, 99.0), (1L, 10L, 101.0), (1L, 18L, 109.0), (2L, 30L, 55.0))
+    .toDF("k", "qt", "bid")
+
+  test("node ≡ composed lowering, including inclusive match and no-predecessor NULL") {
+    val viaNode = AsOf.join(trades, quotes, Seq("k"), "t", "qt", Seq("qt", "bid"))
+      .collect().map(_.toSeq).toSet
+    val viaCompose = graft.ops.Relational.asOfJoin(
+        trades, quotes, Seq("k"), "t", "qt", Seq("qt", "bid"))
+      .select("k", "t", "px", "qt", "bid")
+      .collect().map(_.toSeq).toSet
+    assert(viaNode == viaCompose)
+    // spot semantics: inclusive (t=10 takes qt=10), late-only right →
+    // NULL (k=2 quote at 30 > trade at 15), no right rows at all (k=3)
+    val byKey = viaNode.map(s => (s(0), s(1)) -> s(3)).toMap
+    assert(byKey((1L, 10L)) == 10L, "inclusive match at equal order")
+    assert(byKey((2L, 15L)) == null, "right row after the left order → NULL")
+    assert(byKey((3L, 5L)) == null, "no right rows for the key → NULL")
+  }
+
+  test("downstream operators bind against the node's output (filter, project, agg)") {
+    val joined = AsOf.join(trades, quotes, Seq("k"), "t", "qt", Seq("bid"))
+    val out = joined.filter(col("bid").isNotNull)
+      .select(col("k"), (col("px") - col("bid")).as("spread"))
+      .groupBy(col("k")).agg(sum(col("spread")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=1: (100-101) + (110-109) = 0.0 — both trades matched
+    assert(out == Map(1L -> 0.0))
+  }
+
+  test("strategy registration is idempotent and the plan carries the lowering") {
+    GraftStrategies.register(spark)
+    GraftStrategies.register(spark)
+    assert(spark.experimental.extraStrategies.count(_ == AsOfJoinStrategy) == 1)
+    val p = AsOf.join(trades, quotes, Seq("k"), "t", "qt", Seq("bid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"lowered plan must carry the window fill:\n$p")
+  }
+
+  test("name collisions refuse loudly instead of silently shadowing") {
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes.withColumnRenamed("bid", "px"),
+        Seq("k"), "t", "qt", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes, Seq("k"), "t", "missing", Seq("bid"))
+    }
+  }
+}
