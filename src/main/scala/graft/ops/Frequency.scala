@@ -73,14 +73,6 @@ object Frequency {
   }
 
   /**
-   * Exact heavy hitters: every item with frequency strictly above
-   * n/(k+1), with its exact count and floor-scaled parts-per-million
-   * share — via the MG candidate pass above, so the raw item stream
-   * never shuffles. `items` is scanned twice (summary + exact pass);
-   * at scale the caller persists or re-reads the columnar source,
-   * both scans project a single column.
-   */
-  /**
    * Heavy-hitter report over a COMPLETE (item, cnt) counts frame —
    * the read-time view a streaming twin derives from its maintained
    * counters (counts are fold-order-free, so any micro-batch split
@@ -97,6 +89,14 @@ object Frequency {
         expr("cnt * 1000000 div __n").as("share_ppm"))
   }
 
+  /**
+   * Exact heavy hitters: every item with frequency strictly above
+   * n/(k+1), with its exact count and floor-scaled parts-per-million
+   * share — via the MG candidate pass above, so the raw item stream
+   * never shuffles. `items` is scanned twice (summary + exact pass);
+   * at scale the caller persists or re-reads the columnar source,
+   * both scans project a single column.
+   */
   def exactHeavyHitters(items: Dataset[String], k: Int): DataFrame = {
     val tok = items.toDF("item")
     val cands = misraGriesCandidates(items, k).select("item")

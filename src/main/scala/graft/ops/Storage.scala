@@ -57,7 +57,16 @@ object Storage {
     }
     val row = cums.crossJoin(broadcast(total))
       .agg(aggs.head, aggs.tail: _*).collect()(0)
-    (1 until buckets).map(i => row.getAs[Long](s"b$i"))
+    (1 until buckets).map { i =>
+      // a NULL cell means the min/when aggregate matched no key — fewer
+      // distinct keys than buckets (or empty input). getAs[Long] would
+      // silently unbox it to 0 and hand back a corrupt boundary plan.
+      val cell = row.getAs[Any](s"b$i")
+      require(cell != null,
+        s"rangeBoundaries: boundary $i of $buckets is undefined — " +
+          s"input has fewer distinct '$keyCol' keys than buckets (or is empty)")
+      cell.asInstanceOf[Long]
+    }
   }
 
   /** Total bytes and file count of the data files under `dir`
@@ -268,6 +277,15 @@ object Storage {
     val staged = spark.read.parquet(stage)
     val report = audits.map { case (name, check) => name -> check(staged) }
     if (report.forall(_._2)) {
+      // per-generation audit marker, written only on a passing audit
+      // report and BEFORE the pointer swings: rollback keys on it, so a
+      // staged-but-REFUSED generation (whose dir deliberately stays on
+      // disk for inspection) can never be published after the fact —
+      // the WAP invariant is that _PUBLISHED only ever names audited
+      // generations, including via the recovery path.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stage, "_AUDITED"),
+        report.map { case (n, _) => n }.mkString("\n").getBytes("UTF-8"))
       val tmp = java.nio.file.Paths.get(root, s"_PUBLISHED.tmp-$gen")
       java.nio.file.Files.write(tmp, s"gen-$gen".getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_PUBLISHED"),
@@ -285,12 +303,21 @@ object Storage {
    * catch), readers move back to the last good generation by ONE
    * atomic pointer move, because publish never deletes prior
    * generation dirs (that is snapshot-expiry's job, io12). Refuses
-   * loudly if the target generation's data is gone.
+   * loudly if the target generation's data is gone — and refuses a
+   * generation that was STAGED but never passed its audits (refused
+   * batches leave their staging dir on disk for inspection; the
+   * `_AUDITED` marker, written only on a passing report, is what
+   * separates them from rollback-eligible history — without it a
+   * rollback would atomically publish data that never passed audit).
    */
   def rollback(root: String, gen: Long): Unit = {
     val target = java.nio.file.Paths.get(root, s"gen-$gen")
     require(java.nio.file.Files.isDirectory(target),
       s"cannot roll back: generation dir $target does not exist")
+    require(java.nio.file.Files.exists(target.resolve("_AUDITED")),
+      s"cannot roll back: generation $gen was staged but never passed " +
+        "its audits (no _AUDITED marker) — publishing it would violate " +
+        "the write-audit-publish invariant")
     val tmp = java.nio.file.Paths.get(root, s"_PUBLISHED.tmp-rb-$gen")
     java.nio.file.Files.write(tmp, s"gen-$gen".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_PUBLISHED"),

@@ -62,18 +62,27 @@ object AsOfJoinStrategy extends SparkStrategy {
       val spark = SparkSession.active
       val l = GraftPlanBridge.ofRows(spark, j.left)
       val r = GraftPlanBridge.ofRows(spark, j.right)
+      // optimizedPlan, not analyzed: planLater does NOT re-run the
+      // optimizer on the subtree it plans, so lowering from the
+      // analyzed plan would hand the union/window chain to the planner
+      // with no filter pushdown, column pruning, or constant folding
+      // inside it — quietly forfeiting the node's declarative rationale.
+      // The optimizer preserves the plan's output schema, so the
+      // name-keyed exprId remap below still binds.
       val lowered = graft.ops.Relational.asOfJoin(
           l, r,
           keys = j.leftKeys.map(_.name),
           leftOrder = j.leftOrder.name,
           rightOrder = j.rightOrder.name,
           rightValues = j.rightValues.map(_.name))
-        .queryExecution.analyzed
+        .queryExecution.optimizedPlan
       val remapped = Project(j.output.map { a =>
-        val src = lowered.output.find(_.name == a.name).getOrElse(
+        val srcs = lowered.output.filter(_.name == a.name)
+        if (srcs.size != 1)
           throw new IllegalStateException(
-            s"as-of lowering lost column ${a.name}: ${lowered.output}"))
-        Alias(src, a.name)(exprId = a.exprId)
+            s"as-of lowering must expose column ${a.name} exactly once, " +
+              s"found ${srcs.size}: ${lowered.output}")
+        Alias(srcs.head, a.name)(exprId = a.exprId)
       }, lowered)
       planLater(remapped) :: Nil
     case _ => Nil
@@ -104,10 +113,20 @@ object AsOf {
            rightValues: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     GraftStrategies.register(spark)
-    def attr(df: DataFrame, name: String): Attribute =
-      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+    // UNIQUE resolution, enforcing the "unambiguous names" contract the
+    // docs state: find(_.name == ...) on a side carrying duplicate
+    // column names would silently bind the first match.
+    def attr(df: DataFrame, name: String): Attribute = {
+      val matches = df.queryExecution.analyzed.output.filter(_.name == name)
+      if (matches.isEmpty)
         throw new IllegalArgumentException(
-          s"column $name not found in ${df.columns.mkString(", ")}"))
+          s"column $name not found in ${df.columns.mkString(", ")}")
+      if (matches.size > 1)
+        throw new IllegalArgumentException(
+          s"column $name is ambiguous (${matches.size} matches) — as-of " +
+            "join requires unambiguous column names on each side")
+      matches.head
+    }
     val leftOut = left.queryExecution.analyzed.output.map(_.name).toSet
     rightValues.foreach(v => require(!leftOut.contains(v),
       s"right value column $v collides with a left column"))

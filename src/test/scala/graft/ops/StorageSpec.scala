@@ -251,6 +251,19 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     // the failed attempt must not have moved the pointer
     assert(Storage.readPublished(spark, root).get
       .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // a generation that was STAGED but REFUSED by its audits leaves its
+    // dir on disk for inspection — rollback must refuse it too, or the
+    // recovery path would publish data that never passed audit (the WAP
+    // invariant _PUBLISHED only ever names audited generations)
+    val audited = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+      "positive" -> (d => d.filter(col("v") <= 0).limit(1).count() == 0))
+    assert(!Storage.writeAuditPublish(
+      Seq((9L, -9L)).toDF("k", "v"), root, 2, audited)._1)
+    assert(new java.io.File(s"$root/gen-2").isDirectory, "refused staging kept")
+    intercept[IllegalArgumentException](Storage.rollback(root, 2))
+    assert(Storage.readPublished(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)),
+      "a refused-generation rollback attempt must not move the pointer")
   }
 
   test("rangeBoundaries: deterministic across partitionings, balanced, skew-stable") {

@@ -55,6 +55,28 @@ class AsOfPlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"), s"lowered plan must carry the window fill:\n$p")
   }
 
+  test("column pruning reaches the parquet scans below the node") {
+    // the node's one declarative advantage: Catalyst sees exactly which
+    // attributes the operator references, so a query selecting one
+    // right-side value column must NOT read the unreferenced right
+    // columns from disk (ReadSchema pin, the io17/io18 style) — and the
+    // strategy lowers from the OPTIMIZED subtree, so pruning/pushdown
+    // run inside the lowering too
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-prune-").toString
+    trades.write.mode("overwrite").parquet(s"$dir/l")
+    quotes
+      .withColumn("r_wide_unused", lit("x"))
+      .withColumn("r_wide_unused2", lit(7L))
+      .write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val out = AsOf.join(l, r, Seq("k"), "t", "qt", Seq("bid"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("r_wide_unused"),
+      s"unreferenced right columns must be pruned below the as-of node:\n$p")
+    assert(out.count() == trades.count())
+  }
+
   test("name collisions refuse loudly instead of silently shadowing") {
     intercept[IllegalArgumentException] {
       AsOf.join(trades, quotes.withColumnRenamed("bid", "px"),
@@ -62,6 +84,13 @@ class AsOfPlanSpec extends AnyFunSuite with SparkSpec {
     }
     intercept[IllegalArgumentException] {
       AsOf.join(trades, quotes, Seq("k"), "t", "missing", Seq("bid"))
+    }
+    // DUPLICATE names on one side must refuse, not bind the first match
+    // — the "unambiguous names" contract, enforced rather than assumed
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades,
+        quotes.select(col("k"), col("qt"), col("qt"), col("bid")),
+        Seq("k"), "t", "qt", Seq("bid"))
     }
   }
 }
