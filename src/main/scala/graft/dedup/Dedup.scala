@@ -411,6 +411,23 @@ object Dedup {
    * pigeonhole exhaustiveness argument and the narrow
    * (id, band, chunk) shuffle shape don't care where the 64 bits came
    * from.
+   *
+   * Join keys are GROUPED bands (the multi-index Hamming refinement):
+   * a pair at distance d ≤ maxHamming leaves at least
+   * `bands − maxHamming` bands intact, so when that slack is ≥ 2 the
+   * pair must agree exactly on at least one PAIR of bands — joining on
+   * all C(bands, 2) band-pair keys (2·width bits each) is still
+   * exhaustive, and the key space squares. This matters because single
+   * 64/bands-bit chunks SATURATE: with bands = 8 a band key has only
+   * 256 values, so buckets deepen linearly with corpus size and the
+   * candidate join turns quadratic around ~10⁴ fingerprints — measured
+   * on mm09's hash frame (3.3k → 33k fingerprints), single-band
+   * distinct candidates grew 173k → 17.2M (99× for 10× data, the
+   * r13 decade-ratio watch item) while grouped-band candidates grew
+   * 4.1k → 255k — 67× fewer absolute, sitting on the n²·C(b,2)/2¹⁶
+   * random-collision floor instead of n²/2⁸.
+   * When `bands − maxHamming < 2` the single-band scheme is the only
+   * exhaustive one and is kept.
    */
   def hammingNearDups(rawBase: DataFrame,
                       maxHamming: Int, bands: Int): DataFrame = {
@@ -423,11 +440,18 @@ object Dedup {
     // LRU cache. ~16 bytes/row: negligible next to what it saves.
     val base = baseCache.persisted(rawBase)
     val width = 64 / bands
+    def chunk(b: Int): Column =
+      shiftright(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1))
+    // r = group size: 2 when the pigeonhole slack allows, else 1
+    val groups: Seq[Seq[Int]] =
+      if (bands - maxHamming >= 2) (0 until bands).combinations(2).toSeq
+      else (0 until bands).map(Seq(_))
     val banded = base.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+      explode(array(groups.zipWithIndex.map { case (g, gi) =>
+        struct(lit(gi).as("band"),
+          g.zipWithIndex.map { case (b, i) =>
+            shiftleft(chunk(b), i * width): Column
+          }.reduce(_ bitwiseOR _).as("chunk"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
 
