@@ -267,7 +267,14 @@ object Bench {
       "q26_shipping_priority", "q34_funnel", "q37_peak_concurrency",
       "dq07_exact_percentiles")
     val skewQueries = Seq("q21_sessionize", "q34_funnel",
-      "q41_attribution", "tx18_mixture_fill")
+      "q41_attribution", "tx18_mixture_fill",
+      // r14: the operators built specifically FOR skew, timed against
+      // their uniform-10×-fixture numbers — saltedEquiJoin under a hot
+      // join key, Misra–Gries under a ~20% dominant token, the
+      // scalable grouped top-k under one 90% language, and the LSH
+      // bucket cap under a 2,500-doc mega-duplicate cluster
+      "q20_salted_join", "dq16_heavy_hitters", "tx21_stratified_sample",
+      "tx06_near_dup_pairs")
     def byNames(ns: Seq[String]) = ns.flatMap(Registry.byName.get)
     var rel100Info: String = "null"
     val (rel100Samples, skewSamples, skewBaseSamples) =

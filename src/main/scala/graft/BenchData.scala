@@ -137,59 +137,114 @@ object BenchData {
     dst.toString
   }
 
+  // skew-construction version, folded into skew dir names only (the
+  // main blow-up dirs are untouched by skew construction changes, so
+  // bumping this must not force their rebuild): s2 added the hot
+  // lineitem join key, the mega-duplicate document cluster, and the
+  // dominant filler token
+  private val SkewVersion = "s2"
+
   /**
-   * Skew variant of the 10× blow-up: the same data volume with one
-   * genuinely HOT key planted per axis, so the straggler-free claims
-   * (sessionize/funnel/attribution's per-user windows, the grouped
-   * prefix sums) meet real skew instead of the fixtures' uniform keys:
+   * Skew variant: the same data volume with one genuinely HOT key
+   * planted per axis, so the straggler-free claims AND the operators
+   * that exist specifically for skew (salted join, LSH bucket cap,
+   * Misra–Gries, scalable grouped top-k) meet real skew instead of the
+   * fixtures' uniform keys:
    *
    *  - events: every 10th event (by event_id) reassigns to user 1 —
    *    one user owns ≥10% of all events, plus its organic share;
    *  - orders: every 10th order reassigns to custkey 1;
-   *  - documents: 90% of docs reassign to lang "en" — one group
-   *    dominates tx18's per-group running totals.
+   *  - lineitem: every 10th line reassigns to l_orderkey 1 — one JOIN
+   *    key holds ~10% of the fact side (q20's salted join is the
+   *    designed defense);
+   *  - documents, three planted pathologies at once:
+   *      · lang: 90% of docs reassign to "en" (tx18/tx21's dominant
+   *        group);
+   *      · a MEGA-DUPLICATE cluster: docs with doc_id % 20 == 3 (5%)
+   *        become near-identical — a fixed 60-token body plus a
+   *        3-token per-doc tail (pairwise shingle Jaccard ≈ 0.79, all
+   *        cluster members collide in the same LSH buckets; at the 10×
+   *        tier the cluster is 2,500 docs, past tx06's maxBucket cap —
+   *        the cap's anti-join is the designed defense);
+   *      · a DOMINANT token: every doc appends a run of `zzfiller`
+   *        sized at 1/4 of its token count, so one token carries ~20%
+   *        of the whole corpus token stream (dq16's Misra–Gries is the
+   *        designed defense). The run collapses to ~1 distinct shingle
+   *        per doc, so it cannot glue unrelated docs into LSH buckets.
    *
-   * Everything else copies verbatim from the 10× dir. Deterministic
-   * (pure key arithmetic), so the DuckDB oracles rebuild the identical
-   * skewed tables and every gated query stays cell-exact.
+   * Everything else copies verbatim. Deterministic (pure key/text
+   * arithmetic), so the DuckDB oracles rebuild the identical skewed
+   * tables and every gated query stays cell-exact.
+   *
+   * `blowUp = true` (the bench tier) plants skew on the 10× blow-up;
+   * `blowUp = false` plants the IDENTICAL construction directly on the
+   * source fixture — the small-tier variant whose corpus is ~500 docs,
+   * where the quadratic tx06/tx41 oracles are affordable, so the LSH
+   * path can be gated CELL-EXACT under the mega-cluster (at the big
+   * tier it is timed, not oracle-gated).
    */
-  def ensureSkewed(spark: SparkSession, srcDir: String): String = {
-    val src10 = ensureBlowUp(spark, srcDir, factor = 10)
-    // identity follows the SOURCE blow-up's marker (which already folds
-    // in the fixture fingerprint): a regeneration invalidates this dir
-    // transitively
+  def ensureSkewed(spark: SparkSession, srcDir: String,
+                   blowUp: Boolean = true): String = {
+    val src = if (blowUp) ensureBlowUp(spark, srcDir, factor = 10) else srcDir
+    // identity follows the SOURCE's marker/fingerprint: a regeneration
+    // invalidates this dir transitively
+    val basis = if (blowUp) blowUpIdentity(src) else sourceFingerprint(srcDir)
     val fp = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(blowUpIdentity(src10).getBytes("UTF-8"))
+      .digest(basis.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
+    val tag = if (blowUp) "skew" else "skew1x"
     val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val dst = new java.io.File(tmpRoot, s"graft-blowup-skew-${srcTag(srcDir)}-$Version-$fp")
+    val dst = new java.io.File(tmpRoot,
+      s"graft-blowup-$tag-${srcTag(srcDir)}-$Version-$SkewVersion-$fp")
     val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
     if (!marker.exists()) {
       dst.mkdirs()
-      graft.sources.Tables.eventsRaw(spark, src10)
+      graft.sources.Tables.eventsRaw(spark, src)
         .withColumn("user_id",
           when(pmod(col("event_id"), lit(10)) === 0, lit(1L))
             .otherwise(col("user_id")))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
-      spark.read.parquet(s"$src10/orders.parquet")
+      spark.read.parquet(s"$src/orders.parquet")
         .withColumn("o_custkey",
           when(pmod(col("o_orderkey"), lit(10)) === 0, lit(1L))
             .otherwise(col("o_custkey")))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-      spark.read.parquet(s"$src10/documents.parquet")
-        .withColumn("lang",
+      // hot JOIN key: the (orderkey × 7 + linenumber) residue picks
+      // ~1/10 of lines independent of their order, all sent to key 1
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("l_orderkey",
+          when(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(10)) === 0,
+            lit(1L)).otherwise(col("l_orderkey")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      val clusterText = concat_ws(" ",
+        lit((1 to 60).map(i => f"megadup$i%02d").mkString(" ")),
+        concat(lit("tva"), pmod(col("doc_id"), lit(11))),
+        concat(lit("tvb"), pmod(col("doc_id"), lit(13))),
+        concat(lit("tvc"), pmod(col("doc_id"), lit(17))))
+      val bodied = when(pmod(col("doc_id"), lit(20)) === 3, clusterText)
+        .otherwise(col("text"))
+      val fillN = floor(size(split(bodied, " ")) / 4)
+        .cast(org.apache.spark.sql.types.IntegerType)
+      val filled = when(fillN > 0,
+        concat_ws(" ", bodied, array_join(array_repeat(lit("zzfiller"), fillN), " ")))
+        .otherwise(bodied)
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("doc_id"), filled.as("text"),
           when(pmod(col("doc_id"), lit(10)) =!= 0, lit("en"))
-            .otherwise(col("lang")))
+            .otherwise(col("lang")).as("lang"),
+          col("source"),
+          length(filled).cast("long").as("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      (dims ++ Seq("lineitem", "customer", "embeddings")).foreach { t =>
-        spark.read.parquet(s"$src10/$t.parquet")
+      (dims ++ Seq("customer", "embeddings")).foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
-      finishDir(spark, dst, tmpRoot, s"graft-blowup-skew-${srcTag(srcDir)}-",
-        s""""version":"$Version","flavor":"skew","factor":10,"source_fp":"$fp"""")
+      finishDir(spark, dst, tmpRoot, s"graft-blowup-$tag-${srcTag(srcDir)}-",
+        s""""version":"$Version-$SkewVersion","flavor":"$tag","factor":${if (blowUp) 10 else 1},"source_fp":"$fp"""")
     }
     dst.toString
   }

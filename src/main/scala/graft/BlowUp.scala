@@ -23,7 +23,9 @@ import org.apache.spark.sql.SparkSession
 object BlowUp {
   /** args: [sfDir] [flavor] — flavor ∈ `10` (default: the full 10×
     * blow-up), `rel100` (relational-only 100× decade tier), `skew`
-    * (hot-key variant of the 10× tier). */
+    * (hot-key variant of the 10× tier), `skew1x` (the same hot-key
+    * construction planted directly on the source fixture — the small
+    * tier where the quadratic dedup oracles stay affordable). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val flavor = if (args.length > 1) args(1) else "10"
@@ -39,6 +41,7 @@ object BlowUp {
       case "10"     => BenchData.ensureBlowUp(spark, sfDir, factor = 10)
       case "rel100" => BenchData.ensureRelationalBlowUp(spark, sfDir, factor = 100)
       case "skew"   => BenchData.ensureSkewed(spark, sfDir)
+      case "skew1x" => BenchData.ensureSkewed(spark, sfDir, blowUp = false)
       case other    => sys.error(s"unknown blow-up flavor: $other")
     }
     println(s"BLOWUP_DIR=$dir")

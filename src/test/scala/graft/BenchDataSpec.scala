@@ -57,5 +57,37 @@ class BenchDataSpec extends AnyFunSuite with SparkSpec {
       docs.count()
     assert(hotLangShare >= 0.85,
       s"dominant lang must own >=85% of documents, got $hotLangShare")
+    // s2 axes: hot JOIN key on the fact side …
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val hotOrderShare = li.filter(col("l_orderkey") === 1).count().toDouble /
+      li.count()
+    assert(hotOrderShare >= 0.08,
+      s"hot l_orderkey must own ~10% of lineitem, got $hotOrderShare")
+    // … a mega-duplicate cluster (same 60-token body, tiny tails) …
+    val cluster = docs.filter(col("text").startsWith("megadup01 megadup02"))
+    assert(cluster.count() == docs.filter(pmod(col("doc_id"), lit(20)) === 3).count(),
+      "every doc_id % 20 == 3 doc must carry the cluster body")
+    assert(cluster.count() >= 2)
+    // … and a dominant token at ~20% of the whole token stream
+    val tok = docs.select(explode(split(col("text"), " ")).as("t"))
+    val fillShare = tok.filter(col("t") === "zzfiller").count().toDouble /
+      tok.count()
+    assert(fillShare >= 0.15 && fillShare <= 0.25,
+      s"dominant token must carry ~20% of tokens, got $fillShare")
+    // n_chars must track the rewritten text — tx18's fill reads it
+    assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+  }
+
+  test("skew1x plants the identical construction directly on the source fixture") {
+    import org.apache.spark.sql.functions._
+    val dir = BenchData.ensureSkewed(spark, "/root/testdata/sf0.001",
+      blowUp = false)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.count() == base.count(), "skew1x must not change the volume")
+    assert(docs.filter(col("text").startsWith("megadup01")).count() ==
+      base.filter(pmod(col("doc_id"), lit(20)) === 3).count())
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(li.filter(col("l_orderkey") === 1).count().toDouble / li.count() >= 0.08)
   }
 }
