@@ -145,6 +145,44 @@ object BenchData {
   private val SkewVersion = "s2"
 
   /**
+   * Corpus-only blow-up at an arbitrary factor — the 100× TEXT/
+   * SIMILARITY decade tier (~500k documents / ~200k vectors from
+   * sf0.1), the mirror of [[ensureRelationalBlowUp]]: only documents
+   * and embeddings scale (the same honest construction as the 10×
+   * tier — token-suffixed copies with disjoint shingle sets, jittered
+   * decorrelated vectors), the relational tables copy VERBATIM so
+   * every oracle view still binds. The tier exists to extend the
+   * sub-quadratic dedup/ANN scaling curves (banded LSH, DPP-pruned
+   * IVF, grouped-band Hamming) over TWO decades instead of one —
+   * quadratic terms that hide inside a single decade's constant
+   * cannot hide across two.
+   */
+  def ensureCorpusBlowUp(spark: SparkSession, srcDir: String,
+                         factor: Int): String = {
+    val fp = sourceFingerprint(srcDir)
+    val tmpRoot = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dst = new java.io.File(tmpRoot, s"graft-blowup-corpus-${factor}x-${srcTag(srcDir)}-$Version-$fp")
+    val marker = new java.io.File(dst, "_BLOWUP_COMPLETE")
+    if (!marker.exists()) {
+      dst.mkdirs()
+      writeDocuments(spark, srcDir, dst.toString, factor)
+      writeEmbeddings(spark, srcDir, dst.toString, factor)
+      (dims ++ Seq("lineitem", "orders", "customer")).foreach { t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      // events round-trips through the layout-adaptive loader like the
+      // relational blow-up does (a verbatim file copy would be fine
+      // today; the loader keeps this robust to a fixture layout flip)
+      graft.sources.Tables.eventsRaw(spark, srcDir)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      finishDir(spark, dst, tmpRoot, s"graft-blowup-corpus-${factor}x-${srcTag(srcDir)}-",
+        s""""version":"$Version","flavor":"corpus","factor":$factor,"source_fp":"$fp"""")
+    }
+    dst.toString
+  }
+
+  /**
    * Skew variant: the same data volume with one genuinely HOT key
    * planted per axis, so the straggler-free claims AND the operators
    * that exist specifically for skew (salted join, LSH bucket cap,

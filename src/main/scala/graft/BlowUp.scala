@@ -42,6 +42,7 @@ object BlowUp {
       case "rel100" => BenchData.ensureRelationalBlowUp(spark, sfDir, factor = 100)
       case "skew"   => BenchData.ensureSkewed(spark, sfDir)
       case "skew1x" => BenchData.ensureSkewed(spark, sfDir, blowUp = false)
+      case "corpus100" => BenchData.ensureCorpusBlowUp(spark, sfDir, factor = 100)
       case other    => sys.error(s"unknown blow-up flavor: $other")
     }
     println(s"BLOWUP_DIR=$dir")

@@ -22,13 +22,21 @@ object SparkEntry {
     * Data-dependent oracles (fitted-literal SQL, e.g. sim05's centroids)
     * render only when [[graft.queries.OracleContext]] carries a session
     * — Verify sets it; without it they stay rows-only. */
-  def oracleSql: Map[String, String] =
-    Registry.all.flatMap { q =>
-      q.oracle
-        .orElse(for {
-          (s, d) <- graft.queries.OracleContext.current
-          gen <- q.oracleGen
-        } yield gen(s, d))
-        .map(q.name -> _)
-    }.toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(Set.empty)
+
+  /** [[oracleSql]] restricted to `names` (empty = all) BEFORE any
+    * rendering happens: data-dependent generators pay corpus-sized
+    * collects at the blow-up tiers, so a name-restricted Verify must
+    * not render oracles it will never dump. */
+  def oracleSqlFor(names: Set[String]): Map[String, String] =
+    Registry.all
+      .filter(q => names.isEmpty || names(q.name))
+      .flatMap { q =>
+        q.oracle
+          .orElse(for {
+            (s, d) <- graft.queries.OracleContext.current
+            gen <- q.oracleGen
+          } yield gen(s, d))
+          .map(q.name -> _)
+      }.toMap
 }

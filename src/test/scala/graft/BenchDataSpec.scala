@@ -78,6 +78,23 @@ class BenchDataSpec extends AnyFunSuite with SparkSpec {
     assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
   }
 
+  test("ensureCorpusBlowUp scales only documents/embeddings; relational verbatim") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val dir = BenchData.ensureCorpusBlowUp(spark, src, factor = 3)
+    def n(d: String, t: String): Long = spark.read.parquet(s"$d/$t.parquet").count()
+    assert(n(dir, "documents") == 3 * n(src, "documents"))
+    assert(n(dir, "embeddings") == 3 * n(src, "embeddings"))
+    for (t <- Seq("lineitem", "orders", "customer", "events", "nation"))
+      assert(n(dir, t) == n(src, t), s"$t must copy verbatim")
+    // the copies must not manufacture fake near-dups: every replica's
+    // text is token-suffixed, so doc_ids are disjoint and the replica
+    // population is exactly factor × the base population per base id
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.select("doc_id").distinct().count() == docs.count(),
+      "replica doc_ids must be unique")
+  }
+
   test("skew1x plants the identical construction directly on the source fixture") {
     import org.apache.spark.sql.functions._
     val dir = BenchData.ensureSkewed(spark, "/root/testdata/sf0.001",

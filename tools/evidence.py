@@ -17,9 +17,12 @@ hide the others' evidence):
      subset minus decode-literal media oracles and the one 6M-row
      row-preserving compare — wall-clock, not correctness, exclusions;
      fixture identity from the blow-up marker is embedded)
-  5. The deep tiers (--skip-deep, implied by --skip-10x):
-     100x relational decade gate (INCLUDE_100X) and the hot-key skew
-     gate (INCLUDE_SKEW), each on its own derived fixture
+  5. The deep tiers (--skip-deep, implied by --skip-10x): the 100x
+     relational decade gate (INCLUDE_100X), the hot-key skew gates at
+     10x volume (INCLUDE_SKEW) and at sf0.01 where the quadratic
+     dedup oracles stay affordable (INCLUDE_SKEW_SMALL), and the 100x
+     corpus decade gate (INCLUDE_CORPUS100) — each on its own derived
+     fixture
   6. graft.Bench (interleaved sampling; SPARK_GRAFT_DEEP_TIERS=1 adds
      the 100x and skew timing points; bench_out.json is inlined)
 
@@ -142,6 +145,28 @@ INCLUDE_100X = {
     # coverage gaps are a day-grain distinct + metadata-sized window —
     # 100x events stress the distinct exchange feeding it
     "dq20_coverage_gaps",
+}
+
+# The 100x CORPUS decade tier (r14): documents/embeddings blown up
+# 100x from sf0.1 (~500k docs / 200k vectors), relational tables
+# verbatim — the text/similarity mirror of INCLUDE_100X, so the
+# dedup/ANN/text operators get a second decade of oracle-gated
+# evidence. The gated set is every corpus-shaped query whose oracle
+# stays linear at 500k docs (measured: the full set's DuckDB replay
+# is ~17 s). dq16 and tx40 gate EMPTY here by construction — the
+# uniform blow-up suffixes every replicated token, so no token
+# reaches the n/64 heavy-hitter bar and no boilerplate segment
+# recurs — an exact 0-row match on both sides; their row-bearing
+# gates live at the skew tiers (dq16: planted zzfiller) and the base
+# fixtures (tx40). The sub-quadratic paths whose oracles CANNOT scale
+# (tx06 banding, tx22's probe, sim02/sim05 ANN, mm09 grouped-band
+# Hamming) are TIMED at this tier by the bench instead
+# (queries_corpus100 / scaling_corpus100_vs_10x).
+INCLUDE_CORPUS100 = {
+    "tx18_mixture_fill", "tx21_stratified_sample", "tx27_ngram_stats",
+    "tx33_search_rank", "tx36_bm25_rank", "tx39_collocations",
+    "tx40_source_boilerplate", "tx42_langid_eval", "dq16_heavy_hitters",
+    "sim14_kmeans_step",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
@@ -287,6 +312,8 @@ def main():
                      names & INCLUDE_SKEW)
         derived_gate("skew0.01", "skew1x", "/tmp/evidence_skew001",
                      names & INCLUDE_SKEW_SMALL, src="/root/testdata/sf0.01")
+        derived_gate("corpus100", "corpus100", "/tmp/evidence_corpus100",
+                     names & INCLUDE_CORPUS100)
 
     if not skip_bench:
         t0 = time.time()
