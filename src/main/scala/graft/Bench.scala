@@ -31,10 +31,13 @@ import graft.queries.Registry
  *    full per-sample (time, loadavg, foreign) series lands in
  *    bench_out.json — a contaminated sample is visibly contaminated
  *    instead of masquerading as a regression;
- *  - a short re-gate runs between sample rounds, keyed on a live
- *    foreign-CPU probe (not loadavg, which the bench itself inflates),
- *    so a burst that arrives mid-run delays the next round rather
- *    than polluting it.
+ *  - a re-gate runs between sample rounds, keyed on the PREVIOUS
+ *    round's own measured per-sample foreign fraction (the integrated
+ *    signal — a lone short probe demonstrably slips between load
+ *    waves) with a live-probe fallback, so a burst that arrives
+ *    mid-run delays the next round rather than polluting it;
+ *    `regate_fired`/`regate_waited_sec` in the artifact prove whether
+ *    and for how long it engaged.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -119,6 +122,7 @@ object Bench {
     // sub-second medians swing ±45%).
     val samples = 5
     var regateWaited = 0
+    var regateFired = 0
 
     /** One timed run, or NaN on failure — a failed sample must not
       * masquerade as a fast run. */
@@ -143,27 +147,41 @@ object Bench {
         scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
       var round = 0
       while (round < rounds) {
-        // Re-gate between rounds on a LIVE foreign-CPU probe: >10% of
-        // the machine busy with someone else's work means the next
-        // round would be dirty — wait (capped, so a genuinely shared
-        // box still benches; the per-sample foreign column then tells
-        // the reader which samples to distrust). When the PREVIOUS
-        // round's own samples already measured sustained foreign load,
-        // the cap triples: the burst is demonstrably not transient and
-        // r12's artifact showed a 300 ms probe alone slips between its
-        // waves (regate_waited 0 while loadavg climbed 1.5 → 14.5).
+        // Re-gate between rounds. Two triggers:
+        //  - the PREVIOUS round's own samples measured sustained
+        //    foreign load (mean per-sample foreign fraction > 5%) —
+        //    this is the authoritative signal: it integrates over the
+        //    whole round, and both r12 and r13 artifacts showed a lone
+        //    300 ms probe slipping between load waves (regate_waited 0
+        //    while loadavg climbed 1.5 → 20). When it trips, demand
+        //    TWO consecutive clean 1 s probes before the next round,
+        //    billing the entire pause (probes included) to
+        //    regate_waited so the artifact proves the re-gate fired;
+        //  - otherwise the cheap live probe, capped short, as before.
+        // Both paths cap, so a genuinely shared box still benches and
+        // the per-sample foreign column marks what to distrust.
         if (round > 0) {
           val lastForeign = acc.values.flatMap(_.lastOption).map(_._3)
             .filter(_ >= 0)
           val lastMean =
             if (lastForeign.isEmpty) 0.0
             else lastForeign.sum / lastForeign.size
-          val cap = if (lastMean > 0.10) 60 else 20
-          var waited = 0.0
-          while (foreignNow() > 0.10 && waited < cap) {
-            Thread.sleep(4700); waited += 5
+          val t0 = System.nanoTime()
+          if (lastMean > 0.05) {
+            regateFired += 1
+            var clean = 0
+            def waitedSec = (System.nanoTime() - t0) / 1e9
+            while (clean < 2 && waitedSec < 90) {
+              if (foreignNow(1000) <= 0.10) clean += 1
+              else { clean = 0; Thread.sleep(3000) }
+            }
+          } else {
+            var waited = 0.0
+            while (foreignNow() > 0.10 && waited < 20) {
+              Thread.sleep(4700); waited += 5
+            }
           }
-          regateWaited += waited.toInt
+          regateWaited += ((System.nanoTime() - t0) / 1e9).toInt
         }
         qs.foreach { q =>
           // cold-cost mode (corpus tier): flush every operator-level
@@ -448,7 +466,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"regate_fired":$regateFired,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     val line = s"""{$core,"detail":"bench_out.json"}"""
     val deepJson =
       if (!deepTiers) ""
