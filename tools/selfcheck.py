@@ -9,7 +9,7 @@ after the parquet tables in sfDir, and compares: row count, column-name
 set, and cell-exact values after sorting columns by name and rows by all
 columns. Exit code 1 if any oracle-backed query mismatches.
 """
-import sys, os, json, math
+import sys, os, json, math, time
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -86,6 +86,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
             continue
         checked += 1
+        t0 = time.time()
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
@@ -144,7 +145,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: first cell mismatch col={c} row={ri} spark={x!r} duck={y!r}")
             failures += 1
         else:
-            print(f"  OK {name}: {len(s)} rows")
+            # per-oracle wall time: the number that decides which tiers
+            # a query's gate can afford (exclusions are cost-model calls)
+            print(f"  OK {name}: {len(s)} rows ({time.time() - t0:.1f}s)")
     print(f"\n{checked} oracle-backed checked, {failures} failures")
     return 1 if failures else 0
 
