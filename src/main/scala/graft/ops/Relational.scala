@@ -194,6 +194,41 @@ object Relational {
   }
 
   /**
+   * As-of join with a STALENESS BOUND — the feature-store read
+   * contract: each left row takes the latest right row at-or-before
+   * its order position, like [[asOfJoin]], but a match more than
+   * `tolerance` behind in the order dimension is DISCARDED (values
+   * null) instead of served stale. Left rows are always preserved.
+   *
+   * Same single-exchange plan as [[asOfJoin]] (union + one window
+   * pass): the matched right-side order value rides along as one
+   * extra filled column, and freshness is a map-side `when` over it —
+   * the bound adds ZERO exchanges. The order columns must be numeric
+   * (the bound is `rightOrder >= leftOrder - tolerance`, inclusive).
+   */
+  def asOfJoinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftOrder: String, rightOrder: String,
+                     rightValues: Seq[String], tolerance: Long): DataFrame = {
+    val l = left.withColumn("__ord", col(leftOrder)).withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightOrder).as("__ord"), lit(0).as("__side"),
+        col(rightOrder).as("__rord")) ++ rightValues.map(col): _*)
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = ("__rord" +: rightValues).foldLeft(combined) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    val fresh = col("__rord").isNotNull &&
+      col("__rord") >= col("__ord") - lit(tolerance)
+    val bounded = rightValues.foldLeft(filled) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v)))
+    }
+    bounded.filter(col("__side") === 1).drop("__ord", "__side", "__rord")
+  }
+
+  /**
    * Type-2 history build (SCD2) from a change log: collapse each key's
    * consecutive repeats of `state` and effective-date the survivors as
    * `[valid_from, valid_to)` intervals (`valid_to` NULL = current row).

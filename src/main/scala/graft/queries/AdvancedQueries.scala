@@ -57,6 +57,43 @@ object AdvancedQueries {
       .select("user_id", "event_id", "purchase_value", "click_event_id", "click_value")
   }
 
+  // ---- q51: as-of join with a STALENESS BOUND — the feature-store
+  //      read contract on q19's exact shape: a purchase still takes
+  //      the user's latest prior click, but only if that click is
+  //      within 5,000 event-ids; anything older is DISCARDED (nulls),
+  //      not served stale. Same one-exchange union+window plan as q19
+  //      — the bound is a map-side `when` over the matched order
+  //      value riding the same window fill, zero extra exchanges.
+  //      Oracle: DuckDB's ASOF LEFT JOIN with the staleness CASE
+  //      applied on top — the engine must agree cell-exactly on which
+  //      matches survive the bound. ----
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    Relational.asOfJoinWithin(purchases, clicks,
+      keys = Seq("user_id"), leftOrder = "event_id",
+      rightOrder = "click_event_id",
+      rightValues = Seq("click_event_id", "click_value"), tolerance = 5000L)
+      .select("user_id", "event_id", "purchase_value", "click_event_id", "click_value")
+  }
+
+  private val q51Oracle =
+    """SELECT user_id, event_id, purchase_value,
+      |  CASE WHEN click_event_id >= event_id - 5000
+      |    THEN click_event_id END AS click_event_id,
+      |  CASE WHEN click_event_id >= event_id - 5000
+      |    THEN click_value END AS click_value
+      |FROM (
+      |  SELECT p.user_id, p.event_id, p.value AS purchase_value,
+      |    c.event_id AS click_event_id, c.value AS click_value
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND p.event_id >= c.event_id) t""".stripMargin
+
   // ---- q20: salted skew join ≡ plain equi-join (the oracle IS the
   //      plain join — salting must not change semantics) ----
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -1369,5 +1406,6 @@ object AdvancedQueries {
     GraftQuery("q49_session_funnel", q49, Some(q49Oracle), headline = true),
     // q50 carries q19's oracle verbatim: same as-of semantics, custom
     // Catalyst whole-operator path instead of the inline composition
-    GraftQuery("q50_asof_plan", q50, Some(q19Oracle)))
+    GraftQuery("q50_asof_plan", q50, Some(q19Oracle)),
+    GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)))
 }

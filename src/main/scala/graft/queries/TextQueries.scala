@@ -1765,6 +1765,93 @@ object TextQueries {
        |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
   }
 
+  // ---- tx43: char-mass repetition signals — the other two Gopher/
+  //      MassiveText repetition filters, complementing tx11's
+  //      distinct-vs-total ratio with CHARACTER-WEIGHTED coverage:
+  //      (a) the share of a document's characters covered by its
+  //      single most-repeated bigram (mode by count, ties broken on
+  //      the gram — a run of one repeated phrase scores high even
+  //      when the rest of the doc is unique), and (b) the share
+  //      covered by ALL 5-grams occurring at least twice (long-span
+  //      templating). Both floor-scaled to ppm on integer math and
+  //      capped at 1e6 (overlapping grams can nominally exceed the
+  //      doc's length). Plan: one explode per gram width into a
+  //      (doc_id, gram) count with map-side combine — keys are
+  //      doc-scoped so no key can ever be hot — then a per-doc
+  //      min(struct) mode pick / conditional sum, and a per-lang
+  //      roll-up. Linear in corpus size, no window, no driver state:
+  //      the shape survives 100 TB unchanged. ----
+  private def tx43(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("total_chars"), col("text"))
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    // deterministic mode: highest count, then lexicographically
+    // smallest gram — min over (−cnt, gram) struct ordering
+    val top2 = gramCounts(2)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("neg"), col("gram").as("gram"))).as("m"))
+      .select(col("doc_id"),
+        ((-col("m.neg")) * length(col("m.gram")).cast("long")).as("cov2"))
+    val dup5 = gramCounts(5)
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") >= 2,
+        col("cnt") * length(col("gram")).cast("long"))).as("cov5"))
+    docs.drop("text")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("lang"),
+        least(lit(1000000L),
+          expr("coalesce(cov2, 0L) * 1000000L div total_chars")).as("top2_ppm"),
+        least(lit(1000000L),
+          expr("coalesce(cov5, 0L) * 1000000L div total_chars")).as("dup5_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top2_ppm") > 200000, 1L).otherwise(0L)).as("flagged_top2"),
+        sum(when(col("dup5_ppm") > 300000, 1L).otherwise(0L)).as("flagged_dup5"),
+        expr("sum(top2_ppm) div count(1)").as("avg_top2_ppm"),
+        expr("sum(dup5_ppm) div count(1)").as("avg_dup5_ppm"))
+  }
+
+  private val tx43Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang, length(text) AS total_chars,
+      |    str_split(text, ' ') AS ts
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS gram FROM d),
+      |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |t2 AS (
+      |  SELECT doc_id, cnt * length(gram) AS cov2 FROM (
+      |    SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+      |    FROM c2) z
+      |  WHERE rn = 1),
+      |g5 AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(ts) - 3),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+      |      || ' ' || ts[i+4])) AS gram FROM d),
+      |c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+      |u5 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END) AS BIGINT) AS cov5
+      |  FROM c5 GROUP BY 1),
+      |p AS (
+      |  SELECT d.lang,
+      |    LEAST(1000000, COALESCE(t2.cov2, 0) * 1000000 // d.total_chars) AS top2_ppm,
+      |    LEAST(1000000, COALESCE(u5.cov5, 0) * 1000000 // d.total_chars) AS dup5_ppm
+      |  FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN u5 USING (doc_id))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN top2_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_top2,
+      |  CAST(SUM(CASE WHEN dup5_ppm > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_dup5,
+      |  CAST(SUM(top2_ppm) AS BIGINT) // COUNT(*) AS avg_top2_ppm,
+      |  CAST(SUM(dup5_ppm) AS BIGINT) // COUNT(*) AS avg_dup5_ppm
+      |FROM p GROUP BY lang""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1814,6 +1901,7 @@ object TextQueries {
     GraftQuery("tx40_source_boilerplate", tx40, Some(tx40Oracle)),
     GraftQuery("tx41_dedup_eval", tx41, None,
       oracleGen = Some(tx41OracleGen)),
-    GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)))
+    GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)),
+    GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)))
 
 }

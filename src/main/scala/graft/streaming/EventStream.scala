@@ -48,9 +48,20 @@ object EventStream {
     * fixtures) — see [[graft.sources.Tables.events]]. Both normalize to
     * the same microsecond `TimestampType` column. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = streamableDir(path)
-    val fileSchema = spark.read.parquet(dir).schema
+    // Same fallback discipline as Tables.eventsRaw (TablesSpec pins
+    // it): the legacy-nanos conf is session-global by Spark's design,
+    // so it is touched ONLY when the footer actually carries
+    // TIMESTAMP(NANOS) — which the plain schema probe rejects —
+    // never unconditionally on current MICROS fixtures.
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case first: Throwable =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try spark.read.parquet(dir).schema
+          catch { case _: Throwable => throw first }
+      }
     val tsExpr = fileSchema("ts").dataType match {
       case LongType => "timestamp_micros(ts div 1000) AS ts"
       case _        => "cast(ts AS timestamp) AS ts"

@@ -75,6 +75,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       ("u2", 5, None, None)))           // no quote yet → left join nulls
   }
 
+  test("asOfJoinWithin nulls matches older than the tolerance, inclusive at the bound") {
+    val trades = Seq(("u1", 10, 100.0), ("u1", 20, 200.0), ("u2", 5, 50.0))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(("u1", 4, 1.0), ("u1", 15, 2.0), ("u2", 9, 9.0))
+      .toDF("k", "qt", "quote")
+    val out = Relational.asOfJoinWithin(trades, quotes, Seq("k"), "t", "qt",
+        Seq("qt", "quote"), tolerance = 5L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("t"),
+        Option(r.getAs[Any]("qt")), Option(r.getAs[Any]("quote"))))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      // latest quote ≤ 10 is qt=4, distance 6 > 5 → DISCARDED, row kept
+      ("u1", 10, None, None),
+      // qt=15 at distance 5 — the bound is inclusive → kept
+      ("u1", 20, Some(15), Some(2.0)),
+      // no quote at-or-before 5 at all → plain left-join nulls
+      ("u2", 5, None, None)))
+    // tolerance = ∞ degenerates to the plain as-of join
+    val plain = Relational.asOfJoin(trades, quotes, Seq("k"), "t", "qt",
+      Seq("qt", "quote")).collect().map(_.toSeq).toSet
+    val wide = Relational.asOfJoinWithin(trades, quotes, Seq("k"), "t", "qt",
+      Seq("qt", "quote"), tolerance = Long.MaxValue).collect().map(_.toSeq).toSet
+    assert(wide == plain)
+  }
+
   test("saltedEquiJoin result equals the plain equi-join") {
     val left = Seq.tabulate(100)(i => ("hot", i)) ++ Seq(("cold", 1), ("cold", 2))
     val l = left.toDF("k", "v")

@@ -28,4 +28,20 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
         s"eventsRaw reached the nanos fallback on $dir and mutated the session")
     }
   }
+
+  test("streaming events loader is equally fallback-free on current fixtures") {
+    // EventStream.readEvents used to set the legacy-nanos conf
+    // UNCONDITIONALLY before probing the footer — caught by the batch
+    // pin above when the whole suite shares one session. Pin the
+    // streaming loader separately so the discipline can't regress on
+    // either path.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val df = graft.streaming.EventStream.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(spark.conf.get(key, "false") == "false",
+      "readEvents mutated the session on a MICROS fixture")
+  }
 }

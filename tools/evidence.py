@@ -156,6 +156,9 @@ INCLUDE_CORPUS100 = {
     "tx33_search_rank", "tx36_bm25_rank", "tx39_collocations",
     "tx40_source_boilerplate", "tx42_langid_eval", "dq16_heavy_hitters",
     "sim14_kmeans_step",
+    # r14 addition — char-mass repetition signals; measured 6.2 s
+    # oracle at 500k docs (doc-scoped keys, linear by construction)
+    "tx43_char_repetition",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
