@@ -189,6 +189,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p2.contains("SortMergeJoin"), s"no shuffle join at bench scale:\n$p2")
   }
 
+  test("tx43: repetition counts combine map-side; no window, no raw-text shuffle") {
+    val p = plan("tx43_char_repetition")
+    // the exploded (doc_id, gram) stream must pre-aggregate before the
+    // wire — doc-scoped keys, partial counts, map-side combine
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    // the deterministic mode pick is a min(struct) aggregate, never a
+    // per-doc row_number window (one-task-per-doc at the extreme)
+    assert(!p.contains("Window"), s"no window may appear:\n$p")
+    // the document text itself must not be a shuffle output column —
+    // only grams and counts cross the wire
+    assert(!raw"Exchange hashpartitioning[^\n]*\btext\b".r
+      .findFirstIn(p).isDefined, s"raw text must not shuffle:\n$p")
+  }
+
   test("tx27: gram counts combine map-side; top-k never sorts the gram table globally") {
     val p = plan("tx27_ngram_stats")
     // the explode multiplies the corpus ~250×; what crosses the wire
@@ -263,6 +277,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!off.contains("might_contain"),
       "A/B control: bloom off must remove the filter")
+  }
+
+  test("q51: the staleness bound costs zero exchanges over the plain as-of") {
+    // asOfJoinWithin's claim: the matched right-order value rides the
+    // SAME window fill as the value columns, and freshness is a
+    // map-side when() — so the bounded plan must show exactly as many
+    // exchanges and sorts as q19's unbounded as-of on the same inputs.
+    def counts(name: String): (Int, Int) = {
+      val p = plan(name)
+      ("Exchange hashpartitioning".r.findAllIn(p).size,
+        raw"\bSort \[".r.findAllIn(p).size)
+    }
+    assert(counts("q51_asof_tolerance") == counts("q19_asof_join"),
+      "the tolerance bound must not add an exchange or a sort")
   }
 
   test("q36: one exchange and one sort serve both SCD2 window passes") {
