@@ -12,9 +12,12 @@ package graft
   * query's own self-contained cost. */
 object Caches {
   def releaseAll(): Unit = {
-    graft.dedup.Dedup.releaseCaches()
+    // every PlanCache in the process, via the self-registration sweep
+    // (operator AND query-module caches — a hand-kept list here once
+    // missed five of the nine instances)
+    graft.util.PlanCache.releaseAll()
+    // Similarity predates PlanCache and keeps its own LRU + memoized
+    // quantizer/codebook state — its hook flushes those
     graft.similarity.Similarity.releaseCaches()
-    graft.multimodal.Multimodal.releaseCaches()
-    graft.ops.Relational.releaseCaches()
   }
 }

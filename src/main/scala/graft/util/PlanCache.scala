@@ -23,7 +23,22 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
  *    sessions in one JVM, and a frame from a stopped session is dead;
  *  - explicitly flushable via [[clear]] for long multi-corpus sessions.
  */
+object PlanCache {
+  // every instance self-registers so a process-wide flush reaches
+  // caches the flusher has never heard of (new query modules included)
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[PlanCache]()
+  private[util] def register(c: PlanCache): Unit = { instances.add(c); () }
+
+  /** Flush EVERY PlanCache in the process — the bench's cold-cost mode
+    * and long multi-corpus sessions need the full sweep, not a
+    * hand-maintained list that silently misses a module's cache. */
+  def releaseAll(): Unit = instances.forEach(_.clear())
+}
+
 final class PlanCache(val maxEntries: Int) {
+
+  PlanCache.register(this)
 
   // access-ordered LinkedHashMap = LRU; eviction unpersists so the
   // executor-side blocks go with the map entry, not at session death

@@ -157,6 +157,25 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.cachedBaseCount == 0)
   }
 
+  test("Caches.releaseAll flushes every operator-level plan cache") {
+    // the bench's cold-cost mode depends on this being a FULL flush —
+    // a straggler cache keeps multi-GB persisted frames crowding the
+    // next query's execution memory (measured 7× inflation at the
+    // corpus-100× tier)
+    // delta-based: earlier suites in the same JVM may hold their own
+    // (non-PlanCache) persisted frames; this pin owns only what THIS
+    // test creates
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    assert(Dedup.cachedBaseCount >= 1)
+    graft.Caches.releaseAll()
+    assert(Dedup.cachedBaseCount == 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"releaseAll must leave no persisted RDD behind, leaked ids: $leaked")
+  }
+
   test("SimHash: near-identical docs have small Hamming distance, unrelated large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
