@@ -253,9 +253,6 @@ object Bench {
     val tenxQueries = Seq("sim01_ann_cosine", "sim02_lsh_ann", "sim05_ivf_ann",
       "tx02_text_quality", "tx06_near_dup_pairs", "tx14_corpus_prep",
       "mm02_media_ann", "mm09_image_phash_dedup",
-      // r14: timed here so the corpus-100× tier below gets a one-decade
-      // denominator for the incremental probe's scaling ratio
-      "tx22_incremental_neardup",
       // relational decade point: key-shifted lineitem/orders/customer/
       // events replicas (q26 carries the steepest sf0.01→sf0.1 ratio)
       "q01_pricing_summary", "q15_latest_events", "q26_shipping_priority",
