@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-source breadth-first search — minimum hop distance from a seed
+ * set, as iterative relational steps. Distances are BIGINT hop counts,
+ * so the result after a fixed number of rounds is exactly comparable on
+ * any engine, any partitioning.
+ *
+ * Scale shape: the textbook *frontier* algorithm — each round joins
+ * only the nodes discovered in the PREVIOUS round against the edge
+ * list, anti-joins the already-settled set, and appends the newcomers
+ * at distance `r`. Work per round is proportional to the frontier's
+ * out-edge count, not to the graph, and the settled set only ever
+ * grows by appends (no per-round rewrite of the full distance table).
+ * The edge list is pre-partitioned by `src` and persisted once, so
+ * every round's expansion join reuses the cached partitioning; the
+ * frontier and settled frames are localCheckpoint'ed per round — each
+ * is the fruit of a just-computed shuffle and the lineage would
+ * otherwise double every round (the PageRank discipline, but per-round
+ * because BFS lineage compounds through BOTH accumulators).
+ *
+ * The oracle side is deliberately the NAIVE fold (`oracleIterCtes`):
+ * re-expand the entire reached set each round and take per-node MIN —
+ * semantically identical to the frontier algorithm after the same
+ * number of rounds (a node first reached at hop `r` keeps distance `r`
+ * under min-fold), so the efficient plan is gated by the obviously-
+ * correct one.
+ */
+object Bfs {
+
+  /**
+   * Hop distances from `seeds` (a frame with a BIGINT `node` column)
+   * reachable within `rounds` hops over directed `edges (src, dst)`.
+   * Returns (node, dist) for reached nodes only, dist in [0, rounds].
+   */
+  def run(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val bySrc = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(bySrc, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    bySrc.unpersist()
+    settled
+  }
+
+  /** The unrolled min-fold rounds of the same search in portable SQL.
+    * The caller's WITH chain must define `edges (src, dst)` and
+    * `d0 (node, dist)` (the distinct seed set at distance 0); the
+    * final CTE is `d<rounds>`. */
+  def oracleIterCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${i - 1} d JOIN edges e ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+}

@@ -460,4 +460,39 @@ object Relational {
           .drop(s"__offset_$n", s"__cum_in_$n")
     }.drop("__pid")
   }
+
+  /**
+   * Per-group 2-D skyline (Pareto frontier, both dimensions maximized):
+   * keeps every row not dominated within its group, where `q` dominates
+   * `p` iff `q.x >= p.x && q.y >= p.y` with at least one strict. Rows
+   * tied on BOTH dimensions dominate nothing and survive together —
+   * the exact `NOT EXISTS` dominance semantics.
+   *
+   * Shape: the quadratic pairwise formulation is replaced by the
+   * classic sort-scan identity — a point is dominated iff the best `y`
+   * among strictly-greater `x` values reaches its own `y`, or a point
+   * sharing its `x` strictly beats its `y`. Both bounds come from ONE
+   * aggregate to distinct `(group, x)` (map-side combine, so the full
+   * input never feeds the sort) and ONE window over that reduced frame
+   * (each row there is a distinct `x`, so `rowsBetween(-∞, -1)` under
+   * `x DESC` is exactly "all strictly greater x"); survivors are
+   * recovered with a co-partitioned join back on `(group, x)`. No
+   * cross join, no per-group single-task window over raw rows, no
+   * driver collect — the only wide frame ever sorted is the distinct-x
+   * reduction.
+   *
+   * `x` and `y` must be exactly-comparable (integer/decimal) columns;
+   * callers scale money to cents first (see [[graft.ops.Exact]]).
+   */
+  def skylinePerGroup(pts: DataFrame, group: String, x: String,
+      y: String): DataFrame = {
+    val best = pts.groupBy(col(group), col(x)).agg(max(col(y)).as("__ymax"))
+    val w = Window.partitionBy(col(group)).orderBy(col(x).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = best.withColumn("__pref", max(col("__ymax")).over(w))
+    pts.join(bounds, Seq(group, x))
+      .filter(!(coalesce(col("__pref") >= col(y), lit(false)) ||
+        col("__ymax") > col(y)))
+      .drop("__ymax", "__pref")
+  }
 }

@@ -1373,6 +1373,92 @@ object AdvancedQueries {
       |  CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
       |FROM staged GROUP BY 1""".stripMargin
 
+  // ---- q52: per-nation 2-D skyline (Pareto frontier) — the classic
+  //      dominance query: customers not beaten on BOTH account balance
+  //      and lifetime spend by any compatriot. The engine side is
+  //      [[Relational.skylinePerGroup]]'s sort-scan identity (one
+  //      distinct-x aggregate + one window over the reduced frame +
+  //      one co-partitioned join back — never the quadratic pairwise
+  //      plan); the oracle is the textbook NOT EXISTS dominance
+  //      predicate, so the O(n log n) plan is gated by the O(n²)
+  //      definition. Money is scaled to integer cents (Exact.dec)
+  //      so dominance comparisons and the gate are exact. ----
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("spend_cents"))
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_custkey").as("custkey"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .join(spend, col("custkey") === col("o_custkey"))
+      .drop("o_custkey")
+    Relational.skylinePerGroup(pts, "nationkey", "bal_cents", "spend_cents")
+  }
+
+  private val q52Oracle =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |      AS spend_cents
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+      |    s.spend_cents
+      |  FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey)
+      |SELECT nationkey, custkey, bal_cents, spend_cents FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.nationkey = p.nationkey
+      |    AND q.bal_cents >= p.bal_cents AND q.spend_cents >= p.spend_cents
+      |    AND (q.bal_cents > p.bal_cents OR q.spend_cents > p.spend_cents))"""
+      .stripMargin
+
+  // ---- q53: multi-source BFS — minimum hop distance from one
+  //      nation's customers over the q43 purchase graph, within 4
+  //      hops. The engine runs the frontier algorithm (per-round work
+  //      proportional to the frontier, settled set append-only,
+  //      [[graft.graph.Bfs]]); the oracle re-expands the ENTIRE
+  //      reached set each round and min-folds — naive but obviously
+  //      correct, and identical after the same round count. Seeds are
+  //      all nation-0 customers (order-less ones stay isolated at
+  //      distance 0 on both sides). ----
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    val edges = pairs
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.graph.Bfs.run(edges, seeds, rounds = 4).select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("kind"),
+      expr("node div 2").as("key"),
+      col("dist"))
+  }
+
+  private val q53Oracle =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+       |d0 AS (
+       |  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_nationkey = 0),
+       |${graft.graph.Bfs.oracleIterCtes(4)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, dist
+       |FROM d4""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1407,5 +1493,7 @@ object AdvancedQueries {
     // q50 carries q19's oracle verbatim: same as-of semantics, custom
     // Catalyst whole-operator path instead of the inline composition
     GraftQuery("q50_asof_plan", q50, Some(q19Oracle)),
-    GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)))
+    GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)),
+    GraftQuery("q52_skyline", q52, Some(q52Oracle)),
+    GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)))
 }

@@ -275,4 +275,36 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       (3L, "q", 10L, 10L, false),   // id=6 first
       (3L, "p", 10L, -1L, true)))
   }
+
+  test("skylinePerGroup: dominance semantics — ties on one dim lose to a strict beat, ties on both survive together") {
+    val pts = Seq(
+      // group g1: (5,1) and (1,5) are the frontier; (3,3) also (nothing
+      // has both >=3 with a strict beat); (3,2) dominated by (3,3)
+      // (x-tie, strict y); (2,2) dominated by (3,3) strictly
+      ("g1", 5L, 1L, "a"), ("g1", 1L, 5L, "b"), ("g1", 3L, 3L, "c"),
+      ("g1", 3L, 2L, "d"), ("g1", 2L, 2L, "e"),
+      // group g2: two rows tied on BOTH dims — neither dominates, both
+      // stay; (4,4) dominated by both
+      ("g2", 7L, 7L, "p"), ("g2", 7L, 7L, "q"), ("g2", 4L, 4L, "r")
+    ).toDF("g", "x", "y", "tag")
+    val got = Relational.skylinePerGroup(pts, "g", "x", "y")
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "c", "p", "q"))
+  }
+
+  test("skylinePerGroup matches the quadratic NOT-EXISTS definition on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 400).map { i =>
+      (s"g${i % 3}", rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, i.toLong)
+    }
+    val df = pts.toDF("g", "x", "y", "id")
+    val expected = pts.filter { case (g, x, y, _) =>
+      !pts.exists { case (g2, x2, y2, _) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._4).toSet
+    val got = Relational.skylinePerGroup(df, "g", "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
 }
