@@ -976,6 +976,68 @@ object StorageQueries {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- io24: incremental JOIN-view maintenance — the other half of
+  //      io14's story. io14 refreshes an AGGREGATE view from mergeable
+  //      partials; this maintains an ENRICHMENT view (fact ⋈ SCD1 dim)
+  //      under the two deltas a nightly load brings: appended facts and
+  //      updated dim rows. The classic delta-join identity
+  //      (ΔV = ΔF ⋈ D' ∪ F ⋈ ΔD) would rescan historical FACTS for the
+  //      dim half; instead the dim overlay re-enriches from the
+  //      MATERIALIZED VIEW itself — V' = overlay(V_old, ΔD) ∪ (ΔF ⋈ D')
+  //      — so the refresh reads V_old exactly once, map-side, with the
+  //      dim delta riding a broadcast left join (coalesce per dim
+  //      column). Historical facts are never touched; at 100 TB the
+  //      refresh costs one map pass over the view plus the delta's
+  //      enrichment join, vs the full recompute's fact⋈dim shuffle.
+  //      The oracle IS that full recompute (updated dim over all
+  //      facts): incremental ≡ from-scratch is the gated fact. The
+  //      planted SCD1 update re-segments every 10th customer; the
+  //      fact delta is the newest order date's arrivals (discovered
+  //      via a 1-row broadcast cutoff, like io14 — production is
+  //      HANDED its delta as arriving files). ----
+  private[queries] def deltaJoinView(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val tmp = Files.createTempDirectory("graft-io24-").toString
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cut = o.agg(max(col("o_orderdate")).as("cut"))
+    val baseFacts = o.join(broadcast(cut), col("o_orderdate") < col("cut"))
+      .drop("cut", "o_orderdate")
+    val deltaFacts = o.join(broadcast(cut), col("o_orderdate") === col("cut"))
+      .drop("cut", "o_orderdate")
+    val dimOld = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val dimDelta = dimOld.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("d_custkey"),
+        concat(lit("U-"), col("c_mktsegment")).as("d_mktsegment"))
+    val dimNew = dimOld.select(col("c_custkey"),
+      when(col("c_custkey") % 10 === 0, concat(lit("U-"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      col("c_nationkey"))
+    def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+      facts.join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_mktsegment"), col("c_nationkey"))
+    enrich(baseFacts, dimOld).write.mode("overwrite").parquet(tmp)
+    val vOld = spark.read.parquet(tmp)
+    val overlaid = vOld
+      .join(broadcast(dimDelta), col("o_custkey") === col("d_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        coalesce(col("d_mktsegment"), col("c_mktsegment")).as("c_mktsegment"),
+        col("c_nationkey"))
+    (overlaid.unionByName(enrich(deltaFacts, dimNew)), tmp)
+  }
+
+  private def io24(spark: SparkSession, dir: String): DataFrame =
+    deltaJoinView(spark, dir)._1
+
+  private val io24Oracle =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+      |  CASE WHEN c.c_custkey % 10 = 0 THEN 'U-' || c.c_mktsegment
+      |       ELSE c.c_mktsegment END AS c_mktsegment,
+      |  c.c_nationkey
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("io01_partitioned_sink", io01, Some(io01Oracle)),
     GraftQuery("io02_bucketed_join", io02, Some(io02Oracle)),
@@ -1001,5 +1063,6 @@ object StorageQueries {
     GraftQuery("io20_mor_compaction", io20, Some(io18Oracle)),
     GraftQuery("io21_range_layout", io21, Some(io21Oracle)),
     GraftQuery("io22_partition_evolution", io22, Some(io22Oracle)),
-    GraftQuery("io23_snapshot_rollback", io23, Some(io23Oracle)))
+    GraftQuery("io23_snapshot_rollback", io23, Some(io23Oracle)),
+    GraftQuery("io24_delta_join_view", io24, Some(io24Oracle)))
 }

@@ -458,6 +458,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(rawScans == 2, s"expected delta + cutoff scans only, got $rawScans:\n$p")
   }
 
+  test("io24: the join-view refresh overlays the stored view map-side — historical facts are never rescanned") {
+    val (refreshed, store) = StorageQueries.deltaJoinView(spark, dir)
+    val p = refreshed.queryExecution.executedPlan.toString
+    assert(p.contains(store), s"expected the materialized-view scan:\n$p")
+    // the dim overlay must ride a broadcast left join on the view scan;
+    // a sort-merge join would mean the 100 TB view shuffles on every
+    // nightly dim update
+    assert(!p.contains("SortMergeJoin"),
+      s"view-side shuffle join crept into the refresh:\n$p")
+    // historical facts appear ONLY as the delta filter and the 1-row
+    // cutoff probe — a third orders scan means the refresh quietly
+    // recomputed history from raw facts
+    val factScans = "orders.parquet".r.findAllIn(p).size
+    assert(factScans == 2, s"expected delta + cutoff scans only, got $factScans:\n$p")
+  }
+
   test("io15: CDC apply broadcasts the latest-change frame — the base never shuffles") {
     val p = plan("io15_cdc_apply")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast change join:\n$p")
