@@ -1383,11 +1383,18 @@ object AdvancedQueries {
   //      predicate, so the O(n log n) plan is gated by the O(n²)
   //      definition. Money is scaled to integer cents (Exact.dec)
   //      so dominance comparisons and the gate are exact. ----
-  private def q52(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"))
+  /** q52's per-customer spend state: exact decimal sum scaled to
+    * integer cents — fold-order-free, so the streaming twin (st29)
+    * maintains the IDENTICAL aggregate in complete mode. */
+  private[graft] def custSpendCents(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("spend_cents"))
-    val pts = Tables.customer(spark, dir)
+
+  /** q52's read-time skyline view over the (customer, spend) state —
+    * shared verbatim with st29's drained-state report. */
+  private[graft] def customerSkyline(customer: DataFrame,
+      spend: DataFrame): DataFrame = {
+    val pts = customer
       .select(col("c_nationkey").as("nationkey"),
         col("c_custkey").as("custkey"),
         (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
@@ -1396,7 +1403,11 @@ object AdvancedQueries {
     Relational.skylinePerGroup(pts, "nationkey", "bal_cents", "spend_cents")
   }
 
-  private val q52Oracle =
+  private def q52(spark: SparkSession, dir: String): DataFrame =
+    customerSkyline(Tables.customer(spark, dir),
+      custSpendCents(Tables.orders(spark, dir)))
+
+  private[graft] val q52Oracle =
     """WITH spend AS (
       |  SELECT o_custkey,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)

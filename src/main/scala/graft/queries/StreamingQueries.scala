@@ -266,5 +266,13 @@ object StreamingQueries {
     // per-(type, value) counters and the modal pick + share report is
     // the shared modalFromCounts view (grouped top-1 included)
     GraftQuery("st28_stream_modal_values",
-      EventStream.modalValuesReplay, Some(QualityQueries.dq19Oracle)))
+      EventStream.modalValuesReplay, Some(QualityQueries.dq19Oracle)),
+    // st29 carries q52's oracle verbatim: the stream maintains the
+    // per-customer spend cents (exact decimal sum — fold-order-free,
+    // state bounded by customers, not order volume) and the Pareto
+    // frontier is the shared customerSkyline view over the drained
+    // state joined to the static dim
+    GraftQuery("st29_stream_skyline",
+      graft.streaming.SkylineStream.skylineReplay,
+      Some(AdvancedQueries.q52Oracle)))
 }

@@ -99,6 +99,13 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # the peeling operator itself is gated by KCoreSpec's adversarial
     # cascades plus the sf0.01 (11-round) and sf0.1 gates
     "q47_kcore",
+    # q53's oracle is the deliberately NAIVE min-fold (each round
+    # re-expands the ENTIRE reached set against the edge list) —
+    # measured 556 s at this tier's ~12M directed edges vs 1.1 s at
+    # sf0.1. The frontier engine side runs green here (gated once to
+    # measure, 2026-08-15); the op stays oracle-gated at sf0.01+sf0.1
+    # and BfsSpec pins frontier ≡ min-fold on randomized graphs.
+    "q53_bfs_reach",
 }
 
 # The 100x relational decade tier (two decades past the driver's gate):
