@@ -1470,6 +1470,48 @@ object AdvancedQueries {
        |  node // 2 AS key, dist
        |FROM d4""".stripMargin
 
+  // ---- q54: first-order Markov transition matrix over per-user event
+  //      sequences — the "what usually happens next" model behind
+  //      session simulation, anomalous-flow detection, and funnel
+  //      design (q34/q49 test FIXED sequences; this estimates the whole
+  //      |types|² transition structure). Deterministic sequence order
+  //      is (ts, event_id) within user — event_id is unique, so LEAD is
+  //      well-defined in both engines. Scale shape: ONE hash exchange
+  //      on user_id feeds the lead window (users are high-cardinality,
+  //      so no hot task), adjacent pairs collapse map-side into a
+  //      |types|²-row count aggregate, and row-normalization is a
+  //      window over that constant-size matrix — at 100 TB the only
+  //      data-sized cost is the user partition, which sessionization
+  //      and funnels already pay. p is one double division of exact
+  //      longs: identical IEEE op, identical inputs, both engines. ----
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+  }
+
+  private val q54Oracle =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+      |    AS p
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1506,5 +1548,6 @@ object AdvancedQueries {
     GraftQuery("q50_asof_plan", q50, Some(q19Oracle)),
     GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)),
     GraftQuery("q52_skyline", q52, Some(q52Oracle)),
-    GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)))
+    GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
+    GraftQuery("q54_markov_transitions", q54, Some(q54Oracle)))
 }

@@ -1134,6 +1134,145 @@ object QualityQueries {
       |  CAST(COALESCE(MAX(gap), 0) AS INT) AS max_gap
       |FROM g GROUP BY event_type""".stripMargin
 
+  // ---- dq21: functional-dependency audit — the schema-contract
+  //      check a profiling suite owes its catalog: for each DECLARED
+  //      dependency `lhs → rhs`, report every lhs value bound to more
+  //      than one rhs (violating groups only, with distinct-rhs and
+  //      row counts). Two declared contracts: `documents.source →
+  //      lang` (expected to fail — multilingual sources — which is
+  //      what the report is FOR) and the key dependency
+  //      `customer.c_custkey → c_nationkey` (holds; contributes zero
+  //      rows — the audit proves absence, not just presence). Scale
+  //      shape: each FD is one two-phase hash aggregate (distinct
+  //      (lhs, rhs) partial, then per-lhs counts) — no window, no
+  //      join; the key-FD case aggregates |table| groups but stays a
+  //      plain exchange-safe count-distinct. ----
+  private def dq21(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, fd: String, lhs: org.apache.spark.sql.Column,
+        rhs: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(lhs.cast("string").as("lhs"))
+        .agg(countDistinct(rhs).as("n_rhs"), count(lit(1)).as("n_rows"))
+        .filter(col("n_rhs") > 1)
+        .select(lit(fd).as("fd"), col("lhs"), col("n_rhs"), col("n_rows"))
+    audit(Tables.documents(spark, dir), "documents: source -> lang",
+      col("source"), col("lang"))
+      .unionByName(audit(Tables.customer(spark, dir),
+        "customer: c_custkey -> c_nationkey",
+        col("c_custkey"), col("c_nationkey")))
+  }
+
+  private val dq21Oracle =
+    """SELECT 'documents: source -> lang' AS fd, lhs, n_rhs, n_rows
+      |FROM (
+      |  SELECT source AS lhs, COUNT(DISTINCT lang) AS n_rhs,
+      |    COUNT(*) AS n_rows
+      |  FROM documents GROUP BY 1) WHERE n_rhs > 1
+      |UNION ALL
+      |SELECT 'customer: c_custkey -> c_nationkey' AS fd, lhs, n_rhs, n_rows
+      |FROM (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS lhs,
+      |    COUNT(DISTINCT c_nationkey) AS n_rhs, COUNT(*) AS n_rows
+      |  FROM customer GROUP BY 1) WHERE n_rhs > 1""".stripMargin
+
+  // ---- dq22: A/B experiment readout — Welch's unequal-variance t on
+  //      purchase value plus a two-proportion z on the purchase share
+  //      of traffic, cohorts split by identity hash (user_id parity
+  //      stands in for the assignment bucket). The drift monitors
+  //      (dq04/dq06/dq17) ask "did the distribution move?"; this
+  //      answers the experiment question "is the measured lift
+  //      significant?". (User-level conversion is the textbook z
+  //      metric, but on this fixture every user purchases — pp = 1
+  //      degenerates the statistic to 0/0 — so the z leg tests the
+  //      event-level share, which stays interior at every tier.)
+  //      Determinism is the dq05 moment recipe: ONE conditional-agg
+  //      scan accumulates per-variant (n, Σv, Σv²) as exact decimals
+  //      and event counts as exact integers — associative,
+  //      partitioning-independent — then t, Welch df, and z assemble
+  //      in fixed double expressions both engines evaluate identically.
+  //      100 TB cost: one pass over events; the statistics frame is
+  //      ONE row. ----
+  private def dq22(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("user_id") % 2).as("variant"))
+    def side(v: Int, c: Column) = when(col("variant") === v, c)
+    val m = ev.agg(
+      count(side(0, when(col("event_type") === "purchase", lit(1))))
+        .cast(DoubleType).as("n0"),
+      count(side(1, when(col("event_type") === "purchase", lit(1))))
+        .cast(DoubleType).as("n1"),
+      sum(side(0, when(col("event_type") === "purchase", dec(col("value")))))
+        .cast(DoubleType).as("s0"),
+      sum(side(1, when(col("event_type") === "purchase", dec(col("value")))))
+        .cast(DoubleType).as("s1"),
+      sum(side(0, when(col("event_type") === "purchase",
+        dec(col("value")) * dec(col("value"))))).cast(DoubleType).as("q0"),
+      sum(side(1, when(col("event_type") === "purchase",
+        dec(col("value")) * dec(col("value"))))).cast(DoubleType).as("q1"),
+      count(side(0, lit(1))).cast(DoubleType).as("e0"),
+      count(side(1, lit(1))).cast(DoubleType).as("e1"))
+    val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1)
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val se2 = v0 / col("n0") + v1 / col("n1")
+    val p0 = col("n0") / col("e0")
+    val p1 = col("n1") / col("e1")
+    val pp = (col("n0") + col("n1")) / (col("e0") + col("e1"))
+    m.select(explode(array(
+        struct(lit("welch_t_purchase_value").as("metric"),
+          col("n0").as("n_a"), col("n1").as("n_b"),
+          (col("s0") / col("n0")).as("mean_a"),
+          (col("s1") / col("n1")).as("mean_b"),
+          ((col("s1") / col("n1") - col("s0") / col("n0")) / sqrt(se2))
+            .as("stat"),
+          ((se2 * se2) / ((v0 / col("n0")) * (v0 / col("n0")) / (col("n0") - 1)
+            + (v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1))).as("df")),
+        struct(lit("two_proportion_z_purchase_share").as("metric"),
+          col("e0").as("n_a"), col("e1").as("n_b"),
+          p0.as("mean_a"), p1.as("mean_b"),
+          ((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("e0") + lit(1.0) / col("e1")))).as("stat"),
+          lit(null).cast(DoubleType).as("df")))).as("r"))
+      .select("r.*")
+  }
+
+  private val dq22Oracle = {
+    // DECIMAL sums leave DuckDB through VARCHAR (the dq05 rounding
+    // defect); counts go straight to DOUBLE.
+    def asDouble(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    def d = "CAST(value AS DECIMAL(12,2))"
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+       |    user_id % 2 AS variant FROM events),
+       |m AS (SELECT
+       |  CAST(COUNT(CASE WHEN variant = 0 AND event_type = 'purchase'
+       |    THEN 1 END) AS DOUBLE) AS n0,
+       |  CAST(COUNT(CASE WHEN variant = 1 AND event_type = 'purchase'
+       |    THEN 1 END) AS DOUBLE) AS n1,
+       |  ${asDouble(s"SUM(CASE WHEN variant = 0 AND event_type = 'purchase' THEN $d END)")} AS s0,
+       |  ${asDouble(s"SUM(CASE WHEN variant = 1 AND event_type = 'purchase' THEN $d END)")} AS s1,
+       |  ${asDouble(s"SUM(CASE WHEN variant = 0 AND event_type = 'purchase' THEN $d * $d END)")} AS q0,
+       |  ${asDouble(s"SUM(CASE WHEN variant = 1 AND event_type = 'purchase' THEN $d * $d END)")} AS q1,
+       |  CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS DOUBLE) AS e0,
+       |  CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS DOUBLE) AS e1
+       |  FROM ev),
+       |x AS (SELECT *,
+       |  (q0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+       |  (q1 - s1 * s1 / n1) / (n1 - 1) AS v1 FROM m),
+       |y AS (SELECT *, v0 / n0 + v1 / n1 AS se2,
+       |  n0 / e0 AS p0, n1 / e1 AS p1,
+       |  (n0 + n1) / (e0 + e1) AS pp FROM x)
+       |SELECT 'welch_t_purchase_value' AS metric, n0 AS n_a, n1 AS n_b,
+       |  s0 / n0 AS mean_a, s1 / n1 AS mean_b,
+       |  (s1 / n1 - s0 / n0) / sqrt(se2) AS stat,
+       |  (se2 * se2) / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+       |    + (v1 / n1) * (v1 / n1) / (n1 - 1)) AS df
+       |FROM y
+       |UNION ALL
+       |SELECT 'two_proportion_z_purchase_share', e0, e1, p0, p1,
+       |  (p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / e0 + 1.0 / e1)),
+       |  CAST(NULL AS DOUBLE)
+       |FROM y""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1154,5 +1293,7 @@ object QualityQueries {
     GraftQuery("dq17_binned_tvd", dq17, Some(dq17Oracle)),
     GraftQuery("dq18_freshness", dq18, Some(dq18Oracle)),
     GraftQuery("dq19_modal_values", dq19, Some(dq19Oracle)),
-    GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)))
+    GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)),
+    GraftQuery("dq21_fd_audit", dq21, Some(dq21Oracle)),
+    GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)))
 }
