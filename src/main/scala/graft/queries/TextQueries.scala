@@ -1852,6 +1852,55 @@ object TextQueries {
       |  CAST(SUM(dup5_ppm) AS BIGINT) // COUNT(*) AS avg_dup5_ppm
       |FROM p GROUP BY lang""".stripMargin
 
+  // ---- tx44: BPE merge learning — vocabulary induction, the training
+  //      step the tokenizer surface was missing (tx10 APPLIES a fixed
+  //      token pattern; this LEARNS the merge table a subword
+  //      tokenizer ships). Three merge rounds over the weighted word
+  //      vocabulary: corpus touched once by the (word, cnt) aggregate;
+  //      every round after that is vocabulary-sized (see
+  //      [[graft.text.Bpe]] for the full scale argument). The oracle
+  //      independently re-LEARNS the merges — per-round pair counting,
+  //      argmax tie-break, and the greedy left-to-right application
+  //      (as a list_reduce fold) are all unrolled in SQL, so drift in
+  //      either selection or application breaks the gate. ----
+  private def tx44(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnMerges(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      rounds = 3)
+
+  private val tx44Oracle: String = {
+    def round(r: Int) =
+      s"""p$r AS (SELECT pair[1] AS a, pair[2] AS b, SUM(cnt) AS n FROM (
+         |  SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+         |    AS pair, cnt
+         |  FROM v${r - 1} WHERE len(syms) > 1) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (SELECT str_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN x = b$r.b AND (acc = b$r.a OR ends_with(acc, ' ' || b$r.a))
+         |    THEN left(acc, length(acc) - length(b$r.a)) || b$r.a || b$r.b
+         |    ELSE acc || ' ' || x END), ' ') AS syms, cnt
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    def row(r: Int) =
+      s"""SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, CAST(n AS BIGINT) AS pair_n FROM b$r""".stripMargin
+    s"""WITH w AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |v0 AS (SELECT regexp_split_to_array(word, '') AS syms, cnt FROM w),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |${row(1)}
+       |UNION ALL
+       |${row(2)}
+       |UNION ALL
+       |${row(3)}""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1902,6 +1951,7 @@ object TextQueries {
     GraftQuery("tx41_dedup_eval", tx41, None,
       oracleGen = Some(tx41OracleGen)),
     GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)),
-    GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)))
+    GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)),
+    GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)))
 
 }

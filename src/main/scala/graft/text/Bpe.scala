@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding merge LEARNING over a weighted vocabulary — the
+ * training half of the tokenizer story (tx10 only consumes a fixed
+ * token pattern; this induces the merge table a real tokenizer ships).
+ *
+ * Scale shape: the corpus is touched exactly once, by the caller's
+ * (word, cnt) aggregate — the classic BPE trick that all merge rounds
+ * operate on the VOCABULARY (distinct words weighted by frequency),
+ * which at 100 TB is ~10^7 rows where the corpus is ~10^11. Each round
+ * is then: one narrow (a, b, n) pair aggregate over the vocab (map-side
+ * combine; pairs explode from adjacent symbols), a 1-row argmax, and a
+ * map-only re-fold of the vocab against the broadcast winner. No round
+ * ever shuffles symbol sequences — only (pair, count) rows cross the
+ * wire. Intermediate vocabularies persist through a bounded PlanCache
+ * so round r+1 re-folds round r's frame instead of replaying the whole
+ * chain from the source scan.
+ *
+ * Determinism: the winner is (max total count, then lexicographically
+ * smallest pair) — a total order, so the learned table is unique; the
+ * greedy left-to-right application below is the standard BPE merge
+ * semantics and is reproduced verbatim by the DuckDB oracle's
+ * list_reduce fold (tx44's oracle re-LEARNS the merges independently —
+ * selection and application are both checked).
+ */
+object Bpe {
+
+  // vocab frames for the active learning chain: the base vocabulary
+  // plus one per completed round (rounds is a small model constant)
+  private val vocabCache = new graft.util.PlanCache(maxEntries = 4)
+
+  /**
+   * Greedy left-to-right application of one merge (a, b) to a symbol
+   * array, as a single fold: symbols accumulate into a space-joined
+   * string, and whenever the accumulator ends with symbol `a` and the
+   * incoming symbol is `b`, the pair collapses to `ab`. The space
+   * delimiter makes the suffix test symbol-exact (merged symbols never
+   * contain spaces), and the fold's "merged symbol can immediately
+   * merge again with the NEXT incoming symbol" behavior is exactly
+   * BPE's non-overlapping left-to-right scan ("a a a a" under (a,a)
+   * becomes "aa aa", not "aa a a").
+   */
+  private def applyMerge(syms: Column, a: Column, b: Column): Column = {
+    val folded = aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(x === b && (acc === a || acc.endsWith(concat(lit(" "), a))),
+          concat(acc.substr(lit(1), length(acc) - length(a)), a, b))
+          .otherwise(concat(acc, lit(" "), x)))
+    split(folded, " ")
+  }
+
+  /** The round's winning adjacent pair: max summed count, ties to the
+    * lexicographically smallest (a, b) — a total order, so `limit(1)`
+    * is deterministic. One narrow (a, b, n) hash aggregate. */
+  private def bestPair(vocab: DataFrame): DataFrame =
+    vocab
+      .select(explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("cnt"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(1)
+
+  /**
+   * Learn `rounds` merges from a weighted vocabulary of (word, cnt).
+   * Returns the merge table: (round, left_sym, right_sym, merged,
+   * pair_n), one row per round — the model artifact, so the output is
+   * model-sized by construction. Fully lazy: the winners ride as
+   * broadcast 1-row frames, never a driver collect.
+   */
+  def learnMerges(words: DataFrame, rounds: Int): DataFrame = {
+    var vocab = vocabCache.persisted(
+      words.select(
+        // split("") emits a trailing empty token under Spark's -1
+        // limit; drop zero-length symbols so the fold sees chars only
+        filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
+        col("cnt")))
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val best = bestPair(vocab)
+      val row = best.select(lit(r).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+        col("n").as("pair_n"))
+      out = Some(out.fold(row)(_.unionByName(row)))
+      if (r < rounds)
+        vocab = vocabCache.persisted(
+          vocab.crossJoin(broadcast(best))
+            .select(applyMerge(col("syms"), col("a"), col("b")).as("syms"),
+              col("cnt")))
+    }
+    out.get
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins [[Bpe.learnMerges]] to an in-memory reference implementation of
+  * BPE training: per-round weighted pair counts, argmax with the
+  * (count desc, pair asc) tie-break, and greedy left-to-right merge
+  * application. */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Reference: one greedy left-to-right merge pass (standard BPE —
+    * the merged token never re-pairs with the PREVIOUS token but can
+    * merge with the NEXT incoming one). */
+  private def applyRef(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def learnRef(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = words.map { case (w, c) => w.split("").filter(_.nonEmpty).toList -> c }
+    (1 to rounds).map { r =>
+      val counts = vocab.toSeq
+        .flatMap { case (s, c) => s.zip(s.drop(1)).map(p => p -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.toSeq.map { case (s, c) => applyRef(s, a, b) -> c }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      (r, a, b, n)
+    }
+  }
+
+  private def learnSpark(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] =
+    Bpe.learnMerges(words.toSeq.toDF("word", "cnt"), rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+
+  test("greedy left-to-right application: aaaa under (a,a) gives aa|aa") {
+    // one word "aaaa" ×3 plus a tie-breaking decoy: round 1 must pick
+    // (a,a) and fold to [aa, aa] so round 2 sees (aa,aa), not (aa,a)
+    val words = Map("aaaa" -> 3L, "xy" -> 1L)
+    val got = learnSpark(words, 2)
+    assert(got == learnRef(words, 2))
+    assert(got.head._2 == "a" && got.head._3 == "a" && got.head._4 == 9L)
+    assert(got(1) == ((2, "aa", "aa", 3L)))
+  }
+
+  test("tie-break is lexicographic on (a, b) at equal counts") {
+    val words = Map("zw" -> 5L, "bc" -> 5L, "ba" -> 5L)
+    val got = learnSpark(words, 1)
+    assert(got == learnRef(words, 1))
+    assert(got.head._2 == "b" && got.head._3 == "a")
+  }
+
+  test("single-character words survive rounds untouched") {
+    val words = Map("a" -> 100L, "bb" -> 2L)
+    val got = learnSpark(words, 1)
+    assert(got == learnRef(words, 1))
+    assert(got.head == ((1, "b", "b", 2L)))
+  }
+
+  test("randomized equivalence with the reference over 3 rounds") {
+    val rnd = new scala.util.Random(14)
+    val alphabet = "abcd"
+    val words = (1 to 60).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    assert(learnSpark(words, 3) == learnRef(words, 3))
+  }
+}
