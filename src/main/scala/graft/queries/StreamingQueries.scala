@@ -134,6 +134,29 @@ object StreamingQueries {
       |WHERE session_end_us <= m.cutoff AND n_purchases > 0
       |GROUP BY 1""".stripMargin
 
+  // st30 batch parity: q54's LEAD chain over (epoch_us, event_id) —
+  // the stream's exact ordering — keeping only pairs whose LATER event
+  // precedes the finalized-region cutoff (delay 2 h + 1 h of
+  // batch-boundary margin behind the corpus max, the st06 discipline).
+  private val st30Oracle =
+    """WITH m AS (
+      |  SELECT MAX(epoch_us(ts)) - 10800000000 AS cutoff FROM events),
+      |seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_us
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq CROSS JOIN m
+      |  WHERE to_type IS NOT NULL AND to_us <= m.cutoff GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+      |    AS p
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("st01_stream_hourly", EventStream.hourlyStats, Some(st01Oracle), headline = true),
     GraftQuery("st02_stream_dedup", EventStream.dedupReplay, Some(st02Oracle)),
@@ -274,5 +297,11 @@ object StreamingQueries {
     // state joined to the static dim
     GraftQuery("st29_stream_skyline",
       graft.streaming.SkylineStream.skylineReplay,
-      Some(AdvancedQueries.q52Oracle)))
+      Some(AdvancedQueries.q52Oracle)),
+    // st30: q54's transition matrix maintained on the stream — exact
+    // pair emission under out-of-order arrival (watermark-finalized
+    // prefix + one anchor row per user), gated by q54's LEAD chain
+    // restricted to the finalized region
+    GraftQuery("st30_stream_transitions",
+      graft.streaming.TransitionStream.transitionReplay, Some(st30Oracle)))
 }
