@@ -141,6 +141,13 @@ INCLUDE_100X = {
     # coverage gaps are a day-grain distinct + metadata-sized window —
     # 100x events stress the distinct exchange feeding it
     "dq20_coverage_gaps",
+    # the transition matrix is the per-user LEAD exchange plus a
+    # |types|²-row aggregate — 100x events stress the window exchange;
+    # the oracle is one LEAD window, linear at this tier
+    "q54_markov_transitions",
+    # the A/B readout is one conditional-agg scan to a 1-row moment
+    # frame — trivially linear; 100x events stress nothing BUT the scan
+    "dq22_ab_readout",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
@@ -166,6 +173,16 @@ INCLUDE_CORPUS100 = {
     # r14 addition — char-mass repetition signals; measured 6.2 s
     # oracle at 500k docs (doc-scoped keys, linear by construction)
     "tx43_char_repetition",
+    # r14 addition — BPE merge learning: the corpus pays one word-count
+    # scan; all three merge rounds run on the VOCABULARY, which the
+    # uniform blow-up leaves at the base lexicon (suffixed replica
+    # tokens fail the ^[a-z]+$ word filter), so the oracle is the base
+    # vocab at 100x weights
+    "tx44_bpe_merges",
+    # r14 addition — the FD audit's documents leg rides the blown-up
+    # corpus (source → lang violating groups scale with sources, not
+    # rows); the customer leg is verbatim at this tier
+    "dq21_fd_audit",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
@@ -179,6 +196,10 @@ INCLUDE_CORPUS100 = {
 INCLUDE_SKEW = {
     "q21_sessionize", "q34_funnel", "q41_attribution", "tx18_mixture_fill",
     "q20_salted_join", "dq16_heavy_hitters", "tx21_stratified_sample",
+    # r14 addition — the transition matrix's per-user LEAD window is
+    # exactly the partition the planted hot user stresses (same axis
+    # as q21/q34/q41)
+    "q54_markov_transitions",
 }
 
 # The small skew tier: the IDENTICAL hot-key construction planted
@@ -195,6 +216,7 @@ INCLUDE_SKEW_SMALL = {
     "q20_salted_join", "dq16_heavy_hitters", "tx21_stratified_sample",
     "tx06_near_dup_pairs", "tx41_dedup_eval",
     "q21_sessionize", "q34_funnel", "q41_attribution", "tx18_mixture_fill",
+    "q54_markov_transitions",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
