@@ -1901,6 +1901,73 @@ object TextQueries {
        |${row(3)}""".stripMargin
   }
 
+  // the (source, word) count frame feeds four downstream aggregates
+  // (per-word totals, per-source totals, the corpus total, and the
+  // per-pair terms); persist so the corpus scan runs once
+  private val driftCache = new graft.util.PlanCache(maxEntries = 2)
+
+  // ---- tx45: per-source token-distribution drift — the "anomalous
+  //      source" screen a corpus pipeline runs before a source's docs
+  //      enter the mix: for each source, the total variation distance
+  //      between ITS token distribution and the REST of the corpus
+  //      (leave-one-out, so a big source can't hide inside its own
+  //      baseline). dq17 monitors event-value drift between identity
+  //      cohorts; this monitors the corpus itself, per source. Exact
+  //      and order-free the repo's standard way: the numerator
+  //      Σ|o·(T−c) − (t−o)·c| is pure int64 over the common
+  //      denominator (absent-word mass folded in closed form:
+  //      + c·(T−B) with B = Σ_{w∈s} t_w), and the single double
+  //      division happens once per source from exact integers. Scale
+  //      shape: the corpus pays ONE (source, word) count aggregate
+  //      (persisted); everything after is vocabulary-sized — the
+  //      word-keyed totals join, a broadcast 20-row source-totals
+  //      frame, and a 1-row corpus total. No row-scale shuffle
+  //      anywhere past the first aggregate. ----
+  private def tx45(spark: SparkSession, dir: String): DataFrame = {
+    val o = driftCache.persisted(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("o")))
+    val tw = o.groupBy("word").agg(sum(col("o")).as("tw"))
+    val c = o.groupBy("source").agg(sum(col("o")).as("c"))
+    val tot = o.agg(sum(col("o")).as("tt"))
+    val terms = o.join(tw, "word")
+      .join(broadcast(c), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        sum(abs(col("o") * (col("tt") - col("c"))
+          - (col("tw") - col("o")) * col("c"))).as("a"),
+        sum(col("tw")).as("b"))
+    terms.join(broadcast(c), "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("c").as("n_tokens"),
+        (col("a") + col("c") * (col("tt") - col("b"))).as("tvd_num"),
+        (lit(2L) * col("c") * (col("tt") - col("c"))).as("tvd_den"),
+        ((col("a") + col("c") * (col("tt") - col("b"))).cast(DoubleType) /
+          (lit(2L) * col("c") * (col("tt") - col("c"))).cast(DoubleType))
+          .as("tvd"))
+  }
+
+  private val tx45Oracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(str_split(text, ' ')) AS word FROM documents),
+      |o AS (SELECT source, word, COUNT(*) AS o FROM tok GROUP BY 1, 2),
+      |t AS (SELECT word, SUM(o) AS tw FROM o GROUP BY 1),
+      |c AS (SELECT source, SUM(o) AS c FROM o GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS tt FROM o),
+      |terms AS (
+      |  SELECT o.source,
+      |    SUM(ABS(o.o * (tot.tt - c.c) - (t.tw - o.o) * c.c)) AS a,
+      |    SUM(t.tw) AS b
+      |  FROM o JOIN t USING (word) JOIN c USING (source) CROSS JOIN tot
+      |  GROUP BY 1)
+      |SELECT terms.source, CAST(c.c AS BIGINT) AS n_tokens,
+      |  CAST(a + c.c * (tot.tt - b) AS BIGINT) AS tvd_num,
+      |  CAST(2 * c.c * (tot.tt - c.c) AS BIGINT) AS tvd_den,
+      |  CAST(CAST(a + c.c * (tot.tt - b) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(2 * c.c * (tot.tt - c.c) AS BIGINT) AS DOUBLE) AS tvd
+      |FROM terms JOIN c USING (source) CROSS JOIN tot""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -1952,6 +2019,7 @@ object TextQueries {
       oracleGen = Some(tx41OracleGen)),
     GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)),
     GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)),
-    GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)))
+    GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)),
+    GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle)))
 
 }

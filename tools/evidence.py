@@ -183,6 +183,10 @@ INCLUDE_CORPUS100 = {
     # corpus (source → lang violating groups scale with sources, not
     # rows); the customer leg is verbatim at this tier
     "dq21_fd_audit",
+    # r14 addition — per-source TVD drift: one (source, word) count
+    # aggregate over the corpus, vocabulary-sized after; 1.0 s oracle
+    # at 500k docs
+    "tx45_source_drift",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
