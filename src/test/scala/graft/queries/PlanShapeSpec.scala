@@ -597,6 +597,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"a shuffled cartesian would move the corpus for a broadcastable probe:\n$p")
   }
 
+  test("q54: one row-scale exchange (user_id); the matrix stages are type-keyed") {
+    // the transition matrix's 100 TB cost claim: the ONLY data-sized
+    // shuffle is the user partition feeding the LEAD window — every
+    // other exchange carries |types|²-row aggregates
+    val p = plan("q54_markov_transitions")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.count(_.contains("user_id")) == 1,
+      s"expected exactly one user_id exchange:\n$p")
+    keys.filterNot(_.contains("user_id")).foreach(k =>
+      assert(k.contains("type"), s"non-type matrix exchange [$k] in:\n$p"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("tx45: downstream of the persisted count frame, keys stay vocabulary-grain") {
+    // the drift screen's claim: the corpus pays ONE (source, word)
+    // aggregate — visible as the persisted frame every consumer reads
+    // back — and every exchange key after it is source/word-grain;
+    // the source-totals and corpus-total frames ride as broadcasts
+    val p = plan("tx45_source_drift")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted (source, word) count frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocabulary joins must broadcast or stay local:\n$p")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    keys.foreach(k => assert(k.contains("source") || k.contains("word"),
+      s"non-vocabulary exchange [$k] in:\n$p"))
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
