@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Relational
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -793,6 +794,71 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  // ---- sim17: embedding-space label audit — the mislabel/corruption
+  //      screen an embedding pipeline runs before vectors enter
+  //      training: each vector's squared distance to its OWN label
+  //      centroid, top-3 farthest per label. Exact and order-free via
+  //      the sim14 fixed-point recipe: q = ⌊x·2²⁰ + ½⌋ per dim, the
+  //      centroid stays the integer pair (n, Σq), and the distance
+  //      numerator Σ_d (q·n − Σq)² accumulates in DECIMAL(38) —
+  //      associative, partitioning-independent (the diff fits int64 at
+  //      every tier: |q|·n ≤ 2²⁰·2×10⁴ ≈ 2×10¹⁰); the single
+  //      double division by n²·2⁴⁰ is a fixed expression both engines
+  //      evaluate identically. Scale shape: the per-(label, dim)
+  //      centroid frame is labels×64 rows — broadcast into the
+  //      map-side distance fold; the only vector-scale exchange is the
+  //      per-vector partial-agg collapse (64 dims combine map-side),
+  //      and the top-3 rides topKPerGroupScalable, never a
+  //      one-task-per-label window. ----
+  private def sim17(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val qd = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(Similarity.toDoubleVec(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x") * 1048576.0 + 0.5).cast("long"))
+    val cent = qd.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val diff = (col("q") * col("n") - col("s")).cast(DecimalType(20, 0))
+    val d2 = qd.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(diff * diff).as("num"), min(col("n")).as("n"))
+    Relational.topKPerGroupScalable(d2, Seq("label"),
+        Seq(col("num").desc, col("vec_id")), k = 3, rankName = "rank")
+      .select(col("label"), col("rank"), col("vec_id"),
+        col("n").as("n_label"),
+        (col("num").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("n").cast(DoubleType)
+            * lit(1099511627776.0))).as("d2"))
+  }
+
+  private val sim17Oracle =
+    """WITH el AS (
+      |  SELECT vec_id, label, UNNEST(list_transform(range(1, len(embedding) + 1),
+      |    i -> struct_pack(d := i - 1, x := CAST(embedding[i] AS DOUBLE)))) AS e
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, e.d AS dim,
+      |    CAST(FLOOR(e.x * 1048576.0 + 0.5) AS BIGINT) AS q
+      |  FROM el),
+      |cent AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(q) AS s
+      |  FROM q GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT q.vec_id, q.label,
+      |    SUM(CAST(q.q * cent.n - cent.s AS HUGEINT)
+      |      * CAST(q.q * cent.n - cent.s AS HUGEINT)) AS num,
+      |    MIN(cent.n) AS n
+      |  FROM q JOIN cent ON cent.label = q.label AND cent.dim = q.dim
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT label, vec_id, n, num,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY num DESC, vec_id) AS rn
+      |  FROM d2)
+      |SELECT label, CAST(rn AS INT) AS rank, vec_id, CAST(n AS BIGINT) AS n_label,
+      |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1099511627776.0) AS d2
+      |FROM ranked WHERE rn <= 3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -813,5 +879,6 @@ object SimilarityQueries {
     GraftQuery("sim14_kmeans_step", sim14, None,
       oracleGen = Some(sim14OracleGen)),
     GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)),
-    GraftQuery("sim16_mips_topk", sim16, Some(sim16Oracle)))
+    GraftQuery("sim16_mips_topk", sim16, Some(sim16Oracle)),
+    GraftQuery("sim17_label_outliers", sim17, Some(sim17Oracle)))
 }

@@ -187,6 +187,10 @@ INCLUDE_CORPUS100 = {
     # aggregate over the corpus, vocabulary-sized after; 1.0 s oracle
     # at 500k docs
     "tx45_source_drift",
+    # r14 addition — embedding label-outlier audit: fixed-point integer
+    # centroids + DECIMAL(38) distance numerators, broadcast centroid
+    # frame; 0.4 s oracle at 200k vectors
+    "sim17_label_outliers",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
