@@ -1549,5 +1549,5 @@ object AdvancedQueries {
     GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)),
     GraftQuery("q52_skyline", q52, Some(q52Oracle)),
     GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
-    GraftQuery("q54_markov_transitions", q54, Some(q54Oracle)))
+    GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true))
 }

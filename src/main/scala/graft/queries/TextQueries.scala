@@ -2020,6 +2020,6 @@ object TextQueries {
     GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)),
     GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)),
     GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)),
-    GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle)))
+    GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle), headline = true))
 
 }
