@@ -1191,26 +1191,37 @@ object QualityQueries {
   //      in fixed double expressions both engines evaluate identically.
   //      100 TB cost: one pass over events; the statistics frame is
   //      ONE row. ----
-  private def dq22(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"),
+  /** The per-variant moment counters dq22 and st31 share: purchase
+    * count, exact-decimal Σv and Σv², and the variant's event count.
+    * Count sums and decimal sums are associative and fold-order-free,
+    * so the STREAMED counters (complete mode, st25's recipe) drain to
+    * exactly this batch aggregate regardless of micro-batch splits. */
+  private[graft] def abMoments(ev0: DataFrame): DataFrame =
+    ev0
+      .select(col("event_type"), col("value"),
         (col("user_id") % 2).as("variant"))
-    def side(v: Int, c: Column) = when(col("variant") === v, c)
-    val m = ev.agg(
-      count(side(0, when(col("event_type") === "purchase", lit(1))))
-        .cast(DoubleType).as("n0"),
-      count(side(1, when(col("event_type") === "purchase", lit(1))))
-        .cast(DoubleType).as("n1"),
-      sum(side(0, when(col("event_type") === "purchase", dec(col("value")))))
-        .cast(DoubleType).as("s0"),
-      sum(side(1, when(col("event_type") === "purchase", dec(col("value")))))
-        .cast(DoubleType).as("s1"),
-      sum(side(0, when(col("event_type") === "purchase",
-        dec(col("value")) * dec(col("value"))))).cast(DoubleType).as("q0"),
-      sum(side(1, when(col("event_type") === "purchase",
-        dec(col("value")) * dec(col("value"))))).cast(DoubleType).as("q1"),
-      count(side(0, lit(1))).cast(DoubleType).as("e0"),
-      count(side(1, lit(1))).cast(DoubleType).as("e1"))
+      .groupBy("variant").agg(
+        count(when(col("event_type") === "purchase", lit(1))).as("np"),
+        sum(when(col("event_type") === "purchase", dec(col("value"))))
+          .as("sp"),
+        sum(when(col("event_type") === "purchase",
+          dec(col("value")) * dec(col("value")))).as("qp"),
+        count(lit(1)).as("ne"))
+
+  /** The t/z readout over a drained [[abMoments]] frame — the 2-row
+    * pivot to one moment row, then the dq05-style fixed double
+    * expressions. */
+  private[graft] def abFromMoments(m0: DataFrame): DataFrame = {
+    def side(v: Int, c: Column) = max(when(col("variant") === v, c))
+    val m = m0.agg(
+      side(0, col("np")).cast(DoubleType).as("n0"),
+      side(1, col("np")).cast(DoubleType).as("n1"),
+      side(0, col("sp")).cast(DoubleType).as("s0"),
+      side(1, col("sp")).cast(DoubleType).as("s1"),
+      side(0, col("qp")).cast(DoubleType).as("q0"),
+      side(1, col("qp")).cast(DoubleType).as("q1"),
+      side(0, col("ne")).cast(DoubleType).as("e0"),
+      side(1, col("ne")).cast(DoubleType).as("e1"))
     val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1)
     val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
     val se2 = v0 / col("n0") + v1 / col("n1")
@@ -1235,7 +1246,10 @@ object QualityQueries {
       .select("r.*")
   }
 
-  private val dq22Oracle = {
+  private def dq22(spark: SparkSession, dir: String): DataFrame =
+    abFromMoments(abMoments(Tables.events(spark, dir)))
+
+  private[graft] val dq22Oracle = {
     // DECIMAL sums leave DuckDB through VARCHAR (the dq05 rounding
     // defect); counts go straight to DOUBLE.
     def asDouble(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"

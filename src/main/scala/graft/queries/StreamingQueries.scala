@@ -303,5 +303,11 @@ object StreamingQueries {
     // prefix + one anchor row per user), gated by q54's LEAD chain
     // restricted to the finalized region
     GraftQuery("st30_stream_transitions",
-      graft.streaming.TransitionStream.transitionReplay, Some(st30Oracle)))
+      graft.streaming.TransitionStream.transitionReplay, Some(st30Oracle)),
+    // st31 carries dq22's oracle verbatim: the stream maintains the
+    // per-variant moment counters (2 state rows; decimal sums are
+    // fold-order-free) and the Welch-t / z readout is the shared
+    // abFromMoments view over the drained state
+    GraftQuery("st31_stream_ab_readout",
+      EventStream.abReadoutReplay, Some(QualityQueries.dq22Oracle)))
 }

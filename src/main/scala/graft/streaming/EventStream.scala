@@ -149,6 +149,34 @@ object EventStream {
   }
 
   /**
+   * st31: streaming A/B experiment monitor — the stream maintains
+   * dq22's per-variant moment counters (purchase count, exact-decimal
+   * Σv and Σv², event count; 2 rows of state total) in complete mode,
+   * and the Welch-t / two-proportion-z readout derives from the
+   * drained counters via the SAME `abFromMoments` view dq22 runs.
+   * Decimal and count sums are associative, so any micro-batch split
+   * drains to the batch moments bit-for-bit; dq22's oracle carries
+   * verbatim. This is the "is the experiment significant YET?"
+   * monitor — the readout is recomputable after every micro-batch at
+   * the cost of folding 2 state rows.
+   */
+  def abReadoutReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ab"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .abMoments(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the readout aggregates the
+    // counts frame it derives from (the st10/st25 lesson)
+    val counts = spark.table(name).localCheckpoint()
+    val out = graft.queries.QualityQueries.abFromMoments(counts)
+    out.cache().count()
+    out
+  }
+
+  /**
    * st27: streaming freshness monitor — the stream maintains dq18's
    * per-type (count, last-arrival) aggregates as its ONLY state
    * (complete mode; count sums and max are fold-order-free, so any

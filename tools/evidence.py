@@ -148,6 +148,9 @@ INCLUDE_100X = {
     # the A/B readout is one conditional-agg scan to a 1-row moment
     # frame — trivially linear; 100x events stress nothing BUT the scan
     "dq22_ab_readout",
+    # its streamed twin drains the same 2 counter rows — the streaming
+    # family's first 100x-gated entry (0.1 s oracle at 10M events)
+    "st31_stream_ab_readout",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
