@@ -1863,15 +1863,20 @@ object TextQueries {
   //      argmax tie-break, and the greedy left-to-right application
   //      (as a list_reduce fold) are all unrolled in SQL, so drift in
   //      either selection or application breaks the gate. ----
-  private def tx44(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.learnMerges(
-      Tables.documents(spark, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("cnt")),
-      rounds = 3)
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  private val tx44Oracle: String = {
+  private def tx44(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnMerges(bpeWords(spark, dir), rounds = 3)
+
+  /** The shared tx44/tx46 oracle chain: the weighted word vocabulary,
+    * the char-level v0, and per round r the pair counts (p_r), the
+    * argmax winner (b_r), and the greedily re-folded vocabulary
+    * (v_r) — the oracle LEARNS the merges independently. */
+  private val bpeOracleCtes: String = {
     def round(r: Int) =
       s"""p$r AS (SELECT pair[1] AS a, pair[2] AS b, SUM(cnt) AS n FROM (
          |  SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
@@ -1883,17 +1888,46 @@ object TextQueries {
          |    THEN left(acc, length(acc) - length(b$r.a)) || b$r.a || b$r.b
          |    ELSE acc || ' ' || x END), ' ') AS syms, cnt
          |  FROM v${r - 1}, b$r)""".stripMargin
-    def row(r: Int) =
-      s"""SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym,
-         |  a || b AS merged, CAST(n AS BIGINT) AS pair_n FROM b$r""".stripMargin
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
        |v0 AS (SELECT regexp_split_to_array(word, '') AS syms, cnt FROM w),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  private val tx44Oracle: String = {
+    def row(r: Int) =
+      s"""SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, CAST(n AS BIGINT) AS pair_n FROM b$r""".stripMargin
+    s"""WITH $bpeOracleCtes
+       |${row(1)}
+       |UNION ALL
+       |${row(2)}
+       |UNION ALL
+       |${row(3)}""".stripMargin
+  }
+
+  // ---- tx46: the merge table APPLIED — the weighted compression
+  //      curve over rounds 0..3 (total corpus symbols and the
+  //      floor-scaled average per word occurrence). The inference
+  //      half of tx44's training: proves the learned merges actually
+  //      shrink the corpus, round by round, with the oracle re-folding
+  //      every vocabulary itself. Integer-exact throughout. ----
+  private def tx46(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.compressionCurve(bpeWords(spark, dir), rounds = 3)
+
+  private val tx46Oracle: String = {
+    def row(r: Int) =
+      s"""SELECT CAST($r AS INT) AS round,
+         |  CAST(SUM(cnt * len(syms)) AS BIGINT) AS total_syms,
+         |  CAST(SUM(cnt * len(syms)) * 1000000 // SUM(cnt) AS BIGINT)
+         |    AS avg_syms_ppm FROM v$r""".stripMargin
+    s"""WITH $bpeOracleCtes
+       |${row(0)}
+       |UNION ALL
        |${row(1)}
        |UNION ALL
        |${row(2)}
@@ -2020,6 +2054,7 @@ object TextQueries {
     GraftQuery("tx42_langid_eval", tx42, Some(tx42Oracle)),
     GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)),
     GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)),
-    GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle), headline = true))
+    GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle), headline = true),
+    GraftQuery("tx46_bpe_compression", tx46, Some(tx46Oracle)))
 
 }

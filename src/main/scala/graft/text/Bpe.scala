@@ -69,6 +69,33 @@ object Bpe {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(1)
 
+  /** The training chain: the base symbol vocabulary plus, per round,
+    * the winning pair and the merged vocabulary — shared by
+    * [[learnMerges]] (which reports the winners) and
+    * [[compressionCurve]] (which reports the fold). Every vocab frame
+    * persists through the bounded cache so each is built once. */
+  private def chain(words: DataFrame, rounds: Int)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
+    var vocab = vocabCache.persisted(
+      words.select(
+        // split("") emits a trailing empty token under Spark's -1
+        // limit; drop zero-length symbols so the fold sees chars only
+        filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
+        col("cnt")))
+    val vocabs = scala.collection.mutable.ArrayBuffer(vocab)
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val best = bestPair(vocab)
+      bests += best
+      vocab = vocabCache.persisted(
+        vocab.crossJoin(broadcast(best))
+          .select(applyMerge(col("syms"), col("a"), col("b")).as("syms"),
+            col("cnt")))
+      vocabs += vocab
+    }
+    (vocabs.toSeq, bests.toSeq)
+  }
+
   /**
    * Learn `rounds` merges from a weighted vocabulary of (word, cnt).
    * Returns the merge table: (round, left_sym, right_sym, merged,
@@ -76,26 +103,26 @@ object Bpe {
    * model-sized by construction. Fully lazy: the winners ride as
    * broadcast 1-row frames, never a driver collect.
    */
-  def learnMerges(words: DataFrame, rounds: Int): DataFrame = {
-    var vocab = vocabCache.persisted(
-      words.select(
-        // split("") emits a trailing empty token under Spark's -1
-        // limit; drop zero-length symbols so the fold sees chars only
-        filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
-        col("cnt")))
-    var out: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
-      val best = bestPair(vocab)
-      val row = best.select(lit(r).as("round"), col("a").as("left_sym"),
+  def learnMerges(words: DataFrame, rounds: Int): DataFrame =
+    chain(words, rounds)._2.zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1).as("round"), col("a").as("left_sym"),
         col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
         col("n").as("pair_n"))
-      out = Some(out.fold(row)(_.unionByName(row)))
-      if (r < rounds)
-        vocab = vocabCache.persisted(
-          vocab.crossJoin(broadcast(best))
-            .select(applyMerge(col("syms"), col("a"), col("b")).as("syms"),
-              col("cnt")))
-    }
-    out.get
-  }
+    }.reduce(_.unionByName(_))
+
+  /**
+   * The INFERENCE side of the merge table: apply the learned merges
+   * and report the weighted compression curve — total symbols across
+   * the corpus and floor-scaled average symbols per word occurrence,
+   * one row per round 0..rounds. Integer-exact (Σ cnt·|syms| and a
+   * ppm floor division), so the gate is cell-exact; the corpus still
+   * pays only the caller's one word-count scan.
+   */
+  def compressionCurve(words: DataFrame, rounds: Int): DataFrame =
+    chain(words, rounds)._1.zipWithIndex.map { case (v, r) =>
+      v.agg(sum(col("cnt") * size(col("syms"))).as("total_syms"),
+          sum(col("cnt")).as("total_words"))
+        .select(lit(r).as("round"), col("total_syms"),
+          expr("total_syms * 1000000 div total_words").as("avg_syms_ppm"))
+    }.reduce(_.unionByName(_))
 }

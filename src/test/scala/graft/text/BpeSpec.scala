@@ -70,6 +70,28 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got.head == ((1, "b", "b", 2L)))
   }
 
+  test("compression curve matches the reference fold, round by round") {
+    val words = Map("aaaa" -> 3L, "ab" -> 2L, "ba" -> 1L)
+    val got = Bpe.compressionCurve(words.toSeq.toDF("word", "cnt"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 0: 3*4 + 2*2 + 1*2 = 18 symbols over 6 words
+    assert(got.head == ((0, 18L, 3000000L)))
+    var vocab = words.map { case (w, c) => w.split("").filter(_.nonEmpty).toList -> c }
+    val expect = (1 to 2).map { r =>
+      val counts = vocab.toSeq
+        .flatMap { case (s, c) => s.zip(s.drop(1)).map(p => p -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((a, b), _) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.toSeq.map { case (s, c) => applyRef(s, a, b) -> c }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      val syms = vocab.map { case (s, c) => s.size * c }.sum
+      val wordsN = vocab.values.sum
+      (r, syms, syms * 1000000L / wordsN)
+    }
+    assert(got.drop(1) == expect)
+  }
+
   test("randomized equivalence with the reference over 3 rounds") {
     val rnd = new scala.util.Random(14)
     val alphabet = "abcd"

@@ -194,6 +194,9 @@ INCLUDE_CORPUS100 = {
     # centroids + DECIMAL(38) distance numerators, broadcast centroid
     # frame; 0.4 s oracle at 200k vectors
     "sim17_label_outliers",
+    # r14 addition — the applied-merges compression curve (tx44's
+    # inference half); 2.2 s oracle at 500k docs
+    "tx46_bpe_compression",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
