@@ -859,6 +859,59 @@ object SimilarityQueries {
       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1099511627776.0) AS d2
       |FROM ranked WHERE rn <= 3""".stripMargin
 
+  // ---- sim18: two-stage prefix-dimension retrieval (Matryoshka /
+  //      funnel search) — stage 1 shortlists 20 per query on the FIRST
+  //      16 of 64 dims (4× less vector IO/FLOPs at the corpus-wide
+  //      pass), stage 2 reranks only the shortlist with the exact
+  //      full-dim cosine. `pre_rank` in the output exposes how far the
+  //      prefix ordering had each survivor, so the funnel's recall
+  //      cost audits against sim01's exact anchor. The oracle unrolls
+  //      BOTH stages (prefix-dim sums, shortlist ROW_NUMBER, full-dim
+  //      rerank). All-pairs stage 1 puts it with the sim01 family in
+  //      the sf0.01 gate; the scale path is the same funnel with the
+  //      prefix stage bucketed (sim02/sim05 machinery, unchanged —
+  //      the truncated frame is just another vector column). ----
+  private def sim18(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prefixRerankTopK(emb(spark, dir), queriesDf(spark, dir),
+      prefixDim = 16, shortlist = 20, k = 5)
+
+  private val sim18Oracle =
+    """WITH pre AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+      |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, u.d,
+      |      CAST(q.embedding[u.d] AS DOUBLE) AS qx,
+      |      CAST(c.embedding[u.d] AS DOUBLE) AS cx
+      |    FROM embeddings q, embeddings c,
+      |      (SELECT UNNEST(range(1, 17)) AS d) u
+      |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      |  GROUP BY query_id, cand_id),
+      |short AS (
+      |  SELECT query_id, cand_id, pre_rank FROM (
+      |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS pre_rank
+      |    FROM pre) t
+      |  WHERE pre_rank <= 20),
+      |full_s AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+      |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+      |    SELECT s.query_id, s.cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM short s
+      |    JOIN embeddings q ON q.vec_id = s.query_id
+      |    JOIN embeddings c ON c.vec_id = s.cand_id) z
+      |  GROUP BY query_id, cand_id)
+      |SELECT f.query_id, f.cand_id, f.cosine, f.rank,
+      |  CAST(s.pre_rank AS INT) AS pre_rank FROM (
+      |  SELECT query_id, cand_id, ROUND(dot / (qn * cn), 4) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS INT) AS rank
+      |  FROM full_s) f
+      |JOIN short s ON s.query_id = f.query_id AND s.cand_id = f.cand_id
+      |WHERE f.rank <= 5""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -880,5 +933,6 @@ object SimilarityQueries {
       oracleGen = Some(sim14OracleGen)),
     GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)),
     GraftQuery("sim16_mips_topk", sim16, Some(sim16Oracle)),
-    GraftQuery("sim17_label_outliers", sim17, Some(sim17Oracle)))
+    GraftQuery("sim17_label_outliers", sim17, Some(sim17Oracle)),
+    GraftQuery("sim18_prefix_rerank", sim18, Some(sim18Oracle)))
 }

@@ -59,6 +59,58 @@ object Similarity {
   }
 
   /**
+   * Two-stage prefix-dimension retrieval (the Matryoshka / funnel
+   * pattern): stage 1 scores every candidate with only the FIRST
+   * `prefixDim` dimensions — at 100 TB this is the cheap pass: a
+   * dim/prefixDim reduction in vector IO and FLOPs, and the truncated
+   * frame quantizes/buckets like any full vector — keeping a
+   * `shortlist` per query via the same bounded map-side heap as the
+   * exact search; stage 2 reranks ONLY the shortlist (queries ×
+   * shortlist rows, metadata-sized) with the exact full-dimension
+   * cosine, so the corpus is never touched at full width for ranks
+   * the prefix already excluded. Output carries the full-dim score,
+   * the final rank, and the stage-1 rank (`pre_rank`), so the
+   * shortlist's recall cost audits directly against the sim01 exact
+   * anchor. Both stages round to `scale` decimals before ranking with
+   * cand_id tie-breaks — engine-reproducible like every ranking here.
+   */
+  def prefixRerankTopK(candidates: DataFrame, queries: DataFrame,
+                       prefixDim: Int, shortlist: Int, k: Int,
+                       scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("pvec", slice(col("cvec"), 1, prefixDim))
+      .withColumn("pnorm", l2Norm(col("pvec")))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qpvec", slice(col("qvec"), 1, prefixDim))
+      .withColumn("qpnorm", l2Norm(col("qpvec")))
+    val stage1 = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qpvec"), col("pvec"), col("qpnorm"), col("pnorm")),
+          scale).as("cosine"))
+    val short = rankTopK(stage1, shortlist)
+      .select(col("query_id"), col("cand_id"), col("rank").as("pre_rank"))
+    // the shortlist is queries×shortlist rows: IT broadcasts into the
+    // candidate table, so the full-width read touches only short ids
+    val rerank = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(queries
+        .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+        .withColumn("qnorm", l2Norm(col("qvec")))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("pre_rank"),
+        round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")),
+          scale).as("cosine"))
+    rankTopK(rerank.select(col("query_id"), col("cand_id"), col("cosine")), k)
+      .join(rerank.select(col("query_id"), col("cand_id"), col("pre_rank")),
+        Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"),
+        col("pre_rank"))
+  }
+
+  /**
    * Maximum-inner-product top-k (MIPS): rank candidates by the RAW dot
    * product, not cosine — the scoring a recommender/reward model uses,
    * where magnitude is signal (a high-norm item IS more relevant) and

@@ -50,9 +50,10 @@ EXCLUDE_SF01_SWEEP = {
     "tx13_jaccard_ground_truth", "tx16_simhash_truth",
     "sim01_ann_cosine", "sim04_embedding_near_dup",
     # sim11/sim13/sim15/sim16 embed sim01's all-pairs brute-force CTE
-    # (recall truth / kNN frame / radius / raw-dot rank) — same cost
+    # (recall truth / kNN frame / radius / raw-dot rank) — same cost;
+    # sim18's stage-1 oracle is the same all-pairs scan at prefix width
     "sim11_ann_recall", "sim13_knn_label", "sim15_radius_search",
-    "sim16_mips_topk",
+    "sim16_mips_topk", "sim18_prefix_rerank",
     # tx41 scores LSH pairs against tx13's brute-force truth
     "tx41_dedup_eval",
     # tx20's oracle closes duplicate clusters with an iterative
