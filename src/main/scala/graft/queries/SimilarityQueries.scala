@@ -58,16 +58,26 @@ object SimilarityQueries {
    * addition order matches the native DotProduct's sequential fold
    * bit-for-bit (x·(+1.0)=x and a+(−x)=a−x are exact in IEEE).
    */
-  private def sigCte(bits: Int): String = {
-    val bitSql = Similarity.hyperplanes(Dim, bits).zipWithIndex.map { case (h, i) =>
-      val dot = h.zipWithIndex.map { case (w, j) =>
+  private def sigCte(bits: Int): String =
+    s"sig AS (SELECT vec_id, (${sigSql(Similarity.hyperplanes(Dim, bits), embTerms(Dim))}) AS bucket FROM embeddings)"
+
+  /** The ±1-plane sign-chain renderer behind [[sigCte]], generalized
+    * over the per-dimension element SQL (so the augmented-MIPS and
+    * prefix-funnel oracles hash exactly the vectors the engine hashes).
+    * `terms` shorter than the planes truncates the chain — the
+    * augmented-query case, where the appended coordinate is 0 and a
+    * ±0.0 term can never change a signature bit. */
+  private def sigSql(planes: Seq[Array[Double]], terms: Seq[String]): String =
+    planes.zipWithIndex.map { case (h, i) =>
+      val chain = h.zip(terms).map { case (w, t) =>
         val sign = if (w > 0) "+" else "-"
-        s" $sign CAST(embedding[${j + 1}] AS DOUBLE)"
+        s" $sign $t"
       }.mkString
-      s"CASE WHEN (0.0$dot) > 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN (0.0$chain) > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
-    s"sig AS (SELECT vec_id, ($bitSql) AS bucket FROM embeddings)"
-  }
+
+  private def embTerms(n: Int): Seq[String] =
+    (0 until n).map(j => s"CAST(embedding[${j + 1}] AS DOUBLE)")
 
   private val normsCte =
     """norms AS (
@@ -912,6 +922,272 @@ object SimilarityQueries {
       |JOIN short s ON s.query_id = f.query_id AND s.cand_id = f.cand_id
       |WHERE f.rank <= 5""".stripMargin
 
+  // ---- sim19: the bucketed MIPS scale path — sim16's raw-dot ranking
+  //      through the LSH machinery via norm-augmentation (append
+  //      sqrt(M² − ‖x‖²) to candidates, 0 to queries; augmented-cosine
+  //      order = raw-dot order, so hyperplane buckets admit by
+  //      inner-product affinity). Scoring inside a bucket is the exact
+  //      64-dim dot, so this is sim16 minus bucket misses and sim20
+  //      measures exactly that. The oracle re-derives EVERYTHING:
+  //      ‖x‖² as the engine's left-assoc fold, M² as an order-free
+  //      MAX, the augmented 65-dim signatures from the same rendered
+  //      ±1 planes (the sim02 trick, one dimension wider), then
+  //      bucket-mate raw-dot top-5 — cell-exact, no fitted params. ----
+  private val MipsBits = 4
+  private val MipsTables = 12
+
+  private def sim19(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mipsLshTopK(emb(spark, dir), queriesDf(spark, dir), k = 5,
+      dim = Dim, bits = MipsBits, tables = MipsTables)
+
+  private val n2Cte =
+    s"""n2 AS (
+       |  SELECT vec_id, (0.0 + ${embTerms(Dim).map(t => s"$t * $t").mkString(" + ")}) AS n2
+       |  FROM embeddings)""".stripMargin
+
+  /** The augmented multi-table signatures + OR-admission: one UNION ALL
+    * branch per plane family (seed 42+t — exactly the engine's
+    * [[Similarity]] multi-table seeds), candidates hashed with the
+    * appended `SQRT(m2 − n2)` coordinate, queries with their raw 64
+    * terms (the appended 0's ±0.0 terms can never flip a signature
+    * bit, so they render omitted). */
+  private def augSigCtes(bits: Int, tables: Int): String = {
+    def planes(t: Int) = Similarity.hyperplanes(Dim + 1, bits, 42L + t)
+    val candTerms = embTerms(Dim) :+ "SQRT(mx.m2 - n2.n2)"
+    val cBranches = (0 until tables).map { t =>
+      s"""SELECT e.vec_id, $t AS tab, (${sigSql(planes(t), candTerms)}) AS bucket
+         |  FROM embeddings e JOIN n2 ON n2.vec_id = e.vec_id CROSS JOIN mx""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val qBranches = (0 until tables).map { t =>
+      s"""SELECT vec_id, $t AS tab, (${sigSql(planes(t), embTerms(Dim))}) AS bucket
+         |  FROM embeddings WHERE vec_id < 10""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$n2Cte,
+       |mx AS (SELECT MAX(n2) AS m2 FROM n2),
+       |csig AS (
+       |  $cBranches),
+       |qsig AS (
+       |  $qBranches),
+       |adm AS (
+       |  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS cand_id
+       |  FROM qsig sq
+       |  JOIN csig sc ON sc.tab = sq.tab AND sc.bucket = sq.bucket
+       |  WHERE sc.vec_id <> sq.vec_id)""".stripMargin
+  }
+
+  private val mipsBucketPairsCte =
+    """bpairs AS (
+      |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+      |    SELECT a.query_id, a.cand_id,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM adm a
+      |    JOIN embeddings q ON q.vec_id = a.query_id
+      |    JOIN embeddings c ON c.vec_id = a.cand_id) z
+      |  GROUP BY query_id, cand_id)""".stripMargin
+
+  private val sim19Oracle =
+    s"""WITH ${augSigCtes(MipsBits, MipsTables)},
+       |$mipsBucketPairsCte
+       |SELECT query_id, cand_id, dot, rank FROM (
+       |  SELECT query_id, cand_id, ROUND(dot, 4) AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot, 4) DESC, cand_id) AS rank
+       |  FROM bpairs) t
+       |WHERE rank <= 5""".stripMargin
+
+  // ---- sim20: MIPS recall@5 — the sim11-shaped report that closes
+  //      the norm-augmentation loop: how much of sim16's exact raw-dot
+  //      top-5 does the bucketed path recover, per query? The oracle
+  //      re-derives BOTH pipelines (all-pairs exact MIPS + the
+  //      augmented-signature bucketed one) and counts the overlap, so
+  //      the recall number gates end-to-end against an independent
+  //      engine, not the engine's own dumps. ----
+  private def sim20(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+      Similarity.dotTopK(emb(spark, dir), queriesDf(spark, dir), k = 5),
+      Similarity.mipsLshTopK(emb(spark, dir), queriesDf(spark, dir), k = 5,
+        dim = Dim, bits = MipsBits, tables = MipsTables),
+      k = 5)
+
+  private val sim20Oracle =
+    s"""WITH ${augSigCtes(MipsBits, MipsTables)},
+       |$mipsBucketPairsCte,
+       |allp AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+       |  GROUP BY query_id, cand_id),
+       |exact5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(dot, 4) DESC, cand_id) AS rank
+       |    FROM allp) t
+       |  WHERE rank <= 5),
+       |approx5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(dot, 4) DESC, cand_id) AS rank
+       |    FROM bpairs) t
+       |  WHERE rank <= 5)
+       |SELECT e.query_id, COUNT(a.cand_id) AS n_hit,
+       |  COUNT(a.cand_id) / 5.0 AS recall
+       |FROM exact5 e
+       |LEFT JOIN approx5 a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
+  // ---- sim21: the bucketed funnel — sim18 with stage 1 restricted to
+  //      prefix-LSH bucket-mates (4-bit seeded hyperplanes over the
+  //      16-dim prefix), stage 2 the SAME exact full-width rerank.
+  //      At 100 TB stage 1 is prefix-width AND sub-quadratic; stage 2
+  //      still touches full vectors only for shortlisted ids
+  //      (PlanShapeSpec pins the shortlist broadcast). The oracle
+  //      unrolls prefix signatures, bucket-mate prefix cosine,
+  //      shortlist, and the exact rerank. ----
+  private val PrefixBits = 4
+  private val PrefixTables = 9
+  private val PrefixDim = 16
+
+  private def sim21(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prefixRerankLshTopK(emb(spark, dir), queriesDf(spark, dir),
+      prefixDim = PrefixDim, shortlist = 20, k = 5, bits = PrefixBits,
+      tables = PrefixTables)
+
+  /** Multi-table prefix-vector signatures + OR-admission: the sim02
+    * rendering over the FIRST `PrefixDim` element terms, one UNION ALL
+    * branch per `PrefixDim`-dim plane family (seed 42+t). */
+  private def prefixSigCtes(bits: Int, tables: Int): String = {
+    val branches = (0 until tables).map { t =>
+      s"""SELECT vec_id, $t AS tab, (${sigSql(
+        Similarity.hyperplanes(PrefixDim, bits, 42L + t),
+        embTerms(PrefixDim))}) AS bucket FROM embeddings""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""psig AS (
+       |  $branches),
+       |padm AS (
+       |  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS cand_id
+       |  FROM psig sq
+       |  JOIN psig sc ON sc.tab = sq.tab AND sc.bucket = sq.bucket
+       |  WHERE sq.vec_id < 10 AND sc.vec_id <> sq.vec_id)""".stripMargin
+  }
+
+  /** sim21's stage-1 + shortlist + exact-rerank CTE chain (shared by
+    * the sim21 gate and sim22's recall oracle): `lshort` is the
+    * bucket-admitted prefix shortlist, `lfull` the reranked scores. */
+  private val prefixLshFunnelCtes =
+    s"""lpre AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+       |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+       |    SELECT a.query_id, a.cand_id,
+       |      CAST(q.embedding[u.d] AS DOUBLE) AS qx,
+       |      CAST(c.embedding[u.d] AS DOUBLE) AS cx
+       |    FROM padm a
+       |    JOIN embeddings q ON q.vec_id = a.query_id
+       |    JOIN embeddings c ON c.vec_id = a.cand_id,
+       |      (SELECT UNNEST(range(1, ${PrefixDim + 1})) AS d) u) z
+       |  GROUP BY query_id, cand_id),
+       |lshort AS (
+       |  SELECT query_id, cand_id, pre_rank FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS pre_rank
+       |    FROM lpre) t
+       |  WHERE pre_rank <= 20),
+       |lfull AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+       |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+       |    SELECT s.query_id, s.cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM lshort s
+       |    JOIN embeddings q ON q.vec_id = s.query_id
+       |    JOIN embeddings c ON c.vec_id = s.cand_id) z
+       |  GROUP BY query_id, cand_id)""".stripMargin
+
+  private val sim21Oracle =
+    s"""WITH ${prefixSigCtes(PrefixBits, PrefixTables)},
+       |$prefixLshFunnelCtes
+       |SELECT f.query_id, f.cand_id, f.cosine, f.rank,
+       |  CAST(s.pre_rank AS INT) AS pre_rank FROM (
+       |  SELECT query_id, cand_id, ROUND(dot / (qn * cn), 4) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS INT) AS rank
+       |  FROM lfull) f
+       |JOIN lshort s ON s.query_id = f.query_id AND s.cand_id = f.cand_id
+       |WHERE f.rank <= 5""".stripMargin
+
+  // ---- sim22: funnel recall@5 — the bucketed funnel (sim21) scored
+  //      against the exact funnel (sim18): how many of the exact
+  //      funnel's top-5 survive when stage 1 admits only prefix-LSH
+  //      bucket-mates? The oracle re-derives BOTH funnels end-to-end
+  //      (exact prefix stage + rerank; bucketed prefix stage + rerank)
+  //      and counts the overlap. ----
+  private def sim22(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+      Similarity.prefixRerankTopK(emb(spark, dir), queriesDf(spark, dir),
+        prefixDim = PrefixDim, shortlist = 20, k = 5),
+      Similarity.prefixRerankLshTopK(emb(spark, dir), queriesDf(spark, dir),
+        prefixDim = PrefixDim, shortlist = 20, k = 5, bits = PrefixBits,
+        tables = PrefixTables),
+      k = 5)
+
+  private val sim22Oracle =
+    s"""WITH ${prefixSigCtes(PrefixBits, PrefixTables)},
+       |$prefixLshFunnelCtes,
+       |epre AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+       |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(q.embedding[u.d] AS DOUBLE) AS qx,
+       |      CAST(c.embedding[u.d] AS DOUBLE) AS cx
+       |    FROM embeddings q, embeddings c,
+       |      (SELECT UNNEST(range(1, ${PrefixDim + 1})) AS d) u
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+       |  GROUP BY query_id, cand_id),
+       |eshort AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS pre_rank
+       |    FROM epre) t
+       |  WHERE pre_rank <= 20),
+       |efull AS (
+       |  SELECT query_id, cand_id, SUM(qx * cx) AS dot,
+       |    SQRT(SUM(qx * qx)) AS qn, SQRT(SUM(cx * cx)) AS cn FROM (
+       |    SELECT s.query_id, s.cand_id,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM eshort s
+       |    JOIN embeddings q ON q.vec_id = s.query_id
+       |    JOIN embeddings c ON c.vec_id = s.cand_id) z
+       |  GROUP BY query_id, cand_id),
+       |exact5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS rank
+       |    FROM efull) t
+       |  WHERE rank <= 5),
+       |approx5 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(dot / (qn * cn), 4) DESC, cand_id) AS rank
+       |    FROM lfull) t
+       |  WHERE rank <= 5)
+       |SELECT e.query_id, COUNT(a.cand_id) AS n_hit,
+       |  COUNT(a.cand_id) / 5.0 AS recall
+       |FROM exact5 e
+       |LEFT JOIN approx5 a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim01_ann_cosine", sim01, Some(sim01Oracle), headline = true),
     GraftQuery("sim02_lsh_ann", sim02, Some(sim02Oracle), headline = true),
@@ -934,5 +1210,9 @@ object SimilarityQueries {
     GraftQuery("sim15_radius_search", sim15, Some(sim15Oracle)),
     GraftQuery("sim16_mips_topk", sim16, Some(sim16Oracle)),
     GraftQuery("sim17_label_outliers", sim17, Some(sim17Oracle)),
-    GraftQuery("sim18_prefix_rerank", sim18, Some(sim18Oracle)))
+    GraftQuery("sim18_prefix_rerank", sim18, Some(sim18Oracle)),
+    GraftQuery("sim19_mips_lsh", sim19, Some(sim19Oracle)),
+    GraftQuery("sim20_mips_recall", sim20, Some(sim20Oracle)),
+    GraftQuery("sim21_prefix_lsh", sim21, Some(sim21Oracle)),
+    GraftQuery("sim22_funnel_recall", sim22, Some(sim22Oracle)))
 }

@@ -404,7 +404,7 @@ object TextQueries {
   private def tx15(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, stats) = Dedup.nearDupPairsWithStats(
       Tables.documents(spark, dir), "doc_id", "text", minJaccard = 0.7)
-    stats.crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+    stats.crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
       .select("capped_buckets", "dropped_rows", "n_pairs")
   }
 

@@ -91,8 +91,20 @@ object Similarity {
           scale).as("cosine"))
     val short = rankTopK(stage1, shortlist)
       .select(col("query_id"), col("cand_id"), col("rank").as("pre_rank"))
-    // the shortlist is queries×shortlist rows: IT broadcasts into the
-    // candidate table, so the full-width read touches only short ids
+    rerankShortlist(candidates, queries, short, k, scale)
+  }
+
+  /** Stage 2 of the funnel searches: exact full-dimension cosine over a
+    * `(query_id, cand_id, pre_rank)` shortlist. The shortlist is
+    * queries×shortlist rows — IT broadcasts into the candidate table,
+    * so the full-width read touches only shortlisted ids and the
+    * corpus is never re-scanned at full width for ranks stage 1
+    * already excluded. Shared by the exact-stage-1 funnel
+    * ([[prefixRerankTopK]]) and the bucketed one
+    * ([[prefixRerankLshTopK]]), so both rerank bit-identically. */
+  private def rerankShortlist(candidates: DataFrame, queries: DataFrame,
+                              short: DataFrame, k: Int,
+                              scale: Int): DataFrame = {
     val rerank = candidates
       .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
@@ -103,11 +115,144 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("pre_rank"),
         round(cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")),
           scale).as("cosine"))
+    // both sides are queries×k / queries×shortlist rows — the pre_rank
+    // attach is a metadata-sized broadcast, never a shuffled join
     rankTopK(rerank.select(col("query_id"), col("cand_id"), col("cosine")), k)
-      .join(rerank.select(col("query_id"), col("cand_id"), col("pre_rank")),
-        Seq("query_id", "cand_id"))
+      .join(broadcast(rerank.select(col("query_id"), col("cand_id"),
+        col("pre_rank"))), Seq("query_id", "cand_id"))
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"),
         col("pre_rank"))
+  }
+
+  /** The `tables` independent seeded signature columns of a
+    * multi-table LSH index (seed 42+t for table t — disjoint plane
+    * families, the OR-amplification every production LSH deployment
+    * runs: one table's bucket boundary slicing between two near
+    * vectors is recovered by any OTHER table bucketing them together,
+    * so recall is 1 − Π(1 − pᵇ) instead of a single pᵇ). */
+  private def multiSignatures(vec: Column, dim: Int, bits: Int,
+                              tables: Int): Column =
+    array((0 until tables).map(t =>
+      hyperplaneSignature(vec, dim, bits, seed = 42L + t)): _*)
+
+  /**
+   * Multi-table LSH admission: the DISTINCT (query_id, cand_id) pairs
+   * sharing at least one table's bucket. `cand`/`q` carry
+   * (cand_id|query_id, hash-input vector). The scale-critical shape:
+   * only NARROW (id, table, bucket) rows ever shuffle — vectors stay
+   * in the scan; the query side's signatures broadcast; and the
+   * admitted pair set (per-query bucket-bounded when `bits` is sized
+   * to the corpus) is what flows back — tx22's verified-candidate
+   * broadcast discipline applied to vector search.
+   */
+  private def lshAdmit(cand: DataFrame, q: DataFrame, dim: Int, bits: Int,
+                       tables: Int): DataFrame = {
+    val cSig = cand.select(col("cand_id"),
+        posexplode(multiSignatures(col("hvec"), dim, bits, tables))
+          .as(Seq("tab", "bucket")))
+    val qSig = q.select(col("query_id"),
+        posexplode(multiSignatures(col("hvec"), dim, bits, tables))
+          .as(Seq("tab", "bucket")))
+    cSig.join(broadcast(qSig), Seq("tab", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+  }
+
+  /**
+   * The BUCKETED funnel: [[prefixRerankTopK]] with stage 1 restricted
+   * to multi-table prefix-LSH mates — the composition that takes the
+   * Matryoshka retrieval to 100 TB. Stage-1 signatures hash the PREFIX
+   * vector (prefixDim dims, `tables` independent `bits`-plane families
+   * — the truncated frame quantizes/buckets like any vector), so the
+   * corpus-wide pass is both prefix-width (the funnel saving) AND
+   * sub-quadratic (the LSH saving): per query, only bucket-mates are
+   * prefix-scored at all, and only narrow signature rows shuffle.
+   * Stage 2 is the SAME exact full-width rerank as the anchor funnel
+   * ([[rerankShortlist]] — the shortlist broadcasts into the
+   * full-width read), so the two variants differ only in stage-1
+   * admission and their top-k overlap (sim22) measures exactly the
+   * bucketing's recall cost.
+   */
+  def prefixRerankLshTopK(candidates: DataFrame, queries: DataFrame,
+                          prefixDim: Int, shortlist: Int, k: Int,
+                          bits: Int, tables: Int,
+                          scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("pvec", slice(col("cvec"), 1, prefixDim))
+      .withColumn("pnorm", l2Norm(col("pvec")))
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qpvec", slice(col("qvec"), 1, prefixDim))
+      .withColumn("qpnorm", l2Norm(col("qpvec")))
+    val admitted = lshAdmit(
+      cand.select(col("cand_id"), col("pvec").as("hvec")),
+      q.select(col("query_id"), col("qpvec").as("hvec")),
+      prefixDim, bits, tables)
+    val stage1 = cand.join(broadcast(admitted), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qpvec"), col("pvec"), col("qpnorm"), col("pnorm")),
+          scale).as("cosine"))
+    val short = rankTopK(stage1, shortlist)
+      .select(col("query_id"), col("cand_id"), col("rank").as("pre_rank"))
+    rerankShortlist(candidates, queries, short, k, scale)
+  }
+
+  /**
+   * The BUCKETED MIPS path: [[dotTopK]]'s raw-dot ranking through the
+   * multi-table LSH machinery via the standard norm-augmentation
+   * reduction (Bachrach et al., "Speeding up the Xbox recommender"):
+   * append `sqrt(M² − ‖x‖²)` to every candidate (M = the corpus max
+   * norm) and `0` to every query, and the augmented cosine becomes
+   * `dot(q, x) / (‖q‖ · M)` — monotone in the raw dot product — so
+   * hyperplane buckets over the augmented vectors group by
+   * inner-product affinity and the bucketed cosine machinery carries
+   * MIPS unchanged. Admission is bucket-restricted ([[lshAdmit]],
+   * OR over `tables` plane families); SCORING is the exact `dim`-dim
+   * dot (the augmented coordinate cancels against the query's 0), so
+   * results are a subset of [[dotTopK]]'s exact ranking and the top-k
+   * overlap (sim20) measures pure bucket recall.
+   *
+   * Scale shape: ‖x‖² is one map-side expression; M² is a 1-row
+   * aggregate broadcast back into the scan (never a driver collect);
+   * signatures shuffle as narrow (id, table, bucket) rows; scoring is
+   * map-only on the admitted-pair broadcast; only (query, cand, dot)
+   * triples reach the bounded-heap top-k. Determinism: ‖x‖² is the
+   * sequential-fold dot (bit-reproducible), MAX is order-free, sqrt
+   * is one IEEE op, and each signature fold is the same ±1 chain as
+   * sim02 — so an independent engine re-derives the exact buckets
+   * from the rendered plane literals (sim19's oracle does).
+   */
+  def mipsLshTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                  bits: Int, tables: Int, scale: Int = 4): DataFrame = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+    val m2 = cand.agg(max(col("cn2")).as("m2"))
+    val aug = cand.crossJoin(broadcast(m2))
+      .withColumn("avec",
+        concat(col("cvec"), array(sqrt(col("m2") - col("cn2")))))
+    // the query's augmented coordinate is 0: its plane terms are ±0.0,
+    // which cannot change any signature bit (x ± 0.0 = x, and the two
+    // zeros both fail the > 0 test) — so the query hashes its RAW
+    // vector against the first `dim` components of the same planes
+    val q = queries
+      .select(col("id").as("query_id"), toDoubleVec(col("vec")).as("qvec"))
+    val admitted = lshAdmit(
+      aug.select(col("cand_id"), col("avec").as("hvec")),
+      q.select(col("query_id"),
+        concat(col("qvec"), array(lit(0.0))).as("hvec")),
+      dim + 1, bits, tables)
+    val scored = cand.join(broadcast(admitted), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qvec"), col("cvec")), scale).as("dot"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("dot"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair._2").as("cand_id"),
+        col("pair._1").as("dot"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /**

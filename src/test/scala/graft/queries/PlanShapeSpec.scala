@@ -26,6 +26,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sim18/sim21: stage 2's full-width read is shortlist-pruned (broadcast), never a corpus shuffle") {
+    // the funnel contract: the corpus is re-read at full width ONLY for
+    // shortlisted ids — the queries×shortlist frame broadcasts INTO the
+    // candidate scan. A SortMergeJoin anywhere means the full-width
+    // corpus shuffled for ranks stage 1 already excluded.
+    for (name <- Seq("sim18_prefix_rerank", "sim21_prefix_lsh")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: shortlist must broadcast into the full-width read:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: corpus-side shuffle crept into the rerank:\n$p")
+    }
+  }
+
+  test("sim19: MIPS admission and scoring broadcast — vectors never shuffle") {
+    // multi-table admission shuffles only narrow (id, tab, bucket) rows
+    // (via the query-side broadcast) and the admitted-pair set
+    // broadcasts back into the corpus scan; M² is a 1-row broadcast,
+    // not a collect. Any SortMergeJoin means vectors hit an exchange.
+    val p = plan("sim19_mips_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"admitted pairs must broadcast into the scoring scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"M² must ride a 1-row broadcast crossJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vector-side shuffle crept into the MIPS path:\n$p")
+  }
+
   test("bucketed join plans without any exchange") {
     val joined = StorageQueries.bucketedJoin(spark, dir)
     val p = joined.queryExecution.executedPlan.toString

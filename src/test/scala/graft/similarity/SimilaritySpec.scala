@@ -202,4 +202,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("cosine") == exact(cid)) // scores are exact, recall is not
     }
   }
+
+  test("bucketed MIPS: exact dots, subset of the raw-dot ranking, recall floor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    val exactAll = Similarity.dotTopK(emb, q, k = 200).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("dot")).toMap
+    val exact5 = Similarity.dotTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val approx = Similarity.mipsLshTopK(emb, q, k = 5, dim = 64,
+      bits = 4, tables = 12).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      // every admitted pair scores with the EXACT raw dot — the bucket
+      // only gates admission, never the arithmetic
+      exactAll.get(key).foreach(d => assert(r.getAs[Double]("dot") == d))
+    }
+    val hit = approx.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet & exact5
+    val recall = hit.size.toDouble / exact5.size
+    // seeded data + seeded planes → a fixed number; 12 OR-tables keep
+    // a solid majority of the exact MIPS top-5 even on unclustered data
+    assert(recall >= 0.5, s"MIPS-LSH recall $recall below seeded floor")
+  }
+
+  test("bucketed funnel: rerank scores are the exact full-dim cosines; recall floor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    val exactCos = Similarity.bruteForceTopK(emb, q, k = 200).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val exactFunnel = Similarity.prefixRerankTopK(emb, q,
+        prefixDim = 16, shortlist = 20, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val approx = Similarity.prefixRerankLshTopK(emb, q,
+      prefixDim = 16, shortlist = 20, k = 5, bits = 4, tables = 9).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      // stage 2 is the exact full-width rerank: its cosine must be the
+      // brute-force cosine bit-for-bit for every surviving pair
+      exactCos.get(key).foreach(c => assert(r.getAs[Double]("cosine") == c))
+      val pr = r.getAs[Int]("pre_rank")
+      assert(pr >= 1 && pr <= 20, s"pre_rank $pr outside the shortlist")
+    }
+    val hit = approx.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet & exactFunnel
+    val recall = hit.size.toDouble / exactFunnel.size
+    assert(recall >= 0.5, s"funnel-LSH recall $recall below seeded floor")
+  }
 }

@@ -54,6 +54,10 @@ EXCLUDE_SF01_SWEEP = {
     # sim18's stage-1 oracle is the same all-pairs scan at prefix width
     "sim11_ann_recall", "sim13_knn_label", "sim15_radius_search",
     "sim16_mips_topk", "sim18_prefix_rerank",
+    # sim20/sim22 embed the same all-pairs exact-truth CTEs (MIPS /
+    # exact-funnel recall baselines); their bucketed halves (sim19,
+    # sim21) gate at sf0.1 and 10x
+    "sim20_mips_recall", "sim22_funnel_recall",
     # tx41 scores LSH pairs against tx13's brute-force truth
     "tx41_dedup_eval",
     # tx20's oracle closes duplicate clusters with an iterative
