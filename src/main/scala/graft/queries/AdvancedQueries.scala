@@ -1430,9 +1430,15 @@ object AdvancedQueries {
   //      nation's customers over the q43 purchase graph, within 4
   //      hops. The engine runs the frontier algorithm (per-round work
   //      proportional to the frontier, settled set append-only,
-  //      [[graft.graph.Bfs]]); the oracle re-expands the ENTIRE
-  //      reached set each round and min-folds — naive but obviously
-  //      correct, and identical after the same round count. Seeds are
+  //      [[graft.graph.Bfs]]); the oracle is the LAYERED min-fold
+  //      (r15): each round expands only the newest layer, so the
+  //      DuckDB replay walks each edge once instead of rounds× — that
+  //      bought the 10x gate the naive fold's measured 556 s denied
+  //      (layered: 75 s at ~12M directed edges, most of it the shared
+  //      DISTINCT-pairs CTE). Independence is kept
+  //      two ways: BfsSpec pins frontier ≡ naive fold ≡ layered SQL
+  //      on randomized graphs, and the oracle still min-folds in SQL
+  //      rather than mirroring the anti-join frontier loop. Seeds are
   //      all nation-0 customers (order-less ones stay isolated at
   //      distance 0 on both sides). ----
   private def q53(spark: SparkSession, dir: String): DataFrame = {
@@ -1465,7 +1471,7 @@ object AdvancedQueries {
        |d0 AS (
        |  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
        |  FROM customer WHERE c_nationkey = 0),
-       |${graft.graph.Bfs.oracleIterCtes(4)}
+       |${graft.graph.Bfs.oracleLayeredCtes(4)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
        |  node // 2 AS key, dist
        |FROM d4""".stripMargin

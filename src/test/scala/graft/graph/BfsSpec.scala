@@ -42,5 +42,35 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
       ref = grown.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
     }
     assert(dists(edges, seeds, rounds) == ref)
+    // the naive-fold SQL rendering (the formulation the layered oracle
+    // is proved against) agrees with the same hand-rolled reference
+    edges.toDF("src", "dst").createOrReplaceTempView("edges")
+    seeds.distinct.toDF("node")
+      .selectExpr("node", "CAST(0 AS BIGINT) AS dist")
+      .createOrReplaceTempView("d0")
+    val naiveSql = spark.sql(
+        s"WITH ${Bfs.oracleIterCtes(rounds)} SELECT node, dist FROM d$rounds")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(naiveSql == ref)
+  }
+
+  test("layered min-fold SQL equals the frontier algorithm on a random graph") {
+    // the 10x-tier oracle formulation: expand only the newest layer
+    // each round (oracleLayeredCtes) — pinned here against the
+    // frontier engine in-engine, so the cheap SQL the DuckDB gate runs
+    // is itself gated by the algorithm it gates
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .distinct
+    val seeds = Seq(0L, 23L)
+    val rounds = 4
+    edges.toDF("src", "dst").createOrReplaceTempView("edges")
+    seeds.distinct.toDF("node")
+      .selectExpr("node", "CAST(0 AS BIGINT) AS dist")
+      .createOrReplaceTempView("d0")
+    val layered = spark.sql(
+        s"WITH ${Bfs.oracleLayeredCtes(rounds)} SELECT node, dist FROM d$rounds")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layered == dists(edges, seeds, rounds))
   }
 }
