@@ -1287,6 +1287,118 @@ object QualityQueries {
        |FROM y""".stripMargin
   }
 
+  // ---- dq23: portable mergeable HLL distinct sketch — the ingestion
+  //      duplicate audit at warehouse scale: how many DISTINCT event
+  //      ids arrived vs rows ingested, answered from a sketch whose
+  //      registers are plain rows (graft.quality.Hll). The production
+  //      shape is daily register shards merged by MAX — history is
+  //      never rescanned when a new day lands — and the gate proves
+  //      the merge IS the sketch: per-bucket daily-merged registers
+  //      equal the direct single-pass registers cell-exactly, in BOTH
+  //      engines (unlike dq02's approx_count_distinct, whose HLL++
+  //      state is engine-private and only a bound boolean can gate).
+  //      The direct registers and the exact distinct are verification
+  //      scaffolding in the dq02 sense: at 100 TB only the daily
+  //      shards and the register-max merge run. The estimate is one
+  //      IEEE division of two exactly-agreed numbers (integer-scaled
+  //      harmonic sum; constant numerator literal shared with the
+  //      oracle via Hll.EstimatorConstLiteral). ----
+  /** dq23's stateful half, shared with the streaming twin (st32):
+    * day-sharded HLL registers — the per-(day, bucket) MAX rank frame
+    * a stream maintains as fold-order-free state (days × 256 rows,
+    * bounded by the calendar, not by event volume). */
+  private[graft] def hllDailyRegisters(events: DataFrame): DataFrame = {
+    import graft.quality.Hll
+    events
+      .select(to_date(col("ts")).as("day"),
+        Hll.hashHex(col("event_id")).as("h"))
+      .select(col("day"), Hll.bucketOf(col("h")).as("bucket"),
+        Hll.rankOf(col("h")).as("rank"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** dq23's report over an already-maintained daily-register frame —
+    * register-max merge, 256-bucket spine, integer-scaled harmonic
+    * sum, one IEEE division, plus the verification scaffolding legs
+    * (direct one-pass registers and the exact distinct) recomputed
+    * from `events`. Shared verbatim with st32, which drains `daily`
+    * from streaming state. */
+  private[graft] def hllReportFromDaily(spark: SparkSession, daily: DataFrame,
+      events: DataFrame): DataFrame = {
+    import graft.quality.Hll
+    val merged = daily.groupBy(col("bucket")).agg(max(col("r")).as("reg_merged"))
+    val direct = events
+      .select(Hll.hashHex(col("event_id")).as("h"))
+      .select(Hll.bucketOf(col("h")).as("bucket"), Hll.rankOf(col("h")).as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
+    val spine = spark.range(0, Hll.M.toLong)
+      .select(col("id").cast(IntegerType).as("bucket"))
+    val regs = spine
+      .join(direct, Seq("bucket"), "left")
+      .join(merged, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("reg"), lit(0)).as("reg"),
+        coalesce(col("reg_merged"), lit(0)).as("reg_merged"))
+    val summary = regs.agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.RankCap} - reg)"))
+          .as("sum_inv_scaled"))
+      .select(col("sum_inv_scaled"),
+        (lit(Hll.EstimatorConst) / col("sum_inv_scaled").cast("double"))
+          .as("hll_estimate"))
+    val exact = events.agg(
+      countDistinct(col("event_id")).as("exact_distinct"),
+      count(lit(1)).as("n_rows"))
+    regs.crossJoin(broadcast(summary)).crossJoin(broadcast(exact))
+      .withColumn("within_3rsd",
+        abs(col("hll_estimate") - col("exact_distinct").cast("double")) <=
+          lit(Hll.Bound3Rsd) * col("exact_distinct").cast("double"))
+  }
+
+  private def dq23(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    hllReportFromDaily(spark, hllDailyRegisters(ev), ev)
+  }
+
+  private[graft] val dq23Oracle = {
+    import graft.quality.Hll
+    s"""WITH h AS (
+       |  SELECT md5('hll:' || CAST(event_id AS VARCHAR)) AS h,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |r AS (
+       |  SELECT day, CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+       |    ${Hll.rankSql("h")} AS rank
+       |  FROM h),
+       |daily AS (SELECT day, bucket, MAX(rank) AS r FROM r GROUP BY 1, 2),
+       |merged AS (SELECT bucket, MAX(r) AS reg_merged FROM daily GROUP BY 1),
+       |direct AS (SELECT bucket, MAX(rank) AS reg FROM r GROUP BY 1),
+       |spine AS (SELECT UNNEST(generate_series(0, ${Hll.M - 1})) AS bucket),
+       |regs AS (
+       |  SELECT CAST(s.bucket AS INTEGER) AS bucket,
+       |    CAST(COALESCE(d.reg, 0) AS INTEGER) AS reg,
+       |    CAST(COALESCE(m.reg_merged, 0) AS INTEGER) AS reg_merged
+       |  FROM spine s
+       |  LEFT JOIN direct d ON d.bucket = s.bucket
+       |  LEFT JOIN merged m ON m.bucket = s.bucket),
+       |summ AS (
+       |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (${Hll.RankCap} - reg)) AS BIGINT)
+       |    AS sum_inv_scaled FROM regs),
+       |ex AS (SELECT COUNT(DISTINCT event_id) AS exact_distinct,
+       |  COUNT(*) AS n_rows FROM events),
+       |est AS (
+       |  SELECT sum_inv_scaled,
+       |    ${Hll.EstimatorConstLiteral} / CAST(sum_inv_scaled AS DOUBLE)
+       |      AS hll_estimate
+       |  FROM summ)
+       |SELECT regs.bucket, regs.reg, regs.reg_merged, est.sum_inv_scaled,
+       |  est.hll_estimate, ex.exact_distinct, ex.n_rows,
+       |  ABS(est.hll_estimate - CAST(ex.exact_distinct AS DOUBLE)) <=
+       |    ${Hll.Bound3RsdLiteral} * CAST(ex.exact_distinct AS DOUBLE)
+       |    AS within_3rsd
+       |FROM regs, est, ex""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1309,5 +1421,6 @@ object QualityQueries {
     GraftQuery("dq19_modal_values", dq19, Some(dq19Oracle)),
     GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)),
     GraftQuery("dq21_fd_audit", dq21, Some(dq21Oracle)),
-    GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)))
+    GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)),
+    GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle)))
 }

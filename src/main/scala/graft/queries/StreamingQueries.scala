@@ -309,5 +309,12 @@ object StreamingQueries {
     // fold-order-free) and the Welch-t / z readout is the shared
     // abFromMoments view over the drained state
     GraftQuery("st31_stream_ab_readout",
-      EventStream.abReadoutReplay, Some(QualityQueries.dq22Oracle)))
+      EventStream.abReadoutReplay, Some(QualityQueries.dq22Oracle)),
+    // st32 carries dq23's oracle verbatim: the stream maintains the
+    // day-sharded HLL registers (per-(day, bucket) MAX — fold-order-
+    // free, calendar-bounded state) and the merge/spine/estimate
+    // report is the shared hllReportFromDaily view over the drained
+    // registers — incremental cardinality without rescanning the past
+    GraftQuery("st32_stream_hll_sketch",
+      EventStream.hllSketchReplay, Some(QualityQueries.dq23Oracle)))
 }

@@ -2002,6 +2002,66 @@ object TextQueries {
       |    / CAST(CAST(2 * c.c * (tot.tt - c.c) AS BIGINT) AS DOUBLE) AS tvd
       |FROM terms JOIN c USING (source) CROSS JOIN tot""".stripMargin
 
+  // ---- tx47: vocabulary-growth (Heaps' law) curve — the is-more-data-
+  //      still-worth-ingesting readout: partition the corpus into ten
+  //      deterministic identity-keyed slices (the tx19 md5 trick, so
+  //      the curve is a pure function of document identity, stable
+  //      under reruns and repartitioning), and count how many DISTINCT
+  //      bigrams appear for the FIRST time in each slice. A healthy
+  //      growing corpus keeps minting new vocabulary (Heaps' law,
+  //      n_new ~ K·N^beta); a saturated or template-dominated one goes
+  //      flat — the curve is the standard value-of-data diagnostic
+  //      before paying for another crawl. Bigram grain, not word
+  //      grain: the fixtures draw words from a closed lexicon, so the
+  //      word curve saturates in slice 0 by construction, while the
+  //      combinatorial bigram space keeps growing — exactly the
+  //      template-vs-novelty contrast the curve exists to show (and
+  //      the same grain tx27's corpus-health n-grams use). Scale
+  //      shape: shingling is the native map-side expression;
+  //      first-slice-per-bigram is ONE vocabulary-grain exchange
+  //      (groupBy gram, MIN slice — map-side partial min collapses
+  //      each partition to its distinct grams first); the per-slice
+  //      counts, the ten-row spine (slices with zero new vocabulary
+  //      stay on the curve as explicit zeros), and the cumulative sum
+  //      all run over TEN rows. Nothing corpus-sized shuffles. ----
+  private def tx47(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .select(
+        pmod(conv(substring(md5(concat(lit("growth:"),
+          col("doc_id").cast(StringType))), 1, 4), 16, 10).cast(IntegerType),
+          lit(10)).as("slice"),
+        explode(Dedup.shingles(col("text"), w = 2)).as("gram"))
+      .filter(col("gram").isNotNull)
+    val first = grams.groupBy(col("gram")).agg(min(col("slice")).as("slice"))
+    val perSlice = first.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    spark.range(0, 10).select(col("id").cast(IntegerType).as("slice"))
+      .join(perSlice, Seq("slice"), "left")
+      .select(col("slice"), coalesce(col("n"), lit(0L)).as("new_grams"))
+      .withColumn("cum_vocab",
+        sum(col("new_grams")).over(
+          Window.orderBy(col("slice")).rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+  }
+
+  private val tx47Oracle =
+    """WITH b AS (
+      |  SELECT CAST(('0x' || substr(md5('growth:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 AS slice,
+      |    str_split(text, ' ') AS ts
+      |  FROM documents),
+      |g AS (SELECT slice, UNNEST(list_transform(range(1, len(ts)),
+      |        i -> ts[i] || ' ' || ts[i+1])) AS gram FROM b),
+      |f AS (SELECT gram, MIN(slice) AS slice FROM g GROUP BY 1),
+      |p AS (SELECT slice, COUNT(*) AS n FROM f GROUP BY 1),
+      |s AS (SELECT UNNEST(generate_series(0, 9)) AS slice),
+      |c AS (SELECT CAST(s.slice AS INTEGER) AS slice,
+      |        CAST(COALESCE(p.n, 0) AS BIGINT) AS new_grams
+      |      FROM s LEFT JOIN p ON p.slice = s.slice)
+      |SELECT slice, new_grams,
+      |  CAST(SUM(new_grams) OVER (ORDER BY slice ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_vocab
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -2055,6 +2115,7 @@ object TextQueries {
     GraftQuery("tx43_char_repetition", tx43, Some(tx43Oracle)),
     GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)),
     GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle), headline = true),
-    GraftQuery("tx46_bpe_compression", tx46, Some(tx46Oracle)))
+    GraftQuery("tx46_bpe_compression", tx46, Some(tx46Oracle)),
+    GraftQuery("tx47_vocab_growth", tx47, Some(tx47Oracle)))
 
 }

@@ -177,6 +177,37 @@ object EventStream {
   }
 
   /**
+   * st32: streaming distinct-count sketch — the stream maintains
+   * dq23's day-sharded HLL registers (per-(day, bucket) MAX rank; max
+   * is fold-order-free, so any micro-batch split drains to the batch
+   * registers bit-for-bit; state is calendar-bounded — 256 rows per
+   * day — never volume-bounded) in complete mode, and the
+   * merge/spine/estimate report is the shared `hllReportFromDaily`
+   * view over the drained state. The scaffolding legs (direct
+   * registers, exact distinct) recompute from the batch fixture
+   * exactly as in dq23 — they are the verification-only frame; the
+   * production answer derives entirely from register state. This is
+   * the incremental-cardinality monitor: "how many distinct ids so
+   * far" recomputable after every micro-batch by folding the register
+   * table, never by rescanning the stream's past. dq23's oracle
+   * carries verbatim.
+   */
+  def hllSketchReplay(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hll"
+    spark.catalog.dropTempView(name)
+    val q = graft.queries.QualityQueries
+      .hllDailyRegisters(readEvents(spark, s"$dir/events.parquet"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // localCheckpoint (eager), not cache — the report joins frames
+    // derived from the drained state (the st10/st25 lesson)
+    val daily = spark.table(name).localCheckpoint()
+    graft.queries.QualityQueries.hllReportFromDaily(spark, daily,
+      graft.sources.Tables.events(spark, dir))
+  }
+
+  /**
    * st27: streaming freshness monitor — the stream maintains dq18's
    * per-type (count, last-arrival) aggregates as its ONLY state
    * (complete mode; count sums and max are fold-order-free, so any

@@ -655,6 +655,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"non-vocabulary exchange [$k] in:\n$p"))
   }
 
+  test("dq23: register exchanges stay bucket-grain; merge and spine ride broadcasts") {
+    // the portable-HLL cost claim: the sketch pipeline's only
+    // row-scale work is the map-side md5 scan — every hash exchange
+    // carries register-grain (day/bucket) rows, except the exact
+    // countDistinct, which is the documented verification scaffolding
+    // (event_id-keyed); the spine joins and the 1-row summary/exact
+    // frames all broadcast
+    val p = plan("dq23_hll_sketch")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    keys.foreach(k => assert(
+      k.contains("bucket") || k.contains("day") || k.contains("event_id"),
+      s"non-register-grain exchange [$k] in:\n$p"))
+    assert(!p.contains("SortMergeJoin"),
+      s"spine/merge joins must broadcast:\n$p")
+    assert(p.contains("partial_max"),
+      s"register max must combine map-side before the exchange:\n$p")
+  }
+
+  test("tx47: one vocabulary-grain exchange; the curve stages are slice-grain") {
+    // Heaps-curve cost claim: the corpus-sized work is the map-side
+    // shingle explode; the only data-sized exchange is gram-keyed with
+    // a map-side partial MIN, and everything after is ten rows
+    val p = plan("tx47_vocab_growth")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.count(_.contains("gram")) == 1,
+      s"expected exactly one gram exchange:\n$p")
+    keys.filterNot(_.contains("gram")).foreach(k =>
+      assert(k.contains("slice"), s"non-slice curve exchange [$k] in:\n$p"))
+    assert(p.contains("partial_min"),
+      s"first-slice must combine map-side before the gram exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("every registry query name is unique and oracle column aliases are sane") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

@@ -62,9 +62,15 @@ EXCLUDE_SF01_SWEEP = {
     "tx41_dedup_eval",
     # tx20's oracle closes duplicate clusters with an iterative
     # label-propagation CTE: >20 min in DuckDB at sf0.1's 5k docs
-    # (killed; measured r14). The clustering machinery is additionally
-    # covered by mm10's cluster gate, which runs green at sf0.1 AND
-    # 10x (50.3 s oracle) over the same connectedComponents operator.
+    # (killed; measured r14). A cheaper formulation does not exist
+    # here the way it did for q53: the cost is dominated by PAIR
+    # DISCOVERY — the same quadratic a<b shingle self-join as tx13,
+    # the declared all-pairs anchor — not by the closure rounds, and
+    # any oracle that skips re-deriving the pairs would have to take
+    # the engine's own pair output as input (circular). The closure
+    # half IS gated at sf0.1 and 10x through mm10's cluster gate
+    # (50.3 s oracle), which runs the same connectedComponents
+    # operator over independently-derived pHash edges.
     "tx20_dedup_clusters",
     # q45's ORACLE closes triangles with the naive a<b<c wedge join —
     # 47 s in DuckDB at sf0.1 (1.2M edges); the Spark side is the
@@ -104,13 +110,13 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # the peeling operator itself is gated by KCoreSpec's adversarial
     # cascades plus the sf0.01 (11-round) and sf0.1 gates
     "q47_kcore",
-    # q53's oracle is the deliberately NAIVE min-fold (each round
-    # re-expands the ENTIRE reached set against the edge list) —
-    # measured 556 s at this tier's ~12M directed edges vs 1.1 s at
-    # sf0.1. The frontier engine side runs green here (gated once to
-    # measure, 2026-08-15); the op stays oracle-gated at sf0.01+sf0.1
-    # and BfsSpec pins frontier ≡ min-fold on randomized graphs.
-    "q53_bfs_reach",
+    # q53 was excluded here while its oracle was the NAIVE min-fold
+    # (556 s measured at ~12M directed edges); r15 switched the oracle
+    # to the LAYERED fold (each round expands only the newest layer —
+    # 75 s measured at the same tier, mostly the shared DISTINCT-pairs
+    # CTE) and promoted it in. BfsSpec pins frontier ≡ naive fold ≡
+    # layered SQL on randomized graphs, so the cheap formulation stays
+    # chained to the obviously-correct one.
 }
 
 # The 100x relational decade tier (two decades past the driver's gate):
@@ -156,6 +162,10 @@ INCLUDE_100X = {
     # its streamed twin drains the same 2 counter rows — the streaming
     # family's first 100x-gated entry (0.1 s oracle at 10M events)
     "st31_stream_ab_readout",
+    # r15 — the portable HLL's register pipeline is one md5 scan plus
+    # a (day, 256-bucket) aggregate; 100x events stress the scan and
+    # the shard-merge path at 10M ids (oracle is the same linear scan)
+    "dq23_hll_sketch",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
@@ -202,6 +212,10 @@ INCLUDE_CORPUS100 = {
     # r14 addition — the applied-merges compression curve (tx44's
     # inference half); 2.2 s oracle at 500k docs
     "tx46_bpe_compression",
+    # r15 — the Heaps'-law bigram vocabulary-growth curve: one
+    # vocabulary-grain MIN aggregate over the shingle explode, linear
+    # by construction (same gram pipeline as tx27, which gates here)
+    "tx47_vocab_growth",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
