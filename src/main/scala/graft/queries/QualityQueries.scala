@@ -1399,6 +1399,110 @@ object QualityQueries {
        |FROM regs, est, ex""".stripMargin
   }
 
+  // ---- dq24: portable mergeable Count-Min sketch — dq23's sibling
+  //      for the OTHER sketch question ("how often this key" instead
+  //      of "how many distinct keys"): per-user event frequencies
+  //      from a 4x64 counter matrix, the frequency-cap primitive a
+  //      dedup/mixture pipeline uses when exact per-key state would
+  //      itself be a key-domain-sized table. Day-sharded counters
+  //      merge by cell-wise SUM (exact integer associativity — the
+  //      gate proves merged == direct rather than assuming it), and
+  //      ten deterministic identity-drawn probe users are answered
+  //      from the MERGED matrix: estimate = min across the 4 rows,
+  //      with the sketch's one-sided error surfaced as an integer
+  //      `excess` column (estimate >= exact always; overshoot is
+  //      colliding mass, expected (N-n)/64 per row). No floating
+  //      point anywhere. Scale shape: the 4x explode is map-side;
+  //      counter exchanges are (day, r, c)-grain (256 cells x days);
+  //      the probe pick is a TakeOrdered top-10 over the user-grain
+  //      exact frame (itself verification scaffolding — production
+  //      ships only the counter shards). ----
+  private def dq24(spark: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Cms
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val hashed = ev
+      .select(col("day"), col("user_id"),
+        explode(array((0 until Cms.D).map(lit(_)): _*)).as("r"))
+      .withColumn("c", Cms.colOf(col("r"), col("user_id")))
+    val daily = hashed.groupBy(col("day"), col("r"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val merged = daily.groupBy(col("r"), col("c")).agg(sum(col("n")).as("n_merged"))
+    val direct = hashed.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_direct"))
+    val spine = spark.range(0, Cms.D.toLong)
+      .select(col("id").cast(IntegerType).as("r"))
+      .crossJoin(broadcast(spark.range(0, Cms.W.toLong)
+        .select(col("id").cast(IntegerType).as("c"))))
+    val cells = spine
+      .join(merged, Seq("r", "c"), "left")
+      .join(direct, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"))
+    val mergeOk = cells
+      .agg(min((col("n_merged") === col("n_direct")).cast(IntegerType)).as("mo"))
+      .select((col("mo") === 1).as("merge_ok"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact
+      .select(col("user_id"), col("exact_n"),
+        md5(concat(lit("probe:"), col("user_id").cast(StringType))).as("draw"))
+      .orderBy(col("draw"), col("user_id")).limit(10)
+    val est = probes
+      .select(col("user_id"), col("exact_n"),
+        explode(array((0 until Cms.D).map(lit(_)): _*)).as("r"))
+      .withColumn("c", Cms.colOf(col("r"), col("user_id")))
+      .join(broadcast(merged), Seq("r", "c"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("n_merged")).as("cms_est"))
+    est.select(col("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("excess"))
+      .crossJoin(broadcast(mergeOk))
+  }
+
+  private val dq24Oracle = {
+    import graft.quality.Cms
+    s"""WITH rr AS (SELECT UNNEST(generate_series(0, ${Cms.D - 1})) AS r),
+       |h AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id, rr.r,
+       |    ${Cms.colSql("rr.r", "user_id")} AS c
+       |  FROM events CROSS JOIN rr),
+       |daily AS (SELECT day, r, c, COUNT(*) AS n FROM h GROUP BY 1, 2, 3),
+       |merged AS (SELECT r, c, CAST(SUM(n) AS BIGINT) AS n_merged
+       |           FROM daily GROUP BY 1, 2),
+       |direct AS (SELECT r, c, COUNT(*) AS n_direct FROM h GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT rr.r AS r, cc.c AS c FROM rr
+       |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${Cms.W - 1})) AS c) cc),
+       |cells AS (
+       |  SELECT s.r, s.c, COALESCE(m.n_merged, 0) AS n_merged,
+       |    COALESCE(d.n_direct, 0) AS n_direct
+       |  FROM spine s
+       |  LEFT JOIN merged m ON m.r = s.r AND m.c = s.c
+       |  LEFT JOIN direct d ON d.r = s.r AND d.c = s.c),
+       |mok AS (
+       |  SELECT MIN(CASE WHEN n_merged = n_direct THEN 1 ELSE 0 END) = 1
+       |    AS merge_ok FROM cells),
+       |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1),
+       |probes AS (
+       |  SELECT user_id, exact_n FROM (
+       |    SELECT user_id, exact_n,
+       |      md5('probe:' || CAST(user_id AS VARCHAR)) AS draw
+       |    FROM exact) t
+       |  ORDER BY draw, user_id LIMIT 10),
+       |pc AS (
+       |  SELECT p.user_id, p.exact_n, rr.r,
+       |    ${Cms.colSql("rr.r", "p.user_id")} AS c
+       |  FROM probes p CROSS JOIN rr),
+       |est AS (
+       |  SELECT pc.user_id, pc.exact_n, MIN(m.n_merged) AS cms_est
+       |  FROM pc JOIN merged m ON m.r = pc.r AND m.c = pc.c
+       |  GROUP BY 1, 2)
+       |SELECT est.user_id, est.exact_n, CAST(est.cms_est AS BIGINT) AS cms_est,
+       |  CAST(est.cms_est - est.exact_n AS BIGINT) AS excess, mok.merge_ok
+       |FROM est, mok""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1422,5 +1526,6 @@ object QualityQueries {
     GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)),
     GraftQuery("dq21_fd_audit", dq21, Some(dq21Oracle)),
     GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)),
-    GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle)))
+    GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle)),
+    GraftQuery("dq24_cms_sketch", dq24, Some(dq24Oracle)))
 }

@@ -674,6 +674,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"register max must combine map-side before the exchange:\n$p")
   }
 
+  test("dq24: counter exchanges stay cell-grain; probe and merge ride broadcasts") {
+    // the CMS cost claim: the 4x row explode is map-side, counter
+    // exchanges carry (day, r, c)-grain cells, the user-grain
+    // exchanges belong to the exact/probe verification scaffolding,
+    // and the probe lookup broadcasts the 256-cell matrix
+    val p = plan("dq24_cms_sketch")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    keys.foreach(k => assert(
+      Seq("r#", "c#", "day", "user_id").exists(k.contains),
+      s"non-cell-grain exchange [$k] in:\n$p"))
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/merge joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"probe pick must be a distributed top-k, not a global sort:\n$p")
+  }
+
   test("tx47: one vocabulary-grain exchange; the curve stages are slice-grain") {
     // Heaps-curve cost claim: the corpus-sized work is the map-side
     // shingle explode; the only data-sized exchange is gram-keyed with
