@@ -1518,6 +1518,77 @@ object AdvancedQueries {
       |    AS p
       |FROM c""".stripMargin
 
+  // ---- q55: bitemporal snapshot — the two-axis time-travel contract
+  //      q44 (valid-time as-of) and io16 (transaction-time CDC travel)
+  //      each cover half of: "what did we BELIEVE at transaction time
+  //      TT about the state EFFECTIVE at valid time TV". Per key,
+  //      among versions recorded by TT (tx_from ≤ TT), take the
+  //      latest effective one (max valid_from ≤ TV), breaking ties by
+  //      latest knowledge (max tx_from) — the standard bitemporal
+  //      point-in-time read (Snodgrass; SQL:2011 system/application
+  //      time). The version table derives deterministically from
+  //      orders in both engines: the booked row, a LATE CORRECTION
+  //      landing 15 days after the fact for every third key, and a
+  //      FUTURE-DATED change (effective +30 days, recorded +1) for
+  //      every fifth — so the two gated snapshots (same TV, earlier
+  //      and later TT) visibly disagree exactly on late-arriving
+  //      knowledge. Scale shape: the union is three pruned passes of
+  //      one scan, each snapshot costs ONE key-grain exchange for its
+  //      row_number window (keys are high-cardinality — no hot task),
+  //      and the two snapshots union map-side. ----
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      to_date(col("o_orderdate")).as("od"),
+      (col("o_orderkey") % 1000).as("v0"))
+    val versions = o.select(col("k"), col("od").as("valid_from"),
+        col("od").as("tx_from"), col("v0").as("value"))
+      .unionByName(o.filter(col("k") % 3 === 0).select(col("k"),
+        col("od").as("valid_from"), date_add(col("od"), 15).as("tx_from"),
+        (col("v0") + 1).as("value")))
+      .unionByName(o.filter(col("k") % 5 === 0).select(col("k"),
+        date_add(col("od"), 30).as("valid_from"),
+        date_add(col("od"), 1).as("tx_from"), (col("v0") + 2).as("value")))
+    val tv = "1996-12-31"
+    def snap(label: String, tt: String): DataFrame = versions
+      .filter(col("valid_from") <= lit(tv) && col("tx_from") <= lit(tt))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("valid_from").desc, col("tx_from").desc)))
+      .filter(col("rn") === 1)
+      .select(lit(label).as("snap"), col("k"), col("value"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("tx_from"), "yyyy-MM-dd").as("tx_from"))
+    snap("as_known_then", tv).unionByName(snap("after_corrections", "1997-03-31"))
+  }
+
+  private val q55Oracle = {
+    def snapSql(label: String, tt: String) =
+      s"""SELECT '$label' AS snap, k, value,
+         |  CAST(valid_from AS VARCHAR) AS valid_from,
+         |  CAST(tx_from AS VARCHAR) AS tx_from
+         |FROM (
+         |  SELECT k, value, valid_from, tx_from,
+         |    ROW_NUMBER() OVER (PARTITION BY k
+         |      ORDER BY valid_from DESC, tx_from DESC) AS rn
+         |  FROM versions
+         |  WHERE valid_from <= DATE '1996-12-31' AND tx_from <= DATE '$tt') t
+         |WHERE rn = 1""".stripMargin
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+       |    o_orderkey % 1000 AS v0
+       |  FROM orders),
+       |versions AS (
+       |  SELECT k, od AS valid_from, od AS tx_from, v0 AS value FROM o
+       |  UNION ALL
+       |  SELECT k, od, od + 15, v0 + 1 FROM o WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT k, od + 30, od + 1, v0 + 2 FROM o WHERE k % 5 = 0)
+       |${snapSql("as_known_then", "1996-12-31")}
+       |UNION ALL
+       |${snapSql("after_corrections", "1997-03-31")}""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1555,5 +1626,6 @@ object AdvancedQueries {
     GraftQuery("q51_asof_tolerance", q51, Some(q51Oracle)),
     GraftQuery("q52_skyline", q52, Some(q52Oracle)),
     GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
-    GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true))
+    GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true),
+    GraftQuery("q55_bitemporal", q55, Some(q55Oracle)))
 }

@@ -674,6 +674,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"register max must combine map-side before the exchange:\n$p")
   }
 
+  test("q55: each bitemporal snapshot costs exactly one key-grain exchange") {
+    // the bitemporal read's claim: per snapshot, ONE hash exchange on
+    // the version key feeds the row_number window; the version union
+    // and the snapshot union are map-side
+    val p = plan("q55_bitemporal")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.size == 2 && keys.forall(_.contains("k#")),
+      s"expected two key-grain window exchanges, got $keys in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("dq24: counter exchanges stay cell-grain; probe and merge ride broadcasts") {
     // the CMS cost claim: the 4x row explode is map-side, counter
     // exchanges carry (day, r, c)-grain cells, the user-grain
