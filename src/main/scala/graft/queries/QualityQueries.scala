@@ -1503,6 +1503,112 @@ object QualityQueries {
        |FROM est, mok""".stripMargin
   }
 
+  // ---- dq25: bottom-k (KMV) set-operation estimates — the sketch
+  //      question neither sibling answers: HLL (dq23) can union but
+  //      NOT intersect, CMS (dq24) counts keys not sets. Bottom-k
+  //      signatures (k smallest hash values per set) merge by
+  //      min-union and yield union cardinality, Jaccard, and
+  //      intersection estimates — here cohort overlap: heavy
+  //      purchasers (≥14 purchase events) vs heavy clickers (≥14
+  //      clicks; the fixtures' users average ~13 events per type, so
+  //      the threshold carves real partial overlap — 69/71 marginals,
+  //      31 shared of 150 users at sf0.01), estimated from two
+  //      32-value signatures that independent shards could have built
+  //      without ever co-scanning the cohorts. The signatures gate
+  //      CELL-EXACT (52-bit md5-derived
+  //      values both engines compute from string ops); the estimators
+  //      are fixed expression trees over exactly-agreed integers
+  //      ((k-1)·2^52/kth for the union; shared/k of the union
+  //      signature for Jaccard; their product for the intersection).
+  //      Exact |A|/|B|/|A∩B|/|A∪B| ride along as verification
+  //      scaffolding, dq02-style. Scale shape: per-set distinct is
+  //      user-grain, the signature pick is a distributed TakeOrdered
+  //      top-k, and all set algebra happens on 32-row broadcasts. ----
+  private def dq25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.quality.Kmv
+    val ev = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(
+        sum((col("event_type") === "purchase").cast(LongType)).as("p"),
+        sum((col("event_type") === "click").cast(LongType)).as("c"))
+    def sig(member: Column): DataFrame = ev.filter(member)
+      .select(Kmv.valueOf(col("user_id")).as("v"))
+      .orderBy(col("v")).limit(Kmv.K)
+    val a = sig(col("p") >= 14)
+    val b = sig(col("c") >= 14)
+    val unionSig = a.unionByName(b).distinct().orderBy(col("v")).limit(Kmv.K)
+    val flagged = unionSig
+      .join(broadcast(a.select(col("v"), lit(1).as("ina"))), Seq("v"), "left")
+      .join(broadcast(b.select(col("v"), lit(1).as("inb"))), Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("ina"), lit(0)).as("in_a"),
+        coalesce(col("inb"), lit(0)).as("in_b"))
+    val ranked = flagged.withColumn("rank",
+      row_number().over(Window.orderBy(col("v"))))
+    val summary = flagged.agg(
+        max(col("v")).as("kth_min"),
+        sum((col("in_a") * col("in_b")).cast(LongType)).as("shared"),
+        count(lit(1)).as("k_used"))
+      .select(col("kth_min"), col("shared"), col("k_used"),
+        (lit(Kmv.EstimatorConst) / col("kth_min").cast(DoubleType))
+          .as("union_est"),
+        ((col("shared").cast(DoubleType) *
+          (lit(Kmv.EstimatorConst) / col("kth_min").cast(DoubleType))) /
+          col("k_used").cast(DoubleType)).as("inter_est"))
+    val exact = ev.select(
+        (col("p") >= 14).cast(IntegerType).as("fa"),
+        (col("c") >= 14).cast(IntegerType).as("fb"))
+      .agg(sum(col("fa").cast(LongType)).as("exact_a"),
+        sum(col("fb").cast(LongType)).as("exact_b"),
+        sum((col("fa") * col("fb")).cast(LongType)).as("exact_inter"),
+        sum(greatest(col("fa"), col("fb")).cast(LongType)).as("exact_union"))
+    ranked.crossJoin(broadcast(summary)).crossJoin(broadcast(exact))
+  }
+
+  private val dq25Oracle = {
+    import graft.quality.Kmv
+    val c = Kmv.EstimatorConstLiteral
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT ${Kmv.valueSql("user_id")} AS v
+       |      FROM ev WHERE p >= 14 ORDER BY v LIMIT ${Kmv.K}),
+       |b AS (SELECT ${Kmv.valueSql("user_id")} AS v
+       |      FROM ev WHERE c >= 14 ORDER BY v LIMIT ${Kmv.K}),
+       |u AS (SELECT DISTINCT v FROM (
+       |        SELECT v FROM a UNION ALL SELECT v FROM b) t
+       |      ORDER BY v LIMIT ${Kmv.K}),
+       |f AS (
+       |  SELECT u.v,
+       |    CASE WHEN a.v IS NULL THEN 0 ELSE 1 END AS in_a,
+       |    CASE WHEN b.v IS NULL THEN 0 ELSE 1 END AS in_b
+       |  FROM u LEFT JOIN a ON a.v = u.v LEFT JOIN b ON b.v = u.v),
+       |s AS (
+       |  SELECT MAX(v) AS kth_min, CAST(SUM(in_a * in_b) AS BIGINT) AS shared,
+       |    COUNT(*) AS k_used
+       |  FROM f),
+       |x AS (
+       |  SELECT CASE WHEN p >= 14 THEN 1 ELSE 0 END AS fa,
+       |    CASE WHEN c >= 14 THEN 1 ELSE 0 END AS fb
+       |  FROM ev),
+       |e AS (
+       |  SELECT CAST(SUM(fa) AS BIGINT) AS exact_a,
+       |    CAST(SUM(fb) AS BIGINT) AS exact_b,
+       |    CAST(SUM(fa * fb) AS BIGINT) AS exact_inter,
+       |    CAST(SUM(GREATEST(fa, fb)) AS BIGINT) AS exact_union
+       |  FROM x)
+       |SELECT f.v, f.in_a, f.in_b,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY f.v) AS INTEGER) AS rank,
+       |  s.kth_min, s.shared, s.k_used,
+       |  $c / CAST(s.kth_min AS DOUBLE) AS union_est,
+       |  (CAST(s.shared AS DOUBLE) * ($c / CAST(s.kth_min AS DOUBLE)))
+       |    / CAST(s.k_used AS DOUBLE) AS inter_est,
+       |  e.exact_a, e.exact_b, e.exact_inter, e.exact_union
+       |FROM f, s, e""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1527,5 +1633,6 @@ object QualityQueries {
     GraftQuery("dq21_fd_audit", dq21, Some(dq21Oracle)),
     GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)),
     GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle)),
-    GraftQuery("dq24_cms_sketch", dq24, Some(dq24Oracle)))
+    GraftQuery("dq24_cms_sketch", dq24, Some(dq24Oracle)),
+    GraftQuery("dq25_kmv_setops", dq25, Some(dq25Oracle)))
 }

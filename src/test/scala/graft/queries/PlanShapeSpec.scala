@@ -703,6 +703,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"probe pick must be a distributed top-k, not a global sort:\n$p")
   }
 
+  test("dq25: signatures ride distributed top-k; set algebra broadcasts") {
+    // the bottom-k cost claim: the only data-sized work is the
+    // user-grain cohort aggregate; each signature pick is a
+    // TakeOrdered top-k (never a global sort), and every set
+    // operation happens on 32-row broadcast frames
+    val p = plan("dq25_kmv_setops")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"signature picks must be distributed top-k:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"signature set algebra must broadcast:\n$p")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    keys.foreach(k => assert(k.contains("user_id") || k.contains("v#"),
+      s"non-user-grain exchange [$k] in:\n$p"))
+  }
+
   test("tx47: one vocabulary-grain exchange; the curve stages are slice-grain") {
     // Heaps-curve cost claim: the corpus-sized work is the map-side
     // shingle explode; the only data-sized exchange is gram-keyed with
