@@ -249,6 +249,42 @@ object Relational {
   }
 
   /**
+   * Interval coalescing (gaps-and-islands MERGE): collapse each key's
+   * overlapping-or-touching closed intervals [start, end] into maximal
+   * disjoint islands — the stitching primitive behind availability
+   * windows, coverage spans, and retention-hold ranges. q37's
+   * sweep-line COUNTS concurrent intervals; this MERGES them, which
+   * no existing operator expresses (sessionize merges by a fixed gap
+   * on points, not by interval extents).
+   *
+   * The textbook linear identity: order each key's intervals by
+   * (start, end); an interval starts a NEW island iff its start lies
+   * strictly past the running max end of all earlier intervals; the
+   * island id is the running count of such starts, and island extents
+   * are a (key, island) aggregate. Scale shape: one key-grain
+   * exchange feeds both windows (same partitioning, same sort); the
+   * (key, island) aggregate combines map-side inside the already
+   * key-clustered partitions. No self-join — the naive formulation is
+   * the quadratic interval-overlap join this operator exists to
+   * avoid.
+   */
+  def mergeIntervals(df: DataFrame, key: String, start: String,
+                     end: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(start, end)
+    df.withColumn("__max_prev_end",
+        max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new_island",
+        (col("__max_prev_end").isNull ||
+          col(start) > col("__max_prev_end")).cast("long"))
+      .withColumn("island", sum(col("__new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("island"))
+      .agg(min(col(start)).as("island_start"),
+        max(col(end)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /**
    * Skew-resistant equi-join: the (skewed) left side is spread across
    * `salt` sub-keys deterministically; the right side is replicated
    * `salt` times. Semantically identical to a plain inner equi-join —

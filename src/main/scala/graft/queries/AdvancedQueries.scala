@@ -1589,6 +1589,54 @@ object AdvancedQueries {
        |${snapSql("after_corrections", "1997-03-31")}""".stripMargin
   }
 
+  // ---- q56: interval coalescing (gaps-and-islands merge) — collapse
+  //      each customer's overlapping order-fulfillment windows
+  //      [orderdate, orderdate + (orderkey % 20) days] into maximal
+  //      disjoint islands via [[Relational.mergeIntervals]]. q37
+  //      COUNTS concurrent intervals (sweep line); this MERGES them —
+  //      the availability-window / coverage-span stitcher. The naive
+  //      formulation is a quadratic interval self-join; the operator
+  //      is the linear sort-scan identity (running max end), one
+  //      key-grain exchange feeding both windows, with the island
+  //      aggregate combining map-side in the key-clustered
+  //      partitions. Dates surface as ISO strings. ----
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("start_d"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 20).cast("int")).as("end_d"))
+    Relational.mergeIntervals(iv, key = "custkey",
+        start = "start_d", end = "end_d")
+      .select(col("custkey"), col("island"),
+        date_format(col("island_start"), "yyyy-MM-dd").as("island_start"),
+        date_format(col("island_end"), "yyyy-MM-dd").as("island_end"),
+        col("n_merged"))
+  }
+
+  private val q56Oracle =
+    """WITH iv AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS start_d,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER) AS end_d
+      |  FROM orders),
+      |m AS (
+      |  SELECT custkey, start_d, end_d,
+      |    MAX(end_d) OVER (PARTITION BY custkey ORDER BY start_d, end_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_end
+      |  FROM iv),
+      |i AS (
+      |  SELECT custkey, start_d, end_d,
+      |    CAST(SUM(CASE WHEN max_prev_end IS NULL OR start_d > max_prev_end
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY custkey ORDER BY start_d, end_d
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM m)
+      |SELECT custkey, island,
+      |  CAST(MIN(start_d) AS VARCHAR) AS island_start,
+      |  CAST(MAX(end_d) AS VARCHAR) AS island_end,
+      |  COUNT(*) AS n_merged
+      |FROM i GROUP BY 1, 2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1627,5 +1675,6 @@ object AdvancedQueries {
     GraftQuery("q52_skyline", q52, Some(q52Oracle)),
     GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
     GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true),
-    GraftQuery("q55_bitemporal", q55, Some(q55Oracle)))
+    GraftQuery("q55_bitemporal", q55, Some(q55Oracle)),
+    GraftQuery("q56_interval_merge", q56, Some(q56Oracle)))
 }

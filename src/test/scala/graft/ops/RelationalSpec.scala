@@ -307,4 +307,46 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
   }
+
+  test("mergeIntervals: overlapping and touching merge, gaps split, per key") {
+    val iv = Seq(
+      // key 1: [1,3] touches [3,5] (closed-interval semantics), gap, [10,11]
+      (1L, 1L, 3L), (1L, 3L, 5L), (1L, 10L, 11L),
+      // key 2: containment collapses; the contained interval extends nothing
+      (2L, 1L, 10L), (2L, 2L, 3L),
+      // key 3: chain through transitive overlap
+      (3L, 1L, 4L), (3L, 3L, 6L), (3L, 5L, 9L)
+    ).toDF("k", "s", "e")
+    val got = Relational.mergeIntervals(iv, "k", "s", "e")
+      .select("k", "island_start", "island_end", "n_merged")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 1L, 5L, 2L), (1L, 10L, 11L, 1L),
+      (2L, 1L, 10L, 2L), (3L, 1L, 9L, 3L)))
+  }
+
+  test("mergeIntervals matches the quadratic overlap-closure on random intervals") {
+    val rnd = new scala.util.Random(41)
+    val iv = (1 to 300).map(_ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(50).toLong, rnd.nextInt(12).toLong))
+      .map { case (k, s, len) => (k, s, s + len) }
+    // reference: per key, brute-force transitive closure of "overlaps
+    // or touches", then min/max per component
+    val expected = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val n = rows.size
+      val parent = Array.tabulate(n)(identity)
+      def find(i: Int): Int = if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+      for (i <- 0 until n; j <- 0 until n
+           if rows(i)._2 <= rows(j)._3 && rows(j)._2 <= rows(i)._3)
+        parent(find(i)) = find(j)
+      rows.indices.groupBy(find).values.map { comp =>
+        (k, comp.map(rows(_)._2).min, comp.map(rows(_)._3).max, comp.size.toLong)
+      }
+    }.toSet
+    val got = Relational.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .select("k", "island_start", "island_end", "n_merged")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
 }

@@ -703,6 +703,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"probe pick must be a distributed top-k, not a global sort:\n$p")
   }
 
+  test("q56: interval merge is ONE exchange — windows share the sort, the island agg reuses the key partitioning") {
+    // the coalescing identity's whole point vs the quadratic overlap
+    // self-join: one custkey exchange feeds both windows through a
+    // single sort, and the (custkey, island) aggregate is satisfied
+    // by the existing key clustering — no second shuffle, no join
+    val p = plan("q56_interval_merge")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.size == 1 && keys.head.contains("custkey"),
+      s"expected exactly one custkey exchange, got $keys in:\n$p")
+    assert("Sort \\[".r.findAllMatchIn(p).size == 1,
+      s"both windows must share one sort:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the linear identity:\n$p")
+  }
+
   test("dq25: signatures ride distributed top-k; set algebra broadcasts") {
     // the bottom-k cost claim: the only data-sized work is the
     // user-grain cohort aggregate; each signature pick is a

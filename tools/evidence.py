@@ -164,8 +164,19 @@ INCLUDE_100X = {
     "st31_stream_ab_readout",
     # r15 — the portable HLL's register pipeline is one md5 scan plus
     # a (day, 256-bucket) aggregate; 100x events stress the scan and
-    # the shard-merge path at 10M ids (oracle is the same linear scan)
+    # the shard-merge path at 10M ids (oracle: 1.8 s measured here)
     "dq23_hll_sketch",
+    # r15 — the CMS counter matrix and probe path at 10M events
+    # (oracle: 1.7 s measured) and the KMV signatures over 150k users
+    # (oracle: 0.8 s) — the whole mergeable-sketch family gates at
+    # this tier
+    "dq24_cms_sketch", "dq25_kmv_setops",
+    # r15 — the bitemporal snapshot's two key-grain window exchanges
+    # over ~4.5M orders x3 versions; the oracle measured 15.7 s at
+    # 9.1M output rows (the compare, like q13's 6M-row cell-exact
+    # compare, is the cost — kept in as the tier's second
+    # row-preserving gate)
+    "q55_bitemporal",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
@@ -233,6 +244,11 @@ INCLUDE_SKEW = {
     # exactly the partition the planted hot user stresses (same axis
     # as q21/q34/q41)
     "q54_markov_transitions",
+    # r15 — both sketches aggregate on the user axis (CMS counters +
+    # user-grain exact/probe scaffolding; KMV cohort aggregate): the
+    # hot user stresses the map-side partial-agg claim directly —
+    # a straggler here means the partial combine is not happening
+    "dq24_cms_sketch", "dq25_kmv_setops",
 }
 
 # The small skew tier: the IDENTICAL hot-key construction planted
@@ -250,6 +266,8 @@ INCLUDE_SKEW_SMALL = {
     "tx06_near_dup_pairs", "tx41_dedup_eval",
     "q21_sessionize", "q34_funnel", "q41_attribution", "tx18_mixture_fill",
     "q54_markov_transitions",
+    # r15 — the user-axis sketches, same rationale as the 10x skew set
+    "dq24_cms_sketch", "dq25_kmv_setops",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
