@@ -313,7 +313,10 @@ object Bench {
       // scalable grouped top-k under one 90% language, and the LSH
       // bucket cap under a 2,500-doc mega-duplicate cluster
       "q20_salted_join", "dq16_heavy_hitters", "tx21_stratified_sample",
-      "tx06_near_dup_pairs")
+      "tx06_near_dup_pairs",
+      // r15: the user-axis sketches — their map-side partial-agg
+      // claim is exactly what a 10%-of-all-rows user stresses
+      "dq24_cms_sketch", "dq25_kmv_setops")
     def byNames(ns: Seq[String]) = ns.flatMap(Registry.byName.get)
     var rel100Info: String = "null"
     val (rel100Samples, skewSamples, skewBaseSamples) =

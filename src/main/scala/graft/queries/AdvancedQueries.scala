@@ -1676,5 +1676,5 @@ object AdvancedQueries {
     GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
     GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true),
     GraftQuery("q55_bitemporal", q55, Some(q55Oracle)),
-    GraftQuery("q56_interval_merge", q56, Some(q56Oracle)))
+    GraftQuery("q56_interval_merge", q56, Some(q56Oracle), headline = true))
 }

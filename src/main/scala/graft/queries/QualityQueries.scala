@@ -1632,7 +1632,7 @@ object QualityQueries {
     GraftQuery("dq20_coverage_gaps", dq20, Some(dq20Oracle)),
     GraftQuery("dq21_fd_audit", dq21, Some(dq21Oracle)),
     GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)),
-    GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle)),
+    GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle), headline = true),
     GraftQuery("dq24_cms_sketch", dq24, Some(dq24Oracle)),
     GraftQuery("dq25_kmv_setops", dq25, Some(dq25Oracle)))
 }
