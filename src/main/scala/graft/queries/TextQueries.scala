@@ -998,7 +998,10 @@ object TextQueries {
   //      in. The offset is the distributed prefix sum — no one-task
   //      global window ever sees the corpus; packing 100 TB costs one
   //      range exchange of (id, draw, n_tokens) metadata, never the
-  //      text. ----
+  //      text. Token budget here is the whitespace proxy (this query
+  //      gates the packing MACHINERY at the deep tiers, where its
+  //      oracle stays a plain window sum); tx49 is the same packing
+  //      re-pointed at REAL BPE token ids from [[Bpe.encode]]. ----
   private def tx28(spark: SparkSession, dir: String): DataFrame = {
     val seqLen = 2048
     val keyed = Tables.documents(spark, dir).select(
@@ -2062,6 +2065,106 @@ object TextQueries {
       |    AS BIGINT) AS cum_vocab
       |FROM c""".stripMargin
 
+  // ---- tx48: BPE ENCODE — the learned merge table applied to every
+  //      document, emitting token ids (chars 'a'..'z' → 0..25, the
+  //      round-r merged symbol → 25+r), surfaced per document as exact
+  //      integer invariants of the id sequence: count, sum, and the
+  //      position-weighted dot Σ i·id_i (order-sensitive, so a correct
+  //      multiset in the wrong order still fails). The one tokenizer
+  //      stage a training run cannot skip, and the link between tx44's
+  //      learner and tx49's packing. The oracle is fully independent:
+  //      it re-LEARNS the three merges (the shared tx44 chain) and
+  //      re-APPLIES them per word with the same nested list_reduce
+  //      fold, so drift in selection, application order, or the id
+  //      mapping all break the gate. Scale shape: the merge table is
+  //      ONE broadcast row; encoding is map-only (see [[Bpe.encode]]).
+  //      ----
+  private def tx48(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encode(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("text"), bpeWords(spark, dir), rounds = 3)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast(LongType).as("n_tokens"),
+        aggregate(col("token_ids"), lit(0L),
+          (acc, x) => acc + x.cast(LongType)).as("token_sum"),
+        when(size(col("token_ids")) === 0, lit(0L))
+          .otherwise(aggregate(
+            zip_with(col("token_ids"),
+              sequence(lit(1L), size(col("token_ids")).cast(LongType)),
+              (x, i) => x.cast(LongType) * i),
+            lit(0L), (acc, x) => acc + x)).as("token_dot"))
+
+  /** The shared tx48/tx49 oracle chain: tx44's re-learned merges b1..b3
+    * plus the per-document encode — every eligible word's char array
+    * folded through the three merges in rank order (the same
+    * list_reduce fold the learner's v_r CTEs use, nested inline), then
+    * mapped to ids. CASE order mirrors the engine's first-match id
+    * tie-break. */
+  private val bpeEncodeCtes: String = {
+    def fold(r: Int, inner: String) =
+      s"""str_split(list_reduce($inner, (acc, x) -> CASE
+         |    WHEN x = b$r.b AND (acc = b$r.a OR ends_with(acc, ' ' || b$r.a))
+         |    THEN left(acc, length(acc) - length(b$r.a)) || b$r.a || b$r.b
+         |    ELSE acc || ' ' || x END), ' ')""".stripMargin
+    val encWord = fold(3, fold(2, fold(1, "regexp_split_to_array(w, '')")))
+    s"""$bpeOracleCtes,
+       |enc AS (
+       |  SELECT doc_id, flatten(list_transform(
+       |    list_filter(str_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$$')),
+       |    w -> list_transform($encWord, s -> CASE
+       |      WHEN length(s) = 1 THEN ascii(s) - 97
+       |      WHEN s = b1.a || b1.b THEN 26
+       |      WHEN s = b2.a || b2.b THEN 27
+       |      ELSE 28 END))) AS ids
+       |  FROM documents, b1, b2, b3)""".stripMargin
+  }
+
+  private val tx48Oracle =
+    s"""WITH $bpeEncodeCtes
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(list_sum(ids), 0) AS BIGINT) AS token_sum,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    list_zip(ids, range(1, len(ids) + 1)), p -> p[1] * p[2])), 0)
+       |    AS BIGINT) AS token_dot
+       |FROM enc""".stripMargin
+
+  // ---- tx49: sequence packing on REAL token ids — tx28's packing
+  //      re-pointed at the encoder: documents concatenate in the same
+  //      reproducible identity-keyed order, but each document's budget
+  //      contribution is len(token_ids) from tx48's BPE encode, not
+  //      the whitespace proxy. Same distributed prefix sum; only
+  //      (id, draw, n_tokens) metadata ever shuffles — the encode
+  //      itself is map-only, so packing 100 TB still costs one range
+  //      exchange. ----
+  private def tx49(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048
+    val keyed = graft.text.Bpe.encode(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("text"), bpeWords(spark, dir), rounds = 3)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast(LongType).as("n_tokens"),
+        md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("draw"))
+    graft.ops.Relational.runningTotal(keyed,
+        order = Seq(col("draw"), col("doc_id")), value = col("n_tokens"),
+        outName = "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("start_offset"),
+        floor((col("cum_tokens") - col("n_tokens")) / seqLen).as("seq_id"))
+  }
+
+  private val tx49Oracle =
+    s"""WITH $bpeEncodeCtes,
+       |r AS (
+       |  SELECT doc_id, len(ids) AS n_tokens,
+       |    SUM(len(ids)) OVER (
+       |      ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM enc)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
+       |FROM r""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -2116,6 +2219,8 @@ object TextQueries {
     GraftQuery("tx44_bpe_merges", tx44, Some(tx44Oracle)),
     GraftQuery("tx45_source_drift", tx45, Some(tx45Oracle), headline = true),
     GraftQuery("tx46_bpe_compression", tx46, Some(tx46Oracle)),
-    GraftQuery("tx47_vocab_growth", tx47, Some(tx47Oracle)))
+    GraftQuery("tx47_vocab_growth", tx47, Some(tx47Oracle)),
+    GraftQuery("tx48_bpe_encode", tx48, Some(tx48Oracle)),
+    GraftQuery("tx49_token_pack", tx49, Some(tx49Oracle)))
 
 }

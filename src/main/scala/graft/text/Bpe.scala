@@ -125,4 +125,61 @@ object Bpe {
         .select(lit(r).as("round"), col("total_syms"),
           expr("total_syms * 1000000 div total_words").as("avg_syms_ppm"))
     }.reduce(_.unionByName(_))
+
+  /**
+   * The ENCODER — the stage a training-data pipeline runs nightly and
+   * the missing link between [[learnMerges]] (the model artifact) and
+   * sequence packing (which needs REAL token counts, not whitespace
+   * proxies): apply the FIXED learned merge table to every document
+   * and emit a token-id array per document.
+   *
+   * Semantics: per document, the `^[a-z]+$` words (the same eligible-
+   * word contract the learner trains on) each start as their char
+   * sequence and fold through the merge table IN RANK ORDER — apply
+   * merge 1 greedily left-to-right, then merge 2, then merge 3 — which
+   * is exactly how the learner re-folds its vocabulary, so encode and
+   * training segment identically by construction. Token ids are
+   * positional: single chars 'a'..'z' map to 0..25 and the round-r
+   * merged symbol to 25+r (multi-char symbols are merge outputs by
+   * construction; with ≤`rounds` merges from a char alphabet no two
+   * rounds can emit the same merged STRING, and `array_position`'s
+   * first-match tie-break is the declared order if a deeper table ever
+   * could). Per-word sequences concatenate in document word order.
+   *
+   * Scale shape: the merge table rides as ONE broadcast row (a
+   * rank-sorted struct array — model-sized, a few thousand entries in
+   * a real tokenizer, 3 here), so encoding is a MAP-ONLY pass over the
+   * corpus: no shuffle, no driver collect, every fold inside one
+   * codegen'd projection. The training chain it reads is the same
+   * cached [[chain]] the learner uses — corpus scanned once for the
+   * word counts, vocab-sized work per round.
+   *
+   * Returns `docs` plus a `token_ids` array<int> column.
+   */
+  def encode(docs: DataFrame, textCol: Column, trainWords: DataFrame,
+             rounds: Int): DataFrame = {
+    val merges = chain(trainWords, rounds)._2.zipWithIndex
+      .map { case (b, i) => b.select(lit(i + 1).as("rnd"), col("a"), col("b")) }
+      .reduce(_.unionByName(_))
+      // sort_array on struct(rnd, a, b) orders by the leading rnd
+      // field: the array IS the rank order, independent of union
+      // evaluation order
+      .agg(sort_array(collect_list(struct(col("rnd"), col("a"), col("b"))))
+        .as("__ms"))
+    val words = filter(split(textCol, " "), w => w.rlike("^[a-z]+$"))
+    def chars(w: Column): Column = filter(split(w, ""), s => length(s) > 0)
+    def encodeWord(w: Column): Column =
+      aggregate(col("__ms"), chars(w),
+        (syms, m) => applyMerge(syms, m.getField("a"), m.getField("b")))
+    def idOf(s: Column): Column =
+      when(length(s) === 1, ascii(s) - 97)
+        .otherwise(lit(25) + array_position(
+          transform(col("__ms"),
+            m => concat(m.getField("a"), m.getField("b"))), s))
+        .cast("int")
+    docs.crossJoin(broadcast(merges))
+      .withColumn("token_ids",
+        flatten(transform(words, w => transform(encodeWord(w), s => idOf(s)))))
+      .drop("__ms")
+  }
 }

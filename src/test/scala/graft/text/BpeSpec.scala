@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -100,5 +101,69 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     }.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
     assert(learnSpark(words, 3) == learnRef(words, 3))
+  }
+
+  test("encode matches the reference encoder, ids and order") {
+    // corpus chosen so the merges NEST (round 2 consumes round 1's
+    // symbol) and documents mix eligible and ineligible words
+    val docs = Seq(
+      (1L, "the the the cat Hat42 the theme"),
+      (2L, "thecat in the hat"),
+      (3L, ""),
+      (4L, "zzz q")).toDF("doc_id", "text")
+    val words = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val learned = Bpe.learnMerges(words, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // independent reference: re-learn in memory, then encode in memory
+    val wordMap = docs.collect().flatMap(_.getString(1).split(" ", -1))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val refMerges = learnRef(wordMap, 3).map { case (_, a, b, _) => (a, b) }
+    assert(learned == refMerges, "learner drifted from reference")
+    def refIds(text: String): Seq[Int] =
+      text.split(" ", -1).filter(_.matches("^[a-z]+$")).toSeq.flatMap { w =>
+        val syms = refMerges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
+          case (s, (a, b)) => applyRef(s, a, b)
+        }
+        syms.map { s =>
+          if (s.length == 1) s.charAt(0) - 'a'
+          else 26 + refMerges.map { case (a, b) => a + b }.indexOf(s)
+        }
+      }
+    val got = Bpe.encode(docs, $"text", words, rounds = 3)
+      .select($"doc_id", $"token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val expect = docs.collect()
+      .map(r => r.getLong(0) -> refIds(r.getString(1)).toList).toMap
+    assert(got == expect)
+    // and the merges genuinely nested: some token id ≥ 27 appears
+    assert(got.values.flatten.exists(_ >= 26), "no merged token used")
+  }
+
+  test("encode∘learn chains to the compression curve: total ids == round-R total_syms") {
+    val rnd = new scala.util.Random(47)
+    val docs = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      id -> (1 to n).map(_ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abcde"(rnd.nextInt(5))).mkString)
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    val words = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val totalIds = Bpe.encode(docs, $"text", words, rounds = 3)
+      .agg(sum(size($"token_ids"))).collect()(0).getLong(0)
+    val curve = Bpe.compressionCurve(words, rounds = 3)
+      .orderBy("round").collect().map(r => r.getLong(1))
+    // every corpus word is eligible here, so the encoder's total token
+    // count IS the curve's weighted round-3 symbol total — the
+    // learner, the curve, and the encoder agree on one number
+    assert(totalIds == curve.last)
+    assert(curve.head > curve.last, "merges did not compress")
   }
 }
