@@ -68,6 +68,19 @@ object Hll {
     * 1.04 / sqrt(m) = 6.5% at m = 256. */
   val Rsd: Double = 1.04 / math.sqrt(M.toDouble)
 
+  /** The raw estimator's DOMAIN FLOOR: below ~2.5·m distinct keys
+    * (640 at m = 256) the raw harmonic mean is known-biased and
+    * Flajolet's analysis prescribes switching to linear counting —
+    * which this sketch deliberately omits (it needs a natural log the
+    * two engines don't contract about). Accuracy claims
+    * ([[Bound3Rsd]], dq23/st32's `within_3rsd`) are therefore only
+    * meaningful for cardinalities AT OR ABOVE this floor;
+    * SketchFixtureSpec asserts the gate fixtures sit above it and
+    * that the booleans are actually true there, so a fixture drifting
+    * into the biased domain fails loudly instead of gating a
+    * silently-agreed false. */
+  val MinCardinalityDomain: Long = (5L * M) / 2
+
   /** The accuracy gate bound: 3 sigma of [[Rsd]] (the dq02 practical
     * hard bound; the sf0.01 fixture's event_id draw sits at 2.6 sigma
     * low — an honest single-draw outcome, inside this bound). */

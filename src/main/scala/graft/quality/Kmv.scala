@@ -47,6 +47,27 @@ object Kmv {
   val EstimatorConstLiteral: String =
     String.format(java.util.Locale.ROOT, "%.17g", Double.box(EstimatorConst))
 
+  /** Union-cardinality estimate from a (possibly UNSATURATED) union
+    * signature. When `kUsed < K` the bottom-k signature IS the entire
+    * hashed union set — no k-th order statistic exists to extrapolate
+    * from, and the standard (K-1)·2^52/kth formula misestimates badly
+    * (its numerator assumes a full signature). The estimate there is
+    * exactly `kUsed`, which is the exact union cardinality (modulo
+    * 52-bit hash collisions). Both branches are engine-exact: the
+    * comparison is on an integer, the unsaturated branch is a small
+    * int cast, the saturated branch one IEEE division of
+    * exactly-agreed numbers. Downstream estimators inherit the fix
+    * for free: intersection = shared·est/kUsed degrades to `shared` —
+    * the exact intersection — when unsaturated. */
+  def unionEstimate(kUsed: Column, kthMin: Column): Column =
+    when(kUsed < K, kUsed.cast("double"))
+      .otherwise(lit(EstimatorConst) / kthMin.cast("double"))
+
+  /** [[unionEstimate]] in DuckDB SQL, branch for branch. */
+  def unionEstimateSql(kUsedExpr: String, kthMinExpr: String): String =
+    s"""CASE WHEN $kUsedExpr < $K THEN CAST($kUsedExpr AS DOUBLE)
+       |  ELSE $EstimatorConstLiteral / CAST($kthMinExpr AS DOUBLE) END""".stripMargin
+
   /** The 52-bit hash value of a key column. */
   def valueOf(key: Column): Column =
     conv(substring(md5(concat(lit("kmv:"), key.cast(StringType))), 1, 13),

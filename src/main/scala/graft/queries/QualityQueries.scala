@@ -1302,7 +1302,14 @@ object QualityQueries {
   //      shards and the register-max merge run. The estimate is one
   //      IEEE division of two exactly-agreed numbers (integer-scaled
   //      harmonic sum; constant numerator literal shared with the
-  //      oracle via Hll.EstimatorConstLiteral). ----
+  //      oracle via Hll.EstimatorConstLiteral). Declared domain: the
+  //      raw estimator (and so `within_3rsd`) is only meaningful for
+  //      cardinalities >= Hll.MinCardinalityDomain (~2.5m = 640 —
+  //      below that Flajolet prescribes linear counting, omitted here
+  //      by design); SketchFixtureSpec asserts the fixture sits above
+  //      the floor AND the boolean is true there, so domain drift is
+  //      a loud failure, not a silently-agreed false. Applies equally
+  //      to st32, which shares this report. ----
   /** dq23's stateful half, shared with the streaming twin (st32):
     * day-sharded HLL registers — the per-(day, bucket) MAX rank frame
     * a stream maintains as fold-order-free state (days × 256 rows,
@@ -1550,10 +1557,9 @@ object QualityQueries {
         sum((col("in_a") * col("in_b")).cast(LongType)).as("shared"),
         count(lit(1)).as("k_used"))
       .select(col("kth_min"), col("shared"), col("k_used"),
-        (lit(Kmv.EstimatorConst) / col("kth_min").cast(DoubleType))
-          .as("union_est"),
+        Kmv.unionEstimate(col("k_used"), col("kth_min")).as("union_est"),
         ((col("shared").cast(DoubleType) *
-          (lit(Kmv.EstimatorConst) / col("kth_min").cast(DoubleType))) /
+          Kmv.unionEstimate(col("k_used"), col("kth_min"))) /
           col("k_used").cast(DoubleType)).as("inter_est"))
     val exact = ev.select(
         (col("p") >= 14).cast(IntegerType).as("fa"),
@@ -1567,7 +1573,6 @@ object QualityQueries {
 
   private val dq25Oracle = {
     import graft.quality.Kmv
-    val c = Kmv.EstimatorConstLiteral
     s"""WITH ev AS (
        |  SELECT user_id,
        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
@@ -1602,8 +1607,9 @@ object QualityQueries {
        |SELECT f.v, f.in_a, f.in_b,
        |  CAST(ROW_NUMBER() OVER (ORDER BY f.v) AS INTEGER) AS rank,
        |  s.kth_min, s.shared, s.k_used,
-       |  $c / CAST(s.kth_min AS DOUBLE) AS union_est,
-       |  (CAST(s.shared AS DOUBLE) * ($c / CAST(s.kth_min AS DOUBLE)))
+       |  ${Kmv.unionEstimateSql("s.k_used", "s.kth_min")} AS union_est,
+       |  (CAST(s.shared AS DOUBLE) *
+       |    (${Kmv.unionEstimateSql("s.k_used", "s.kth_min")}))
        |    / CAST(s.k_used AS DOUBLE) AS inter_est,
        |  e.exact_a, e.exact_b, e.exact_inter, e.exact_union
        |FROM f, s, e""".stripMargin

@@ -49,4 +49,31 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
   test("estimator constant round-trips through its SQL literal") {
     assert(Kmv.EstimatorConstLiteral.toDouble == Kmv.EstimatorConst)
   }
+
+  test("unsaturated signature: the estimate IS k_used, exactly") {
+    // 7 + 9 keys with 3 shared: |A ∪ B| = 13 < K, so the union
+    // signature is the whole hashed set and extrapolating from the
+    // 13th-smallest value would misestimate badly — the (K-1)·2^52/kth
+    // formula here yields ~nonsense (kth is just the max of a tiny
+    // set). The estimator must return k_used, which equals the exact
+    // union cardinality.
+    val a = (1L to 7L).toSet
+    val b = (5L to 13L).toSet
+    val unionSig = (bottomK(a) ++ bottomK(b)).distinct.sorted.take(Kmv.K)
+    assert(unionSig.size == 13 && unionSig.size < Kmv.K)
+    val row = Seq((unionSig.size.toLong, unionSig.last)).toDF("k_used", "kth")
+      .select(Kmv.unionEstimate(col("k_used"), col("kth")).as("est"),
+        (lit(Kmv.EstimatorConst) / col("kth").cast("double")).as("raw"))
+      .collect().head
+    assert(row.getDouble(0) == 13.0)
+    // and the naive formula would indeed NOT have been close
+    assert(math.abs(row.getDouble(1) - 13.0) > 13.0 * 0.5,
+      "fixture too kind: the naive formula happened to land close, " +
+        "pick different keys so the regression stays visible")
+    // saturated branch unchanged: k_used == K falls through to
+    // (K-1)·2^52/kth
+    val sat = Seq((Kmv.K.toLong, 1L << 47)).toDF("k_used", "kth")
+      .select(Kmv.unionEstimate(col("k_used"), col("kth"))).collect().head
+    assert(sat.getDouble(0) == Kmv.EstimatorConst / (1L << 47).toDouble)
+  }
 }
