@@ -54,7 +54,8 @@ object Registry {
     * MarketPulse pipeline re-expressed on the event stream, then the
     * large-scale training-data extensions (text, dedup, similarity). */
   lazy val all: Seq[GraftQuery] =
-    CoreQueries.all ++ AdvancedQueries.all ++ MarketPulseQueries.all ++
+    CoreQueries.all ++ AdvancedQueries.all ++ GraphTruthQueries.all ++
+      MarketPulseQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ StorageQueries.all ++ QualityQueries.all
 

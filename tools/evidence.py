@@ -65,17 +65,23 @@ EXCLUDE_SF01_SWEEP = {
     # (killed; measured r14). A cheaper formulation does not exist
     # here the way it did for q53: the cost is dominated by PAIR
     # DISCOVERY — the same quadratic a<b shingle self-join as tx13,
-    # the declared all-pairs anchor — not by the closure rounds, and
-    # any oracle that skips re-deriving the pairs would have to take
-    # the engine's own pair output as input (circular). The closure
-    # half IS gated at sf0.1 and 10x through mm10's cluster gate
-    # (50.3 s oracle), which runs the same connectedComponents
-    # operator over independently-derived pHash edges.
+    # the declared all-pairs anchor — not by the closure rounds.
+    # Deep-tier closure evidence is carried by q58 (r16): the same
+    # connectedComponents operator over a PLANTED gadget graph whose
+    # component census is known by construction, gated at 10x and the
+    # 100x decade with an O(output) arithmetic oracle — no recursive
+    # CTE, and no circularity (the pairs are constructed, not
+    # engine-derived; organic pair discovery stays gated by tx06 at
+    # every tier incl. skew). mm10's cluster gate (50.3 s oracle,
+    # independently-derived pHash edges) additionally gates the
+    # operator on ORGANIC edges at sf0.1 and 10x.
     "tx20_dedup_clusters",
     # q45's ORACLE closes triangles with the naive a<b<c wedge join —
     # 47 s in DuckDB at sf0.1 (1.2M edges); the Spark side is the
     # degree-oriented plan and stays cheap, but the gate is only as
-    # fast as its oracle. Gated at sf0.01 (413k triangles).
+    # fast as its oracle. Gated at sf0.01 (413k triangles); deep-tier
+    # triangle evidence is q59's planted-clique census (r16), gated
+    # through the 100x decade against constructed truth.
     "q45_triangles",
 }
 
@@ -108,7 +114,9 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # base fixtures' measured 11-round worst case, Spark side throws
     # loudly past it) over the same lp self-join q45's oracle pays;
     # the peeling operator itself is gated by KCoreSpec's adversarial
-    # cascades plus the sf0.01 (11-round) and sf0.1 gates
+    # cascades plus the sf0.01 (11-round) and sf0.1 gates, and (r16)
+    # by q60's planted clique/ring/pendant-cascade census through the
+    # 100x decade
     "q47_kcore",
     # q53 was excluded here while its oracle was the NAIVE min-fold
     # (556 s measured at ~12M directed edges); r15 switched the oracle
@@ -177,6 +185,12 @@ INCLUDE_100X = {
     # compare, is the cost — kept in as the tier's second
     # row-preserving gate)
     "q55_bitemporal",
+    # r16 — the planted-truth graph family: the real CC/triangle/
+    # k-core operators over gadget graphs sized from this tier's 60M
+    # lineitem rows (~600k gadgets), with O(output) arithmetic oracles
+    # — the iterative-graph family's first 100x-decade cell-exact
+    # gates (organic-gate depth is oracle-cost-bounded; these are not)
+    "q58_planted_components", "q59_planted_triangles", "q60_planted_kcore",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
