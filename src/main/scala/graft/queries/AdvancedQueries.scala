@@ -1637,6 +1637,125 @@ object AdvancedQueries {
       |  COUNT(*) AS n_merged
       |FROM i GROUP BY 1, 2""".stripMargin
 
+  // ---- q57: interval DIFFERENCE (blackout clipping) — the member of
+  //      the interval algebra q37 (count) and q56 (merge) don't cover:
+  //      subtract a small set of blackout windows (the first 3 days of
+  //      every quarter in the order-date range — maintenance/retention
+  //      windows, derived from the data so both engines agree) from
+  //      each customer's q56 coverage islands, emitting the surviving
+  //      sub-segments. Scale shape: islands reuse mergeIntervals' ONE
+  //      key-grain exchange; the blackout frame is calendar-sized and
+  //      BROADCAST to a theta join (never a shuffle), and the clip is
+  //      a bounded array fold per island (state = overlapping
+  //      blackouts, bounded by the calendar — the q46 walk shape).
+  //      The oracle is a DIFFERENT algorithm entirely: day-grain
+  //      explosion, blackout-day anti-join, and a gaps-and-islands
+  //      re-merge — so the sort-scan fold is proved against the
+  //      day-set definition of interval difference, not against
+  //      itself. ----
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val iv = orders.select(
+      col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("start_d"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 20).cast("int")).as("end_d"))
+    val islands = Relational.mergeIntervals(iv, key = "custkey",
+      start = "start_d", end = "end_d")
+    val blackouts = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(trunc(col("lo"), "quarter"), col("hi"),
+        expr("interval 3 months"))).as("b_start"))
+      .select(col("b_start"), date_add(col("b_start"), 2).as("b_end"))
+    val hit = islands.join(broadcast(blackouts),
+      col("b_start") <= col("island_end") &&
+        col("b_end") >= col("island_start"), "left")
+    val init = struct(
+      array().cast("array<struct<s:date,e:date>>").as("segs"),
+      col("island_start").as("cur"))
+    val folded = hit
+      .groupBy(col("custkey"), col("island"),
+        col("island_start"), col("island_end"))
+      // collect only the REAL overlaps (collect_list drops the left
+      // join's null rows); sort_array orders the bounded blackout set
+      // by start inside each island, which the fold requires
+      .agg(sort_array(collect_list(when(col("b_start").isNotNull,
+        struct(col("b_start").as("s"), col("b_end").as("e"))))).as("bl"))
+      .select(col("custkey"), col("island"),
+        aggregate(col("bl"), init, (st, b) => {
+          val cur = st.getField("cur")
+          val segs = st.getField("segs")
+          struct(
+            when(b.getField("s") > cur,
+              concat(segs, array(struct(cur.as("s"),
+                date_sub(b.getField("s"), 1).as("e")))))
+              .otherwise(segs).as("segs"),
+            greatest(cur, date_add(b.getField("e"), 1)).as("cur"))
+        }, st =>
+          when(st.getField("cur") <= col("island_end"),
+            concat(st.getField("segs"), array(struct(
+              st.getField("cur").as("s"), col("island_end").as("e")))))
+            .otherwise(st.getField("segs"))).as("segs"))
+    folded
+      .select(col("custkey"), col("island"), posexplode(col("segs")))
+      .select(col("custkey"), col("island"),
+        (col("pos") + 1).cast("long").as("seg"),
+        date_format(col("col.s"), "yyyy-MM-dd").as("seg_start"),
+        date_format(col("col.e"), "yyyy-MM-dd").as("seg_end"),
+        (datediff(col("col.e"), col("col.s")) + 1).cast("long")
+          .as("covered_days"))
+  }
+
+  private val q57Oracle =
+    """WITH iv AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS start_d,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER) AS end_d
+      |  FROM orders),
+      |m AS (
+      |  SELECT custkey, start_d, end_d,
+      |    MAX(end_d) OVER (PARTITION BY custkey ORDER BY start_d, end_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_end
+      |  FROM iv),
+      |i AS (
+      |  SELECT custkey, start_d, end_d,
+      |    CAST(SUM(CASE WHEN max_prev_end IS NULL OR start_d > max_prev_end
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY custkey ORDER BY start_d, end_d
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM m),
+      |isl AS (
+      |  SELECT custkey, island, MIN(start_d) AS island_start,
+      |    MAX(end_d) AS island_end
+      |  FROM i GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+      |    MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      |bl AS (SELECT CAST(unnest(generate_series(
+      |    CAST(date_trunc('quarter', lo) AS DATE), hi,
+      |    INTERVAL 3 MONTH)) AS DATE) AS bs FROM bounds),
+      |bdays AS (SELECT CAST(unnest(generate_series(bs, bs + 2,
+      |    INTERVAL 1 DAY)) AS DATE) AS d FROM bl),
+      |days AS (
+      |  SELECT custkey, island, CAST(unnest(generate_series(island_start,
+      |    island_end, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM isl),
+      |keep AS (SELECT * FROM days WHERE d NOT IN (SELECT d FROM bdays)),
+      |g AS (
+      |  SELECT custkey, island, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY custkey, island
+      |      ORDER BY d) AS INTEGER) AS grp
+      |  FROM keep),
+      |seg AS (
+      |  SELECT custkey, island, grp, MIN(d) AS s, MAX(d) AS e,
+      |    COUNT(*) AS n
+      |  FROM g GROUP BY 1, 2, 3)
+      |SELECT custkey, island,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY custkey, island ORDER BY s)
+      |    AS BIGINT) AS seg,
+      |  CAST(s AS VARCHAR) AS seg_start, CAST(e AS VARCHAR) AS seg_end,
+      |  CAST(n AS BIGINT) AS covered_days
+      |FROM seg""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle), headline = true),
     GraftQuery("q20_salted_join", q20, Some(q20Oracle)),
@@ -1676,5 +1795,6 @@ object AdvancedQueries {
     GraftQuery("q53_bfs_reach", q53, Some(q53Oracle)),
     GraftQuery("q54_markov_transitions", q54, Some(q54Oracle), headline = true),
     GraftQuery("q55_bitemporal", q55, Some(q55Oracle)),
-    GraftQuery("q56_interval_merge", q56, Some(q56Oracle), headline = true))
+    GraftQuery("q56_interval_merge", q56, Some(q56Oracle), headline = true),
+    GraftQuery("q57_interval_clip", q57, Some(q57Oracle)))
 }
