@@ -98,29 +98,35 @@ object MultimodalQueries {
           .as("avg_feature_norm"))
 
   /** Driver-side re-derivation of every media row's decoded feature
-    * vector, for the mm02/mm07 oracle generators: re-render the
-    * deterministic fixture payload (PNG / WAV / UTF-8 text) and decode
-    * it sequentially on the driver. The DECODER is shared code — its
-    * correctness is gated separately by mm04/mm06's format-level
-    * predictions — so what these oracles independently verify is
-    * everything AROUND it: the distributed media synthesis, the
-    * mapPartitions decode pass, and (in DuckDB) the entire downstream
-    * norm/similarity computation. */
+    * vector, for the mm02/mm07 oracle generators — FROM THE FIXTURE
+    * FORMULAS alone (r16): image features from the LCG pixel formula,
+    * audio features from the LCG sample formula, degraded "video"
+    * features from the rolling-hash contract — no call into the
+    * engine's render or decode paths (the gifFrameHash64 independence
+    * recipe applied to the whole feature pipeline; the former version
+    * shared `ImageIoDecoder` with the operator and leaned on
+    * mm04/mm06's format gates to justify it). The operator must now
+    * synthesize real PNG/WAV bytes, decode them with real codecs, and
+    * land on vectors this side derives with no media library at
+    * all — the oracle graph's last shared-code edge is gone. */
   private def referenceFeatures(spark: SparkSession,
                                 dir: String): Seq[(Long, String, Array[Float])] =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect().toSeq
       .map { r =>
         val id = r.getLong(0)
-        val kind = Multimodal.Kinds((id % 3).toInt)
-        val payload = kind match {
-          case "image" =>
-            Multimodal.renderPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt)
-          case "audio" =>
-            Multimodal.renderWav(id, Multimodal.wavSampleCount(id), 16000)
-          case _ => r.getString(1).getBytes("UTF-8")
+        // fixture kind layout: id mod 3 → image / audio / video; image
+        // dims 8+(id%9) × 8+(id%7); audio 256+(id%7)·64 mono samples
+        // at 16 kHz; "video" payloads are the document's UTF-8 text,
+        // which no codec parses, so they take the degraded path
+        (id % 3) match {
+          case 0L => (id, "image", ReferenceHashes.pngFormulaFeatures(
+            id, 8 + (id % 9).toInt, 8 + (id % 7).toInt, 16))
+          case 1L => (id, "audio",
+            ReferenceHashes.wavFormulaFeatures(id, 16000, 16))
+          case _ => (id, "video", ReferenceHashes.rollingHashFeatures(
+            r.getString(1).getBytes("UTF-8"), 16))
         }
-        (id, kind, Multimodal.ImageIoDecoder.decode(kind, payload, 16).features)
       }
 
   /** The l2 norm exactly as the pipeline computes it (float→double

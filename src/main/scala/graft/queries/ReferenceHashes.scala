@@ -271,6 +271,111 @@ object ReferenceHashes {
     (sr, sg, sb)
   }
 
+  /**
+   * Predicted 16-dim feature vector of fixture PNG `seed` at `w`×`h` —
+   * from the documented pixel FORMULA alone, never from a codec (the
+   * [[pngChannelSums]]/[[gifFrameHash64]] independence recipe applied
+   * to the mm02/mm07 feature pipeline): pixels come row-major from the
+   * twice-warmed LCG, PNG is lossless, so the decoder must land on
+   * these integers. Feature layout per the documented decode contract
+   * (dims, pixel count, channel means, 10-bin integer-luma histogram);
+   * the float operation SEQUENCE is part of that contract — Long
+   * sums, then `sum / n.toFloat / 255.0f` — and is reproduced
+   * operation for operation so the vectors agree bit-for-bit, while
+   * the pixel source here is arithmetic, not an image library.
+   */
+  def pngFormulaFeatures(seed: Long, w: Int, h: Int, dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    f(0) = w.toFloat
+    f(1) = h.toFloat
+    f(2) = w.toFloat * h
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val bins = math.max(dim - 6, 0)
+    val hist = new Array[Long](math.max(bins, 1))
+    var i = 0
+    while (i < w * h) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = ((s >>> 40) & 0xffffff).toInt
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      sr += r; sg += g; sb += b
+      if (bins > 0) hist(((r * 299 + g * 587 + b * 114) / 1000) * bins / 256) += 1
+      i += 1
+    }
+    val n = (w.toLong * h).toFloat
+    if (dim > 3) f(3) = sr / n / 255.0f
+    if (dim > 4) f(4) = sg / n / 255.0f
+    if (dim > 5) f(5) = sb / n / 255.0f
+    i = 0
+    while (i < bins) { f(6 + i) = hist(i) / n; i += 1 }
+    f
+  }
+
+  /**
+   * Predicted feature vector of fixture WAV `id` — from the documented
+   * sample FORMULA alone (sample count 256 + (id%7)·64, sample 0
+   * pinned to +32767, LCG tail), no audio library. Layout per the
+   * documented audio decode contract: rate, channels, frames, peak,
+   * mean |amp|, RMS (sequential double fold — order is part of the
+   * contract), zero crossings, 9-bin |amp| histogram.
+   */
+  def wavFormulaFeatures(id: Long, rateHz: Int, dim: Int): Array[Float] = {
+    val n = 256 + (id % 7).toInt * 64
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    var peak = 0; var sumAbs = 0L; var sumSq = 0.0; var zc = 0; var prev = 0
+    val bins = math.max(dim - 7, 0)
+    val hist = new Array[Long](math.max(bins, 1))
+    var i = 0
+    while (i < n) {
+      val v =
+        if (i == 0) 32767
+        else {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 24) % 65535L).toInt - 32767
+        }
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += v.toDouble * v
+      if (i > 0 && ((v ^ prev) < 0)) zc += 1
+      if (bins > 0) hist(math.min(a * bins / 32768, bins - 1)) += 1
+      prev = v
+      i += 1
+    }
+    val f = new Array[Float](dim)
+    if (dim > 0) f(0) = rateHz.toFloat
+    if (dim > 1) f(1) = 1.0f // fixture WAVs are mono
+    if (dim > 2) f(2) = n.toFloat
+    if (dim > 3) f(3) = peak.toFloat
+    if (dim > 4) f(4) = (sumAbs.toDouble / n).toFloat
+    if (dim > 5) f(5) = math.sqrt(sumSq / n).toFloat
+    if (dim > 6) f(6) = zc.toFloat
+    i = 0
+    while (i < bins) { f(7 + i) = hist(i).toFloat / n; i += 1 }
+    f
+  }
+
+  /**
+   * The documented degraded-decode contract for payloads no codec
+   * parses (the fixture's "video" rows are UTF-8 text): pseudo-features
+   * from the rolling hash h ← 31·h + byte off the fixed seed, each
+   * step adding (h mod 1000)/1000 (SIGNED Long remainder — negative
+   * contributions are part of the contract) into slot i mod dim,
+   * sequentially. Re-derived here from the contract, not by calling
+   * the decode stage.
+   */
+  def rollingHashFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) {
+      h = 31 * h + payload(i)
+      f(i % dim) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    f
+  }
+
   def wavFrameStats(id: Long, frameSize: Int): Seq[(Int, Int, Long, Int)] = {
     val n = 256 + (id % 7).toInt * 64 // the fixture's sample-count formula
     var s = id * 6364136223846793005L + 1442695040888963407L

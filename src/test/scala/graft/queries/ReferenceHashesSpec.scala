@@ -75,4 +75,38 @@ class ReferenceHashesSpec extends AnyFunSuite with SparkSpec {
       assert(ReferenceHashes.simhash64(r.getString(1)) === r.getLong(2),
         s"simhash mismatch for doc ${r.getLong(0)}")
   }
+
+  test("formula features equal real render+decode, bit for bit, all 3 kinds") {
+    // the independence pin behind mm02/mm07's r16 oracles: the
+    // formula-side feature vectors (no media library) must equal what
+    // the operator computes by rendering real PNG/WAV bytes and
+    // decoding them with real codecs — equivalent, yet independently
+    // coded, like every other pair in this file
+    import graft.multimodal.Multimodal
+    for (id <- 0L until 60L) {
+      (id % 3) match {
+        case 0L =>
+          val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+          val decoded = Multimodal.ImageIoDecoder
+            .decode("image", Multimodal.renderPng(id, w, h), 16).features
+          assert(decoded.sameElements(
+            ReferenceHashes.pngFormulaFeatures(id, w, h, 16)),
+            s"image feature drift at id $id")
+        case 1L =>
+          val decoded = Multimodal.ImageIoDecoder.decode("audio",
+            Multimodal.renderWav(id, Multimodal.wavSampleCount(id), 16000),
+            16).features
+          assert(decoded.sameElements(
+            ReferenceHashes.wavFormulaFeatures(id, 16000, 16)),
+            s"audio feature drift at id $id")
+        case _ =>
+          val payload = s"some fixture text for row $id".getBytes("UTF-8")
+          val decoded = Multimodal.ImageIoDecoder
+            .decode("video", payload, 16).features
+          assert(decoded.sameElements(
+            ReferenceHashes.rollingHashFeatures(payload, 16)),
+            s"degraded-path feature drift at id $id")
+      }
+    }
+  }
 }
