@@ -37,7 +37,16 @@ import graft.queries.Registry
  *    waves) with a live-probe fallback, so a burst that arrives
  *    mid-run delays the next round rather than polluting it;
  *    `regate_fired`/`regate_waited_sec` in the artifact prove whether
- *    and for how long it engaged.
+ *    and for how long it engaged;
+ *  - (r16) every sample also adjudicates ITSELF in-run: a sample
+ *    whose own foreign fraction exceeds 10% is recorded as dirty
+ *    evidence (`samples_requeued`) and the query re-runs once after a
+ *    capped quiet-window wait — the between-round gate protects the
+ *    start of a round, this protects its middle (BENCH_r15's load
+ *    ramped 1.41 → 12 mid-run with regate_fired 0).
+ *    `requeued`/`requeue_waited_sec` land in the slim line; a global
+ *    budget (25) keeps a permanently-shared box from doubling the
+ *    run.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -123,6 +132,23 @@ object Bench {
     val samples = 5
     var regateWaited = 0
     var regateFired = 0
+    // r16 (live PER-SAMPLE re-gate): the between-round gate keys on
+    // the PREVIOUS round's integrated foreign signal, which protects
+    // the start of a round but not its middle — BENCH_r15 ran under a
+    // load ramp (1.41 → 12.0) with regate_fired 0 because each round
+    // started clean and soured mid-pass. Every sample now adjudicates
+    // ITSELF: if its own foreign fraction exceeds 10%, the sample is
+    // recorded as dirty evidence (samples_requeued in bench_out.json),
+    // the bench waits for a clean window (capped), and the query
+    // re-runs once — so a contaminated middle third re-runs instead of
+    // relying on the mins to absorb it. A global budget caps the total
+    // requeues so a genuinely shared box still finishes, with the
+    // per-sample foreign column marking what to distrust beyond it.
+    var requeued = 0
+    var requeueBudget = 25
+    var requeueWaited = 0
+    val requeuedSamples = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
 
     /** One timed run, or NaN on failure — a failed sample must not
       * masquerade as a fast run. */
@@ -190,15 +216,37 @@ object Bench {
           // OTHER queries otherwise crowd this query's execution
           // memory (measured at corpus-100×: tx22 9.8 s isolated vs
           // 67 s after tx06's 500k-doc prep stayed persisted)
-          if (releaseBetween) Caches.releaseAll()
-          val l = loadavg()
-          val snap0 = cpuSnap()
-          val t0 = System.nanoTime()
-          val t = runOnce(q, dir)
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          val f = foreignFrac(snap0, cpuSnap(), elapsed)
+          var tries = 0
+          var sample: (Double, Double, Double) = (Double.NaN, -1.0, -1.0)
+          var settled = false
+          while (!settled) {
+            if (releaseBetween) Caches.releaseAll()
+            val l = loadavg()
+            val snap0 = cpuSnap()
+            val t0 = System.nanoTime()
+            val t = runOnce(q, dir)
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            val f = foreignFrac(snap0, cpuSnap(), elapsed)
+            sample = (t, l, f)
+            // live per-sample re-gate: this sample's OWN foreign
+            // fraction is the trigger — one retry, after the box
+            // quiets (capped so a busy box still benches)
+            if (f > 0.10 && tries == 0 && requeueBudget > 0) {
+              requeueBudget -= 1
+              requeued += 1
+              tries = 1
+              requeuedSamples.getOrElseUpdate(q.name,
+                scala.collection.mutable.ArrayBuffer.empty) += sample
+              val w0 = System.nanoTime()
+              while (foreignNow() > 0.10 &&
+                  (System.nanoTime() - w0) / 1e9 < 30) {
+                Thread.sleep(3000)
+              }
+              requeueWaited += ((System.nanoTime() - w0) / 1e9).toInt
+            } else settled = true
+          }
           acc.getOrElseUpdate(q.name,
-            scala.collection.mutable.ArrayBuffer.empty) += ((t, l, f))
+            scala.collection.mutable.ArrayBuffer.empty) += sample
         }
         round += 1
       }
@@ -507,7 +555,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"regate_fired":$regateFired,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"regate_fired":$regateFired,"requeued":$requeued,"requeue_waited_sec":$requeueWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     // the slim stdout line must fit the driver's 2,000-char tail
     // capture, so the self-adjudication data rides as COMPACT arrays
     // aligned to the `queries` map's key order (declared by
@@ -544,7 +592,7 @@ object Bench {
     val deepJson =
       if (!deepTiers) ""
       else s""","queries_100x":${jmap(rel100.map { case (k, v) => k -> s4(v) })},"scaling_100x_vs_10x":${jmap(ratios100v10.map { case (k, v) => k -> s2(v) })},"scaling_100x_vs_sf0.1":${jmap(ratios100vSf.map { case (k, v) => k -> s2(v) })},"blowup_100x":$rel100Info,"queries_skew":${jmap(skew.map { case (k, v) => k -> s4(v) })},"skew_vs_10x":${jmap(ratiosSkew.map { case (k, v) => k -> s2(v) })},"skew_vs_10x_median":${jmap(ratiosSkewMed.map { case (k, v) => k -> s2(v) })},"skew_flagged":${skewFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skew_rule":$skewRule,"samples_100x":${jsamples(rel100Samples)},"samples_skew":${jsamples(skewSamples)},"samples_skew_base":${jsamples(skewBaseSamples)},"queries_corpus100":${jmap(corpus100.map { case (k, v) => k -> s4(v) })},"corpus_cold_min_sf0.1":${jmap(corpusQueries.flatMap(n => corpusColdSfMins.get(n).map(v => n -> s4(v))))},"corpus_cold_min_10x":${jmap(corpusQueries.flatMap(n => corpusCold10Mins.get(n).map(v => n -> s4(v))))},"scaling_cold_10x_vs_sf0.1":${jmap(ratiosCold10vSf.map { case (k, v) => k -> s2(v) })},"scaling_corpus100_vs_10x":${jmap(ratiosC100v10.map { case (k, v) => k -> s2(v) })},"blowup_corpus100":$corpus100Info,"bench_cold":$benchCold,"samples_corpus100":${jsamples(corpus100Samples)},"samples_corpus_cold_10x":${jsamples(corpusCold10)},"samples_corpus_cold_sf0.1":${jsamples(corpusColdSf)}"""
-    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}$deepJson}"""
+    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_requeued":${jsamples(requeuedSamples.view.mapValues(_.toSeq).toMap)},"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}$deepJson}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
     // so an oversized stdout line can never lose a completed run
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
