@@ -101,14 +101,20 @@ object Relational {
    * delete support, which plain [[upsert]] lacks.
    *
    * Scale shape: only the FEED ever shuffles (one hash aggregate to
-   * keep the per-key latest change); with `broadcastChanges` (the
-   * default — the CDC premise is a feed orders of magnitude smaller
-   * than the base) the base table takes a single broadcast left join +
-   * filter, so a 100 TB base is never re-partitioned to absorb a day
-   * of changes. Pass `broadcastChanges = false` when the feed is NOT
-   * delta-sized (a backfill, a migration) — forcing a broadcast there
-   * trades the shuffle for a driver/broadcast-limit failure, which is
-   * strictly worse. Inserts are authoritative by op contract (an I key
+   * keep the per-key latest change). The base-vs-feed join strategy is
+   * ADAPTIVE by default (r16): the join carries no hint, so AQE
+   * upgrades it to a broadcast at runtime whenever the aggregated
+   * feed's measured size is small — the CDC premise of a feed orders
+   * of magnitude smaller than the base, in which case a 100 TB base is
+   * never re-partitioned to absorb a day of changes — and keeps the
+   * shuffle join when it is not. The former always-broadcast default
+   * was the r16 lesson: the 100x-decade fixture's feed (2/3 of a 15M-
+   * row base by construction) died in the broadcast build, exactly the
+   * backfill/migration regime the old doc warned callers about but the
+   * operator could not protect itself from. Pass `broadcastChanges =
+   * true` only to FORCE the static broadcast plan when the caller
+   * guarantees a delta-sized feed and wants the guarantee in the plan,
+   * not the runtime. Inserts are authoritative by op contract (an I key
    * is absent from the base — the feed producer's invariant), so no
    * base-side anti-join exists to drag the base through an exchange.
    *
@@ -128,7 +134,7 @@ object Relational {
    */
   def applyChangeFeed(base: DataFrame, changes: DataFrame, key: String,
                       seq: String = "seq", op: String = "op",
-                      broadcastChanges: Boolean = true): DataFrame = {
+                      broadcastChanges: Boolean = false): DataFrame = {
     val payload = base.columns.filter(_ != key).toSeq
     val reserved = Seq(seq, op, "__k", "__c").filter(base.columns.contains)
     require(reserved.isEmpty,

@@ -540,8 +540,11 @@ object StorageQueries {
   //      every 5th deleted — %15 keys exercise the U-then-D ordering —
   //      and a disjoint negative-key insert per 7th key), so DuckDB
   //      rebuilds the identical feed and applies it its own way. Scale
-  //      shape per `Relational.applyChangeFeed`: only the feed shuffles;
-  //      the base takes one broadcast join, never an exchange. ----
+  //      shape per `Relational.applyChangeFeed`: only the feed shuffles
+  //      eagerly; the base-vs-feed join is AQE-adaptive (r16) — a
+  //      delta-sized feed upgrades to a broadcast at runtime, a
+  //      backfill-sized one falls back to a shuffle join instead of a
+  //      broadcast OOM. ----
   /** io15's deterministic change feed (shared with st17's streaming
     * replay, which must apply the IDENTICAL feed out of order). */
   private[graft] def cdcFeed(spark: SparkSession, dir: String): DataFrame = {

@@ -502,10 +502,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(factScans == 2, s"expected delta + cutoff scans only, got $factScans:\n$p")
   }
 
-  test("io15: CDC apply broadcasts the latest-change frame — the base never shuffles") {
-    val p = plan("io15_cdc_apply")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast change join:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"base-side shuffle crept in:\n$p")
+  test("io15: AQE upgrades the delta-sized change join to a broadcast at runtime") {
+    // r16: the operator no longer FORCES the broadcast (a 100x-decade
+    // feed died in the broadcast build — the backfill regime), so the
+    // small-feed guarantee moved from the static plan to AQE: execute,
+    // then assert the FINALIZED plan broadcast the aggregated feed and
+    // never shuffled the base
+    val df = Registry.byName("io15_cdc_apply").run(spark, dir)
+    df.count() // AQE finalizes join strategies at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      s"AQE did not upgrade the delta-sized change join to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base-side shuffle survived AQE:\n$p")
   }
 
   test("applyChangeFeed: the feed's aggregation exchange is planned once and reused") {

@@ -191,6 +191,15 @@ INCLUDE_100X = {
     # — the iterative-graph family's first 100x-decade cell-exact
     # gates (organic-gate depth is oracle-cost-bounded; these are not)
     "q58_planted_components", "q59_planted_triangles", "q60_planted_kcore",
+    # r16 — the stateful-streaming family's first 100x gate: st17
+    # replays the CDC feed through the real micro-batch state store
+    # (state bounded by distinct CHANGED keys, not the base; the base
+    # joins once outside the streaming loop) and the batch apply now
+    # lets AQE pick the base-vs-feed join — this tier's 2/3-of-base
+    # feed is exactly the backfill regime that killed the old forced
+    # broadcast. Measured: engine 186 s, oracle+14.1M-row compare
+    # 148 s at this decade.
+    "st17_stream_cdc_apply",
 }
 
 # The 100x CORPUS decade tier (r14): documents/embeddings blown up
