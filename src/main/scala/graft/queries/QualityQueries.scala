@@ -1615,6 +1615,123 @@ object QualityQueries {
        |FROM f, s, e""".stripMargin
   }
 
+  // ---- dq26: bottom-k row-sample QUANTILE sketch — the fourth
+  //      mergeable-sketch question: HLL (dq23) gives cardinality, CMS
+  //      (dq24) per-key frequency, KMV (dq25) set algebra; none gives
+  //      the value DISTRIBUTION. Hash each order's unique key into
+  //      KMV's 52-bit space and keep the K=256 rows with the smallest
+  //      hashes, carrying o_totalprice: the bottom-K of a union of
+  //      shards is the bottom-K of the union of the shards' bottom-Ks
+  //      (min-union merge, fold-order-free), so per-MONTH signatures
+  //      answer "p50/p90/p99 order value, all time" without ever
+  //      co-scanning the months — and the gate PROVES the merge
+  //      identity (merged == direct global bottom-K, cell for cell)
+  //      rather than assuming it. The kept rows are a uniform sample,
+  //      so the sample order statistic at rank ceil(q·k_used)
+  //      estimates the population quantile with binomial rank sd
+  //      sqrt(q(1-q)/K); `within_bound` compares the estimate's EXACT
+  //      rank (one conditional-count scan) against the 3.5-sd +
+  //      1-step bound, and SketchFixtureSpec pins it true, not merely
+  //      engine-agreed. Everything gates cell-exact: integer hashes,
+  //      raw parquet doubles, integer rank indexes, and one IEEE
+  //      division both engines evaluate identically. Scale shape: the
+  //      signature build is a straggler-free grouped bottom-k
+  //      (topKPerGroupScalable — no one-task-per-month window), the
+  //      merge and quantile pick run on ≤ months×K rows (persisted
+  //      once, PlanCache lifecycle), and the rank probe is one
+  //      map-side conditional aggregate against a 3-row broadcast. ----
+  private val qsCache = new graft.util.PlanCache(maxEntries = 2)
+
+  private def dq26(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Relational
+    import graft.quality.Qs
+    val rows = Tables.orders(spark, dir).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("shard"),
+      col("o_orderkey").as("k"),
+      Qs.hashOf(col("o_orderkey")).as("h"),
+      col("o_totalprice").as("v"))
+    val perShard = qsCache.persisted(
+      Relational.topKPerGroupScalable(rows, Seq("shard"),
+        Seq(col("h").asc, col("k").asc), Qs.K).drop("rn"))
+    val merged = perShard.orderBy(col("h"), col("k")).limit(Qs.K)
+    val direct = rows.orderBy(col("h"), col("k")).limit(Qs.K)
+    def indexed(df: DataFrame) = df.select(col("h"), col("k"),
+      row_number().over(Window.orderBy(col("h"), col("k"))).as("i"))
+    val kframe = merged.agg(count(lit(1)).as("k_used"))
+    val mok = indexed(merged).as("m")
+      .join(indexed(direct).as("d"), col("m.i") === col("d.i"))
+      .agg(min((col("m.h") === col("d.h") && col("m.k") === col("d.k"))
+          .cast(IntegerType)).as("alleq"),
+        count(lit(1)).as("nj"))
+      .crossJoin(broadcast(kframe))
+      .select((col("alleq") === 1 && col("nj") === col("k_used"))
+        .as("merge_ok"))
+    val sample = merged.select(col("v"),
+      row_number().over(Window.orderBy(col("v"), col("h"), col("k"))).as("idx"))
+    val est = spark.range(1)
+      .select(explode(array(Qs.Quantiles.map(lit(_)): _*)).as("q"))
+      .crossJoin(broadcast(kframe))
+      .withColumn("rank",
+        ceil(col("q") * col("k_used").cast(DoubleType)))
+      .join(broadcast(sample), col("idx") === col("rank"))
+      .select(col("q"), col("k_used"), col("rank"), col("v").as("est"))
+    rows.select(col("v")).crossJoin(broadcast(est))
+      .groupBy(col("q"), col("k_used"), col("rank"), col("est"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("v") <= col("est")).cast(LongType)).as("le_n"))
+      .withColumn("exact_rank",
+        col("le_n").cast(DoubleType) / col("n_rows").cast(DoubleType))
+      .withColumn("rank_err", abs(col("exact_rank") - col("q")))
+      .withColumn("within_bound", col("rank_err") <= Qs.rankBound(col("q")))
+      .crossJoin(broadcast(mok))
+  }
+
+  private val dq26Oracle = {
+    import graft.quality.Qs
+    s"""WITH r AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS shard, o_orderkey AS k,
+       |    ${Qs.hashSql("o_orderkey")} AS h, o_totalprice AS v
+       |  FROM orders),
+       |ps AS (
+       |  SELECT shard, k, h, v FROM (
+       |    SELECT shard, k, h, v,
+       |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
+       |    FROM r) t
+       |  WHERE rn <= ${Qs.K}),
+       |m AS (SELECT k, h, v FROM ps ORDER BY h, k LIMIT ${Qs.K}),
+       |d AS (SELECT k, h, v FROM r ORDER BY h, k LIMIT ${Qs.K}),
+       |mi AS (SELECT k, h, row_number() OVER (ORDER BY h, k) AS i FROM m),
+       |di AS (SELECT k, h, row_number() OVER (ORDER BY h, k) AS i FROM d),
+       |mok AS (
+       |  SELECT (MIN(CASE WHEN mi.h = di.h AND mi.k = di.k THEN 1 ELSE 0 END) = 1
+       |    AND COUNT(*) = (SELECT COUNT(*) FROM m)) AS merge_ok
+       |  FROM mi JOIN di ON mi.i = di.i),
+       |kf AS (SELECT COUNT(*) AS k_used FROM m),
+       |s AS (SELECT v, row_number() OVER (ORDER BY v, h, k) AS idx FROM m),
+       |qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+       |                      CAST(0.99 AS DOUBLE)]) AS q),
+       |e AS (
+       |  SELECT qs.q, kf.k_used,
+       |    CAST(CEIL(qs.q * CAST(kf.k_used AS DOUBLE)) AS BIGINT) AS rank
+       |  FROM qs CROSS JOIN kf),
+       |ev AS (SELECT e.q, e.k_used, e.rank, s.v AS est
+       |       FROM e JOIN s ON s.idx = e.rank),
+       |x AS (
+       |  SELECT ev.q, ev.k_used, ev.rank, ev.est,
+       |    COUNT(*) AS n_rows,
+       |    CAST(SUM(CASE WHEN r.v <= ev.est THEN 1 ELSE 0 END) AS BIGINT) AS le_n
+       |  FROM r CROSS JOIN ev
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT q, k_used, rank, est, n_rows, le_n,
+       |  CAST(le_n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS exact_rank,
+       |  ABS(CAST(le_n AS DOUBLE) / CAST(n_rows AS DOUBLE) - q) AS rank_err,
+       |  ABS(CAST(le_n AS DOUBLE) / CAST(n_rows AS DOUBLE) - q) <=
+       |    ${Qs.rankBoundSql("q")} AS within_bound,
+       |  (SELECT merge_ok FROM mok) AS merge_ok
+       |FROM x""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dq01_quality_report", dq01, Some(dq01Oracle)),
     GraftQuery("dq02_sketch_profile", dq02, Some(dq02Oracle)),
@@ -1640,5 +1757,6 @@ object QualityQueries {
     GraftQuery("dq22_ab_readout", dq22, Some(dq22Oracle)),
     GraftQuery("dq23_hll_sketch", dq23, Some(dq23Oracle), headline = true),
     GraftQuery("dq24_cms_sketch", dq24, Some(dq24Oracle)),
-    GraftQuery("dq25_kmv_setops", dq25, Some(dq25Oracle)))
+    GraftQuery("dq25_kmv_setops", dq25, Some(dq25Oracle)),
+    GraftQuery("dq26_qsketch", dq26, Some(dq26Oracle)))
 }

@@ -742,6 +742,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"non-user-grain exchange [$k] in:\n$p"))
   }
 
+  test("dq26: grouped bottom-k signature build; quantile algebra broadcasts") {
+    // the quantile-sketch cost claim: the raw rows shuffle ONCE, into
+    // the straggler-free (__pid, shard) grouped bottom-k; every
+    // signature pick is a TakeOrdered top-k (never a global sort of
+    // the fact); the rank probe is one broadcast of a 3-row estimate
+    // frame, never a shuffled cartesian
+    val p = plan("dq26_qsketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"signature picks must be distributed top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the rank probe must broadcast, not shuffle-cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast probe/pick joins:\n$p")
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // fact-sized exchanges are only the grouped bottom-k's (__pid,
+    // shard) pass and its shard-grain rerank; everything else is
+    // signature-sized (the 256-row merge-identity join and the 3-row
+    // quantile agg)
+    keys.foreach(k => assert(
+      k.contains("shard") || k.contains("i#") || k.contains("q#"),
+      s"unexpected exchange grain [$k] in:\n$p"))
+  }
+
   test("tx47: one vocabulary-grain exchange; the curve stages are slice-grain") {
     // Heaps-curve cost claim: the corpus-sized work is the map-side
     // shingle explode; the only data-sized exchange is gram-keyed with

@@ -43,6 +43,20 @@ class SketchFixtureSpec extends AnyFunSuite with SparkSpec {
       "CMS underestimated a probe — the one-sided error guarantee broke")
   }
 
+  test("dq26: signature saturates, ranks hit the bound, and the merge held") {
+    assume(fixtureReady)
+    val rows = Registry.byName("dq26_qsketch").run(spark, dir)
+      .select("k_used", "within_bound", "merge_ok").collect()
+    assert(rows.length == graft.quality.Qs.Quantiles.length)
+    assert(rows.forall(_.getLong(0) == graft.quality.Qs.K.toLong),
+      "fixture no longer saturates the sample — the binomial rank " +
+        "bound below assumes a full K-row signature")
+    assert(rows.forall(_.getBoolean(1)),
+      "a sample quantile's exact rank escaped the 3.5-sd bound")
+    assert(rows.forall(_.getBoolean(2)),
+      "month-shard min-union drifted from the direct global bottom-K")
+  }
+
   test("dq25: saturated signature estimates land within 3 rse of exact") {
     assume(fixtureReady)
     val r = Registry.byName("dq25_kmv_setops").run(spark, dir)

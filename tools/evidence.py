@@ -179,6 +179,10 @@ INCLUDE_100X = {
     # (oracle: 0.8 s) — the whole mergeable-sketch family gates at
     # this tier
     "dq24_cms_sketch", "dq25_kmv_setops",
+    # r16 — the quantile sketch joins its family: month-shard bottom-K
+    # signatures over 45M orders, merge identity and rank-bound
+    # booleans gated cell-exact (oracle: 5.5 s measured here)
+    "dq26_qsketch",
     # r15 — the bitemporal snapshot's two key-grain window exchanges
     # over ~4.5M orders x3 versions; the oracle measured 15.7 s at
     # 9.1M output rows (the compare, like q13's 6M-row cell-exact
