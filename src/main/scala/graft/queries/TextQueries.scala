@@ -600,8 +600,11 @@ object TextQueries {
         "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
 
-  private val tx20Oracle =
-    """WITH RECURSIVE sh AS (
+  /** The exact near-dup transitive closure as DuckDB CTEs — tx20's
+    * oracle core, shared with tx50's cluster-keyed split (both must
+    * close the IDENTICAL pair graph). */
+  private val dupClosureCtes =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
       |      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2])) AS s
@@ -620,10 +623,13 @@ object TextQueries {
       |reach(id, r) AS (
       |  SELECT src, src FROM edges
       |  UNION
-      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
-      |SELECT id AS doc_id, MIN(r) AS cluster,
-      |  MIN(r) = id AS is_canonical
-      |FROM reach GROUP BY id""".stripMargin
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)""".stripMargin
+
+  private val tx20Oracle =
+    s"""WITH RECURSIVE $dupClosureCtes
+       |SELECT id AS doc_id, MIN(r) AS cluster,
+       |  MIN(r) = id AS is_canonical
+       |FROM reach GROUP BY id""".stripMargin
 
   // ---- tx21: deterministic per-language sample — eval-set and
   //      human-review draws need a sample that is uniform-ish yet
@@ -2165,6 +2171,60 @@ object TextQueries {
        |  CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
        |FROM r""".stripMargin
 
+  // ---- tx50: leakage-safe (dedup-aware) train/test split — tx19's
+  //      identity-keyed split has a blind spot a training pipeline
+  //      cannot afford: near-duplicate documents hash to independent
+  //      buckets, one twin lands in train and the other in test, and
+  //      the eval set silently leaks (the GPT-3-style decontamination
+  //      problem, but self-inflicted at split time). The fix: hash the
+  //      CLUSTER, not the document — close the exact near-dup pairs
+  //      into clusters (tx20's min-label propagation), treat unpaired
+  //      docs as singleton clusters (cluster = own id), and derive the
+  //      bucket from md5("csplit:" || cluster), so every member of a
+  //      cluster moves together by construction, in any engine, under
+  //      any repartition. Scale shape: the assignment is linear — one
+  //      doc-grain left join of the dup-docs-only cluster frame onto
+  //      the corpus (unhinted: AQE broadcasts it while dup clusters
+  //      are small, falls back to a shuffle join on a dup-heavy crawl)
+  //      plus a map-side hash. Pair DISCOVERY cost belongs to the
+  //      dedup operators (bucketed tx06/nearDupPairs at scale); the
+  //      gated source is the tx13 exactness anchor so DuckDB closes
+  //      the identical graph with its own recursive CTE. ----
+  private def tx50(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+        Dedup.allPairsJaccard(Tables.documents(spark, dir), "doc_id", "text",
+          minJaccard = 0.7),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("__cl"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("__cl"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("csplit:"),
+          col("cluster").cast(StringType))), 1, 4), 16, 10).cast(IntegerType),
+          lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 98, lit("train"))
+          .when(col("bucket") === 98, lit("valid"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
+  }
+
+  private val tx50Oracle =
+    s"""WITH RECURSIVE $dupClosureCtes,
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |a AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, cluster,
+       |    CAST(('0x' || substr(md5('csplit:' || CAST(cluster AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+       |  FROM a)
+       |SELECT doc_id, cluster, bucket,
+       |  CASE WHEN bucket < 98 THEN 'train' WHEN bucket = 98 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -2221,6 +2281,7 @@ object TextQueries {
     GraftQuery("tx46_bpe_compression", tx46, Some(tx46Oracle)),
     GraftQuery("tx47_vocab_growth", tx47, Some(tx47Oracle)),
     GraftQuery("tx48_bpe_encode", tx48, Some(tx48Oracle)),
-    GraftQuery("tx49_token_pack", tx49, Some(tx49Oracle)))
+    GraftQuery("tx49_token_pack", tx49, Some(tx49Oracle)),
+    GraftQuery("tx50_cluster_split", tx50, Some(tx50Oracle)))
 
 }

@@ -76,6 +76,11 @@ EXCLUDE_SF01_SWEEP = {
     # independently-derived pHash edges) additionally gates the
     # operator on ORGANIC edges at sf0.1 and 10x.
     "tx20_dedup_clusters",
+    # tx50 assigns the leakage-safe split FROM tx20's closure, so its
+    # oracle carries the identical quadratic pair discovery + recursive
+    # closure; the split logic itself is linear and its deep-tier
+    # evidence rides the same q58 planted-closure gate
+    "tx50_cluster_split",
     # q45's ORACLE closes triangles with the naive a<b<c wedge join —
     # 47 s in DuckDB at sf0.1 (1.2M edges); the Spark side is the
     # degree-oriented plan and stays cheap, but the gate is only as
