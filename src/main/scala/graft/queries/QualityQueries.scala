@@ -1642,18 +1642,40 @@ object QualityQueries {
   //      map-side conditional aggregate against a 3-row broadcast. ----
   private val qsCache = new graft.util.PlanCache(maxEntries = 2)
 
-  private def dq26(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.ops.Relational
+  /** dq26's row projection — the (shard, key, 52-bit row hash, value)
+    * frame both the batch sketch and the streaming twin (st33) build
+    * their signatures from. */
+  private[graft] def qsRows(orders: DataFrame): DataFrame = {
     import graft.quality.Qs
-    val rows = Tables.orders(spark, dir).select(
+    orders.select(
       date_format(col("o_orderdate"), "yyyy-MM").as("shard"),
       col("o_orderkey").as("k"),
       Qs.hashOf(col("o_orderkey")).as("h"),
       col("o_totalprice").as("v"))
-    val perShard = qsCache.persisted(
-      Relational.topKPerGroupScalable(rows, Seq("shard"),
-        Seq(col("h").asc, col("k").asc), Qs.K).drop("rn"))
+  }
+
+  /** dq26's stateful half: per-shard bottom-K signatures via the
+    * straggler-free grouped bottom-k — the frame a stream maintains
+    * as fold-order-free min-union state (st33 does, per micro-batch,
+    * in [[graft.streaming.QuantileSketchStream]]). */
+  private[graft] def qsShardSignatures(rows: DataFrame): DataFrame = {
+    import graft.ops.Relational
+    import graft.quality.Qs
+    Relational.topKPerGroupScalable(rows, Seq("shard"),
+      Seq(col("h").asc, col("k").asc), Qs.K).drop("rn")
+  }
+
+  /** dq26's report over already-built shard signatures: min-union
+    * merge, GATED merge identity against the direct global bottom-K,
+    * quantile picks, and the exact-rank probe. Shared verbatim with
+    * st33, which passes the drained streaming state as `perShard` —
+    * merge_ok is then precisely the stream-state ≡ batch-truth
+    * boolean. */
+  private[graft] def qsReportFromSignatures(spark: SparkSession,
+      signatures: DataFrame, rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.quality.Qs
+    val perShard = qsCache.persisted(signatures)
     val merged = perShard.orderBy(col("h"), col("k")).limit(Qs.K)
     val direct = rows.orderBy(col("h"), col("k")).limit(Qs.K)
     def indexed(df: DataFrame) = df.select(col("h"), col("k"),
@@ -1687,7 +1709,12 @@ object QualityQueries {
       .crossJoin(broadcast(mok))
   }
 
-  private val dq26Oracle = {
+  private def dq26(spark: SparkSession, dir: String): DataFrame = {
+    val rows = qsRows(Tables.orders(spark, dir))
+    qsReportFromSignatures(spark, qsShardSignatures(rows), rows)
+  }
+
+  private[graft] val dq26Oracle = {
     import graft.quality.Qs
     s"""WITH r AS (
        |  SELECT strftime(o_orderdate, '%Y-%m') AS shard, o_orderkey AS k,

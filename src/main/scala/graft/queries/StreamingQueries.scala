@@ -316,5 +316,14 @@ object StreamingQueries {
     // report is the shared hllReportFromDaily view over the drained
     // registers — incremental cardinality without rescanning the past
     GraftQuery("st32_stream_hll_sketch",
-      EventStream.hllSketchReplay, Some(QualityQueries.dq23Oracle)))
+      EventStream.hllSketchReplay, Some(QualityQueries.dq23Oracle)),
+    // st33 carries dq26's oracle verbatim: the stream maintains the
+    // per-shard bottom-K quantile signatures as CUSTOM
+    // mapGroupsWithState state (min-union fold — order-free; K-bounded
+    // per shard, never volume-bounded) and the merge/quantile/probe
+    // report is the shared qsReportFromSignatures view over the
+    // drained state — merge_ok becomes the stream≡batch boolean
+    GraftQuery("st33_stream_qsketch",
+      graft.streaming.QuantileSketchStream.quantileSketchReplay,
+      Some(QualityQueries.dq26Oracle)))
 }

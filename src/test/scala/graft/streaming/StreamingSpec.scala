@@ -634,6 +634,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(("a", 1)))
   }
 
+  test("st33 quantile-sketch state: adversarial batch splits drain to the batch signature") {
+    import QuantileSketchStream.{QsRow, sketchStream, signatureRows}
+    implicit val sqlCtx = spark.sqlContext
+    // two shards, 600 rows — far past K, split unevenly across three
+    // batches with the shards interleaved; min-union associativity
+    // says the drained state must equal the batch bottom-K exactly
+    def h(k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"qs:$k".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 13), 16)
+    }
+    val rows = (1L to 600L).map(k =>
+      QsRow(if (k % 2 == 0) "2024-01" else "2024-02", k, h(k), k * 1.5))
+    val ms = MemoryStream[QsRow]
+    val name = "graft_test_qsketch"
+    spark.catalog.dropTempView(name)
+    val q = sketchStream(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName(name).start()
+    try {
+      ms.addData(rows.take(500)); q.processAllAvailable()
+      ms.addData(rows.slice(500, 501)); q.processAllAvailable() // 1-row batch
+      ms.addData(rows.drop(501)); q.processAllAvailable()
+    } finally q.stop()
+    val drained = graft.ops.Relational.dedupeKeepFirst(
+      spark.table(name), Seq("shard"), Seq(col("updates").desc))
+    val got = signatureRows(drained)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = rows.groupBy(_.shard).toSeq.flatMap { case (s, rs) =>
+      rs.sortBy(r => (r.h, r.k)).take(graft.quality.Qs.K).map(r => (s, r.k))
+    }.toSet
+    assert(got == want, "drained stream state drifted from the batch bottom-K")
+    // and the state is K-bounded: each shard kept exactly K of its 300
+    assert(got.count(_._1 == "2024-01") == graft.quality.Qs.K)
+  }
+
   test("st09 media-hash stream accumulates across real micro-batches") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
