@@ -2225,6 +2225,120 @@ object TextQueries {
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  // ---- tx51: reference-LM perplexity filtering — the CCNet recipe
+  //      tx31 deliberately stopped short of: train an add-one-smoothed
+  //      bigram LM on a REFERENCE slice (the `en` documents — the
+  //      "wikipedia" of this corpus), score EVERY document's
+  //      cross-entropy against it, and flag documents whose mean NLL
+  //      sits above 1.25× the reference slice's own mean — the
+  //      "perplexity band" filter, which doubles as language ID here
+  //      (non-en word salad is maximally surprising to an en LM).
+  //      tx31's caution about ln() (libm last-ulp divergence breaking
+  //      cell-exact gates) is answered, not ignored: each bigram's
+  //      log-probability is scaled and rounded to an INTEGER
+  //      (round(-1e4·ln P), half-away-from-zero in both engines)
+  //      BEFORE any accumulation, so the per-document sum is exact
+  //      64-bit arithmetic — order-free across partitions — and the
+  //      only cross-engine surface is whether a single bigram's
+  //      1e4-scaled log sits within ~1e-10 of a rounding boundary
+  //      (probability ~2e-10 per distinct bigram, and a hit fails the
+  //      gate loudly rather than silently). Scale shape: the LM
+  //      tables are vocabulary-bounded (tx12's broadcast argument —
+  //      c1 derives from c2, so prefix totals are structurally
+  //      consistent), the corpus joins them map-side, and the only
+  //      corpus-sized exchange is the one doc-grain aggregate; the
+  //      reference band is a 1-row broadcast. The band itself is
+  //      RANK-relative, not moment-relative (the fixture's languages
+  //      share a vocabulary, so a 1.25×-mean band never fires; CCNet's
+  //      head/middle/tail cut is rank-based for the same reason):
+  //      flagged = mean NLL above the reference slice's own exact p95,
+  //      computed with dq07's percentile machinery — per-value counts,
+  //      one range exchange, MIN(value | cum ≥ ceil(0.95·n)) — so the
+  //      threshold is a COPY of an input rational, never a float
+  //      accumulation. ----
+  private val lmCache = new graft.util.PlanCache(maxEntries = 2)
+
+  private def tx51(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(Dedup.shingles(col("text"), w = 2)).as("gram"))
+    val c2 = grams.filter(col("lang") === "en")
+      .groupBy("gram").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = docs.filter(col("lang") === "en")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val perDoc = lmCache.persisted(grams
+      .join(broadcast(c2), Seq("gram"), "left")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        round(lit(-10000.0) * log(
+          (coalesce(col("c2"), lit(0L)) + 1L).cast(DoubleType) /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast(DoubleType)))
+          .cast(LongType).as("s"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("total_nll"))
+      .withColumn("mean_nll",
+        col("total_nll").cast(DoubleType) / col("n_bigrams").cast(DoubleType)))
+    val refCounts = perDoc.filter(col("lang") === "en")
+      .groupBy(col("mean_nll")).agg(count(lit(1)).as("cnt"))
+    val refN = refCounts.agg(sum(col("cnt")).as("n"))
+    val thr = graft.ops.Relational.runningTotal(refCounts,
+        Seq(col("mean_nll")), col("cnt"), "cum")
+      .crossJoin(broadcast(refN))
+      .agg(min(when(col("cum") >=
+          ceil(lit(0.95) * col("n").cast(DoubleType)).cast(LongType),
+        col("mean_nll"))).as("ref_p95"))
+    perDoc.crossJoin(broadcast(thr))
+      .withColumn("flagged", col("mean_nll") > col("ref_p95"))
+  }
+
+  private val tx51Oracle =
+    """WITH toks AS (SELECT doc_id, lang, str_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, lang, UNNEST(list_transform(range(1, len(ts)),
+      |        i -> ts[i] || ' ' || ts[i+1])) AS gram FROM toks),
+      |c2 AS (SELECT gram, COUNT(*) AS c2 FROM g WHERE lang = 'en' GROUP BY 1),
+      |c1 AS (SELECT str_split(gram, ' ')[1] AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+      |        SELECT UNNEST(ts) AS w FROM toks WHERE lang = 'en') t),
+      |s AS (
+      |  SELECT g.doc_id, g.lang,
+      |    CAST(ROUND(-10000.0 * ln(
+      |      CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+      |        / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS s
+      |  FROM g LEFT JOIN c2 USING (gram)
+      |    LEFT JOIN c1 ON c1.w1 = str_split(g.gram, ' ')[1]
+      |    CROSS JOIN v),
+      |d AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(s) AS BIGINT) AS total_nll
+      |  FROM s GROUP BY 1, 2),
+      |rc AS (
+      |  SELECT CAST(total_nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_nll,
+      |    COUNT(*) AS cnt
+      |  FROM d WHERE lang = 'en' GROUP BY 1),
+      |rn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM rc),
+      |cu AS (
+      |  SELECT mean_nll,
+      |    CAST(SUM(cnt) OVER (ORDER BY mean_nll
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM rc),
+      |thr AS (
+      |  SELECT MIN(CASE WHEN cu.cum >=
+      |      CAST(CEIL(0.95 * CAST(rn.n AS DOUBLE)) AS BIGINT)
+      |    THEN cu.mean_nll END) AS ref_p95
+      |  FROM cu, rn)
+      |SELECT d.doc_id, d.lang, d.n_bigrams, d.total_nll,
+      |  CAST(d.total_nll AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE) AS mean_nll,
+      |  thr.ref_p95,
+      |  CAST(d.total_nll AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
+      |    > thr.ref_p95 AS flagged
+      |FROM d, thr""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("tx01_token_stats", tx01, Some(tx01Oracle)),
     GraftQuery("tx02_text_quality", tx02, Some(tx02Oracle), headline = true),
@@ -2282,6 +2396,7 @@ object TextQueries {
     GraftQuery("tx47_vocab_growth", tx47, Some(tx47Oracle)),
     GraftQuery("tx48_bpe_encode", tx48, Some(tx48Oracle)),
     GraftQuery("tx49_token_pack", tx49, Some(tx49Oracle)),
-    GraftQuery("tx50_cluster_split", tx50, Some(tx50Oracle)))
+    GraftQuery("tx50_cluster_split", tx50, Some(tx50Oracle)),
+    GraftQuery("tx51_lm_score", tx51, Some(tx51Oracle)))
 
 }

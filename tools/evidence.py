@@ -259,6 +259,14 @@ INCLUDE_CORPUS100 = {
     # vocabulary-grain MIN aggregate over the shingle explode, linear
     # by construction (same gram pipeline as tx27, which gates here)
     "tx47_vocab_growth",
+    # r16 — reference-LM perplexity filtering: the corpus pays the
+    # gram explode + one doc-grain aggregate; LM tables are
+    # vocabulary-bounded broadcasts and the blow-up leaves the base
+    # lexicon intact (the tx44 argument), so the 8.6 s measured oracle
+    # is linear in documents. The integer-scaled-log boundary risk is
+    # bounded by DISTINCT probability values (vocab²-bounded), not by
+    # corpus rows — ~1e-5 at this tier.
+    "tx51_lm_score",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
