@@ -766,6 +766,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"unexpected exchange grain [$k] in:\n$p"))
   }
 
+  test("tx51: LM tables ride broadcasts; the corpus never sort-merge joins") {
+    // the perplexity-filter cost claim: c2/c1/vocab are
+    // vocabulary-bounded broadcast frames, so scoring is map-side and
+    // the only corpus-sized exchanges are the gram-count aggregate
+    // (vocab²-bounded after partial agg) and the doc-grain NLL
+    // aggregate; the reference band is a 1-row broadcast
+    val p = plan("tx51_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized shuffle join crept into the scoring path:\n$p")
+  }
+
   test("tx47: one vocabulary-grain exchange; the curve stages are slice-grain") {
     // Heaps-curve cost claim: the corpus-sized work is the map-side
     // shingle explode; the only data-sized exchange is gram-keyed with
