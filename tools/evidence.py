@@ -363,7 +363,47 @@ def gate(sf_dir, out_dir, names=None):
     return rec
 
 
+def bench_only():
+    """Re-run ONLY the bench stage against an existing EVIDENCE.json,
+    preserving every gate. Exists because the full refresh runs the
+    bench LAST, on a JVM and box that just spent ~2 h on the deep
+    tiers — which inflates every query uniformly (the r16 refresh read
+    1.17x on per-query MINS across untouched code, loadavg_pre 12.4).
+    The bench contract says run it exclusively; this re-runs it that
+    way and records the superseded total for provenance."""
+    with open(os.path.join(REPO, "EVIDENCE.json")) as f:
+        evidence = json.load(f)
+    prev = evidence.get("bench", {})
+    t0 = time.time()
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_DEEP_TIERS="1")
+    bench = run(["sbt", "-batch", "runMain graft.Bench"], env=env)
+    bo = os.path.join(REPO, "bench_out.json")
+    if bench.returncode != 0 or not os.path.exists(bo):
+        print("[evidence] bench-only rerun failed; artifact untouched")
+        print("\n".join(bench.stdout.splitlines()[-10:]))
+        return 1
+    with open(bo) as f:
+        evidence["bench"] = json.load(f)
+    evidence["bench"]["wall_sec"] = round(time.time() - t0, 1)
+    if prev.get("value") is not None:
+        evidence["bench"]["superseded_run"] = {
+            "value": prev.get("value"),
+            "loadavg_pre": prev.get("loadavg_pre"),
+            "note": "bench from the full tier refresh (hot JVM/box); "
+                    "replaced by this exclusive re-run per the "
+                    "run-bench-exclusively contract"}
+    evidence["bench_rerun_unix"] = int(time.time())
+    _write(evidence)
+    print(f"[evidence] bench-only: total {evidence['bench'].get('value')}")
+    return 0
+
+
 def main():
+    if "--bench-only" in sys.argv:
+        return bench_only()
     skip_bench = "--skip-bench" in sys.argv
     skip_10x = "--skip-10x" in sys.argv
     skip_deep = "--skip-deep" in sys.argv or skip_10x
