@@ -671,6 +671,65 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_._1 == "2024-01") == graft.quality.Qs.K)
   }
 
+  test("st33 crash replay: bottom-K state survives a torn batch, drains to the batch signature") {
+    import QuantileSketchStream.{QsRow, sketchStream, signatureRows}
+    implicit val sqlCtx = spark.sqlContext
+    def h(k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"qs:$k".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 13), 16)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-qs-crash-").toString
+    val out = s"$base/out"
+    val chk = s"$base/chk"
+    val ms = MemoryStream[QsRow]
+    @volatile var injected = false
+    // torn state: the batch that folds the first 400 rows writes its
+    // signatures, then dies before the offset/state commit — recovery
+    // must replay it against the CHECKPOINTED (empty) pre-batch state,
+    // re-emitting identical signatures, and the post-restart fold must
+    // build on state recovered from the store, not recomputed ad hoc
+    def start() = sketchStream(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.persist()
+        rows.write.mode("append").parquet(out)
+        val n = rows.count()
+        rows.unpersist()
+        if (n > 0 && !injected) {
+          injected = true
+          throw new RuntimeException(
+            "injected crash after write, before offset commit")
+        }
+      }.start()
+    val rows = (1L to 600L).map(k =>
+      QsRow(if (k % 2 == 0) "s1" else "s2", k, h(k), k * 0.5))
+    val q1 = start()
+    ms.addData(rows.take(400))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(q1.exception.isDefined, "expected the injected crash to kill the query")
+    assert(injected)
+    val q2 = start() // restart: the uncommitted folding batch replays
+    try {
+      ms.addData(rows.drop(400))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // at-least-once sink: the torn batch's rows appear twice, but the
+    // replayed emission is IDENTICAL (same pre-batch state), so
+    // latest-updates-wins recovers the exact final signature
+    val drained = graft.ops.Relational.dedupeKeepFirst(
+      spark.read.parquet(out), Seq("shard"), Seq(col("updates").desc))
+    val got = signatureRows(drained)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = rows.groupBy(_.shard).toSeq.flatMap { case (s, rs) =>
+      rs.sortBy(r => (r.h, r.k)).take(graft.quality.Qs.K).map(r => (s, r.k))
+    }.toSet
+    assert(got == want,
+      "recovered stream state drifted from the batch bottom-K")
+  }
+
   test("st09 media-hash stream accumulates across real micro-batches") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
