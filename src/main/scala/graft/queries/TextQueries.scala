@@ -2270,10 +2270,17 @@ object TextQueries {
     val vocab = docs.filter(col("lang") === "en")
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+    // No broadcast hints on c2/c1: bigram TYPE counts grow roughly
+    // linearly with corpus size (unlike a unigram lexicon), so a
+    // static hint is the same latent OOM the r16 applyChangeFeed fix
+    // removed from the CDC join — at THIS fixture's vocabulary AQE
+    // upgrades both joins to broadcasts at runtime (pinned on the
+    // finalized plan in PlanShapeSpec), and at a 100-TB vocabulary it
+    // degrades to a shuffle join instead of killing the driver.
     val perDoc = lmCache.persisted(grams
-      .join(broadcast(c2), Seq("gram"), "left")
+      .join(c2, Seq("gram"), "left")
       .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .join(broadcast(c1), Seq("w1"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("lang"),
         round(lit(-10000.0) * log(

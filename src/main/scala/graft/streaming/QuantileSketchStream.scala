@@ -79,38 +79,49 @@ object QuantileSketchStream {
     * signature is genuinely folded across batches), drain the state,
     * and run the shared dq26 report against the batch fixture.
     * Scratch dirs are deleted once the result is materialized. */
+  private val replayCache = new graft.util.PlanCache(maxEntries = 1)
+
   def quantileSketchReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rows = graft.queries.QualityQueries.qsRows(
       graft.sources.Tables.orders(spark, dir))
     val tmp = java.nio.file.Files.createTempDirectory("graft-st33-")
-    val feedDir = s"$tmp/feed"
-    rows.repartition(4, col("k")).write.mode("overwrite").parquet(feedDir)
-    val schema = spark.read.parquet(feedDir).schema
-
-    val name = "graft_stream_qsketch"
-    spark.catalog.dropTempView(name)
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(feedDir)
-    val q = sketchStream(stream.as[QsRow]).toDF()
-      .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    // the memory sink appends one row per (shard, trigger); keep the
-    // latest update per shard, then localCheckpoint (eager) — the
-    // report joins frames derived from the drained state (st10 lesson)
-    val drained = graft.ops.Relational.dedupeKeepFirst(
-      spark.table(name), Seq("shard"), Seq(col("updates").desc))
-      .localCheckpoint()
-    val out = graft.queries.QualityQueries.qsReportFromSignatures(
-      spark, signatureRows(drained), rows)
-    out.cache().count() // materialize before the scratch tree goes away
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(tmp.toFile)
-    out
+    // the whole body under try/finally: a throw from the streaming
+    // query, the drain, or the report must not leak the scratch tree
+    // under java.io.tmpdir (materialization happens before the finally
+    // runs, so the success path is unchanged)
+    try {
+      val feedDir = s"$tmp/feed"
+      rows.repartition(4, col("k")).write.mode("overwrite").parquet(feedDir)
+      val schema = spark.read.parquet(feedDir).schema
+
+      val name = "graft_stream_qsketch"
+      spark.catalog.dropTempView(name)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val q = sketchStream(stream.as[QsRow]).toDF()
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      // the memory sink appends one row per (shard, trigger); keep the
+      // latest update per shard, then localCheckpoint (eager) — the
+      // report joins frames derived from the drained state (st10 lesson)
+      val drained = graft.ops.Relational.dedupeKeepFirst(
+        spark.table(name), Seq("shard"), Seq(col("updates").desc))
+        .localCheckpoint()
+      // persisted through the shared PlanCache lifecycle (not a bare
+      // .cache()) so Caches.releaseAll() reclaims it between bench
+      // tier queries like every other operator-level persist
+      val out = replayCache.persisted(
+        graft.queries.QualityQueries.qsReportFromSignatures(
+          spark, signatureRows(drained), rows))
+      out.count() // materialize before the scratch tree goes away
+      out
+    } finally rm(tmp.toFile)
   }
 }

@@ -171,11 +171,19 @@ object Bpe {
     def encodeWord(w: Column): Column =
       aggregate(col("__ms"), chars(w),
         (syms, m) => applyMerge(syms, m.getField("a"), m.getField("b")))
+    // array_position returns 0 (not null) for a symbol absent from the
+    // merge table; unguarded, 25 + 0 would silently collide with 'z'.
+    // Unreachable by construction (every multi-char symbol IS a merge
+    // output), so the guard converts "impossible" into a loud error
+    // instead of a corrupted id if that invariant ever breaks.
     def idOf(s: Column): Column =
       when(length(s) === 1, ascii(s) - 97)
-        .otherwise(lit(25) + array_position(
-          transform(col("__ms"),
-            m => concat(m.getField("a"), m.getField("b"))), s))
+        .otherwise(lit(25) + coalesce(
+          nullif(array_position(
+            transform(col("__ms"),
+              m => concat(m.getField("a"), m.getField("b"))), s), lit(0L)),
+          raise_error(concat(lit("BPE symbol not in merge table: "), s))
+            .cast("long")))
         .cast("int")
     docs.crossJoin(broadcast(merges))
       .withColumn("token_ids",

@@ -374,6 +374,17 @@ def bench_only():
     with open(os.path.join(REPO, "EVIDENCE.json")) as f:
         evidence = json.load(f)
     prev = evidence.get("bench", {})
+    # A bench re-run must not silently attach timings from a different
+    # commit (or a dirty tree) to gates measured at an older one: stamp
+    # the bench's own provenance, and refuse a cross-commit splice
+    # unless explicitly forced.
+    head = run(["git", "rev-parse", "HEAD"]).stdout.strip()
+    dirty = bool(run(["git", "status", "--porcelain"]).stdout.strip())
+    if head != evidence.get("commit") and "--force" not in sys.argv:
+        print(f"[evidence] REFUSING bench-only splice: gates measured at "
+              f"{evidence.get('commit', '?')[:12]} but HEAD is {head[:12]} "
+              f"(pass --force to override; the mismatch will be recorded)")
+        return 1
     t0 = time.time()
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
@@ -388,6 +399,8 @@ def bench_only():
     with open(bo) as f:
         evidence["bench"] = json.load(f)
     evidence["bench"]["wall_sec"] = round(time.time() - t0, 1)
+    evidence["bench"]["commit"] = head
+    evidence["bench"]["tree_dirty"] = dirty
     if prev.get("value") is not None:
         evidence["bench"]["superseded_run"] = {
             "value": prev.get("value"),
