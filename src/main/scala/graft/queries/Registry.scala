@@ -55,7 +55,7 @@ object Registry {
     * large-scale training-data extensions (text, dedup, similarity). */
   lazy val all: Seq[GraftQuery] =
     CoreQueries.all ++ AdvancedQueries.all ++ GraphTruthQueries.all ++
-      MarketPulseQueries.all ++
+      DedupTruthQueries.all ++ MarketPulseQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ StorageQueries.all ++ QualityQueries.all
 

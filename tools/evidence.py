@@ -267,6 +267,15 @@ INCLUDE_CORPUS100 = {
     # bounded by DISTINCT probability values (vocab²-bounded), not by
     # corpus rows — ~1e-5 at this tier.
     "tx51_lm_score",
+    # r17 — planted-truth near-dup recall: the gadget pairs' Jaccards
+    # are closed-form from the token layout, so the oracle is O(1)
+    # (one documents COUNT); the engine side runs the REAL
+    # nearDupPairsWithStats over the organic 500k-doc corpus plus the
+    # plant — certainty-positives (identical shingle sets), a 0.75
+    # recall floor on J=27/29 pairs, verify-killed negatives, and the
+    # maxBucket cap witness (4 buckets / 4800 rows) all cell-exact at
+    # the decade where recall was previously unmeasured
+    "tx52_planted_neardup",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
