@@ -56,7 +56,8 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     CoreQueries.all ++ AdvancedQueries.all ++ GraphTruthQueries.all ++
       DedupTruthQueries.all ++ MarketPulseQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++
+      SimilarityTruthQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ StorageQueries.all ++ QualityQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/**
+ * PLANTED-TRUTH gates for the similarity family at depth — the tx52 /
+ * q58 playbook applied to ANN. The structural problem: sim01's exact
+ * anchor and sim11's recall measurement pay an all-pairs oracle, so
+ * above sf0.01 the ANN gates checked determinism, not retrieval
+ * quality. Here the TRUE top-k is known from construction, so the
+ * oracle is O(output) arithmetic and the gates run through the
+ * corpus100 decade.
+ *
+ * Construction: Q gadgets (Q = clamp(vectors/100, 8, 200)). Gadget g
+ * plants one unit query direction û_g and five neighbors at
+ * v_{g,r} = cos(θ_r)·û_g + sin(θ_r)·ŵ_g,  θ_r = 0.02·(r+1) —
+ * cosines {0.9998, 0.9992, 0.9982, 0.9968, 0.9950} by construction,
+ * gaps ≥ 0.0006 (≥ 6× the 4-decimal ranking round, ≫ float32 storage
+ * noise), so the neighbor ranks are total and certain. û is supported
+ * on EVEN dimensions and ŵ on ODD ones, so û·ŵ = 0 exactly (every
+ * product term has a zero factor — exact even in float32); entries
+ * come from xxhash64 (no lattice periodicity — a modular formula here
+ * would make gadgets g and g+7 IDENTICAL directions).
+ *
+ * The truth claim "gadget g's exact top-5 = its five neighbors" needs
+ * one empirical premise: nothing OUTSIDE the gadget scores ≥ the
+ * lowest planted cosine. That premise is not assumed — sim24 MEASURES
+ * it every run (max cross/organic cosine < 0.95 < 0.9689) and gates
+ * the boolean; a fixture regeneration that violated it would fail
+ * loudly, not silently corrupt the truth.
+ *
+ *  - sim23 (deterministic, cell-exact): the exact bounded-heap top-5
+ *    ([[Similarity.bruteForceTopK]] — sim01's machinery) over the
+ *    organic∪planted union for the planted queries must return
+ *    exactly the closed-form (query, rank, neighbor) grid. This is
+ *    the exact path's first deep-tier cell-exact gate: cost is
+ *    Q·N (linear in the corpus, Q capped), not N².
+ *  - sim24 (floor booleans, the honest form for S-curve properties):
+ *    overlap@5 vs constructed truth for the LSH-bucketed path
+ *    (sim02's 6-bit hyperplane machinery, floor 0.6 — hyperplane
+ *    theory predicts ~0.89 mean at these angles, measured 0.877 at
+ *    the corpus100 decade) and the IVF path (sim05's fitted-centroid
+ *    probe, floor 0.8 — neighbors within 0.1 rad of their query
+ *    share its probed cells; measured 1.0 at every tier),
+ *    plus the measured separation premise and the closed-form query
+ *    count. Engine-deterministic per fixture; floors sit far below
+ *    the measured values so a breach means retrieval-quality rot
+ *    (bucket dilution, probe misassignment), not jitter.
+ */
+object SimilarityTruthQueries {
+
+  private val Dim = 64
+  private val QBase = 2000000000L
+  private val NbrBase = 2100000000L
+  private val Thetas = (1 to 5).map(r => 0.02 * r)
+
+  private def scaleOf(spark: SparkSession, dir: String): Long = {
+    val n = Tables.embeddings(spark, dir).count() / 100L
+    math.max(math.min(n, 200L), 8L)
+  }
+
+  /** Planted (id, vec) rows: Q query vectors then 5Q neighbors.
+    * Exposed for the spec. */
+  private[queries] def plantedVecs(spark: SparkSession, q: Long): DataFrame = {
+    val g = col("id")
+    // hash-entry in {-50..50} — a FINE lattice on purpose: a coarse
+    // one (mod 7 was tried) puts discrete atoms near zero in the
+    // hyperplane projections h·û, inflating the sign-flip rate well
+    // past the arccos/π theory the LSH floor is calibrated against.
+    // Slot 0 of each parity is pinned to 60 so neither direction can
+    // be the zero vector.
+    def entry(tag: String, j: Column): Column =
+      (pmod(xxhash64(lit(tag), g, j), lit(101)) - 50).cast("double")
+    def dirArr(tag: String, parity: Int): Column =
+      transform(sequence(lit(0), lit(Dim - 1)), j =>
+        when(pmod(j, lit(2)) === parity,
+          when(j === parity, lit(60.0)).otherwise(entry(tag, j)))
+          .otherwise(lit(0.0)))
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      transform(v, x => x / n)
+    }
+    val base = spark.range(q)
+      .select(g, unit(dirArr("s23u", 0)).as("u"), unit(dirArr("s23w", 1)).as("w"))
+    val queries = base.select((lit(QBase) + g).as("id"),
+      transform(col("u"), x => x.cast("float")).as("vec"))
+    val neighbors = base
+      .select(g, col("u"), col("w"),
+        explode(array(Thetas.zipWithIndex.map { case (t, r) =>
+          struct(lit(r.toLong).as("r"),
+            lit(math.cos(t)).as("ct"), lit(math.sin(t)).as("st"))
+        }: _*)).as("n"))
+      .select((lit(NbrBase) + g * 5 + col("n.r")).as("id"),
+        transform(
+          zip_with(col("u"), col("w"),
+            (a, b) => col("n.ct") * a + col("n.st") * b),
+          x => x.cast("float")).as("vec"))
+    queries.unionByName(neighbors)
+  }
+
+  private def union(spark: SparkSession, dir: String, q: Long): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(plantedVecs(spark, q))
+
+  private def plantedQueries(spark: SparkSession, q: Long): DataFrame =
+    plantedVecs(spark, q).filter(col("id") < NbrBase)
+
+  /** The closed-form truth grid: (query_id, rank, cand_id). */
+  private def truthDf(spark: SparkSession, q: Long): DataFrame =
+    spark.range(q).select(col("id").as("g"),
+        explode(sequence(lit(0L), lit(4L))).as("r"))
+      .select((lit(QBase) + col("g")).as("query_id"),
+        (col("r") + 1).as("rank"),
+        (lit(NbrBase) + col("g") * 5 + col("r")).as("cand_id"))
+
+  // ---- sim23: exact top-5 over organic∪planted == the closed-form
+  //      neighbor grid, cell for cell ----
+  private def sim23(spark: SparkSession, dir: String): DataFrame = {
+    val q = scaleOf(spark, dir)
+    Similarity.bruteForceTopK(union(spark, dir, q),
+        plantedQueries(spark, q), k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"))
+  }
+
+  private val sim23Oracle =
+    """WITH p AS (
+      |  SELECT GREATEST(LEAST(COUNT(*) // 100, 200), 8) AS q FROM embeddings),
+      |g AS (SELECT unnest(generate_series(0, q - 1)) AS g FROM p),
+      |r AS (SELECT g, unnest(generate_series(0, 4)) AS r FROM g)
+      |SELECT CAST(2000000000 + g AS BIGINT) AS query_id,
+      |  CAST(r + 1 AS BIGINT) AS rank,
+      |  CAST(2100000000 + g * 5 + r AS BIGINT) AS cand_id
+      |FROM r""".stripMargin
+
+  // ---- sim24: bucketed-path overlap floors vs the constructed truth,
+  //      plus the measured separation premise ----
+  private def sim24(spark: SparkSession, dir: String): DataFrame = {
+    val q = scaleOf(spark, dir)
+    val cands = union(spark, dir, q)
+    val queries = plantedQueries(spark, q)
+    val truth = truthDf(spark, q).select(col("query_id"), col("cand_id"))
+
+    val lshHits = Similarity.lshTopK(cands, queries, k = 5, dim = Dim, bits = 6)
+      .join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__lsh_hits"))
+    val ivfHits = Similarity.ivfTopK(cands, queries, k = 5)
+      .join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__ivf_hits"))
+
+    // separation premise: max cosine between any planted query and any
+    // candidate outside its own gadget (organic, other gadgets, other
+    // queries) — one Q-broadcast linear scan
+    val qd = queries
+      .select(col("id").as("query_id"), Similarity.toDoubleVec(col("vec")).as("qvec"))
+      .withColumn("qnorm", Similarity.l2Norm(col("qvec")))
+    val cd = cands
+      .select(col("id").as("cand_id"), Similarity.toDoubleVec(col("vec")).as("cvec"))
+      .withColumn("cnorm", Similarity.l2Norm(col("cvec")))
+    val ownLo = lit(NbrBase) + (col("query_id") - QBase) * 5
+    val sep = cd.crossJoin(broadcast(qd))
+      .filter(col("cand_id") =!= col("query_id") &&
+        !(col("cand_id") >= ownLo && col("cand_id") < ownLo + 5))
+      .agg(max(Similarity.cosine(col("qvec"), col("cvec"),
+        col("qnorm"), col("cnorm"))).as("__max_other"))
+
+    // measured: LSH overlap 1.0 at q=8 (base fixtures) and 0.877 at
+    // q=200 over the 200k-vector corpus100 blow-up — rank-by-rank on
+    // the (1-θ/π)^6 hyperplane prediction (0.96..0.82 for θ=0.02..0.1);
+    // IVF 1.0 at both extremes. The floors sit far below: a breach
+    // means signature/quantizer rot (those failure modes crash toward
+    // 0), not sampling jitter.
+    val lshFloor = math.ceil(0.6 * 5 * q).toLong
+    val ivfFloor = math.ceil(0.8 * 5 * q).toLong
+    lshHits.crossJoin(ivfHits).crossJoin(sep)
+      .select(
+        (col("__lsh_hits") >= lshFloor).cast("long").as("lsh_overlap_floor_ok"),
+        (col("__ivf_hits") >= ivfFloor).cast("long").as("ivf_overlap_floor_ok"),
+        (col("__max_other") < 0.95).cast("long").as("separation_ok"),
+        lit(q).as("n_queries"))
+  }
+
+  private val sim24Oracle =
+    """WITH p AS (
+      |  SELECT GREATEST(LEAST(COUNT(*) // 100, 200), 8) AS q FROM embeddings)
+      |SELECT CAST(1 AS BIGINT) AS lsh_overlap_floor_ok,
+      |  CAST(1 AS BIGINT) AS ivf_overlap_floor_ok,
+      |  CAST(1 AS BIGINT) AS separation_ok,
+      |  CAST(q AS BIGINT) AS n_queries
+      |FROM p""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("sim23_planted_exact_topk", sim23, Some(sim23Oracle)),
+    GraftQuery("sim24_planted_ann_quality", sim24, Some(sim24Oracle)))
+}

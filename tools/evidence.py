@@ -276,6 +276,14 @@ INCLUDE_CORPUS100 = {
     # maxBucket cap witness (4 buckets / 4800 rows) all cell-exact at
     # the decade where recall was previously unmeasured
     "tx52_planted_neardup",
+    # r17 — planted ANN truth: the true top-5 is closed-form from the
+    # gadget layout (separation from the organic corpus is MEASURED
+    # in-gate, not assumed), so the exact bounded-heap path gates
+    # cell-exact (sim23) and the LSH/IVF bucketed paths gate overlap@5
+    # floors (sim24: LSH measured 0.877 at this decade vs the 0.6
+    # floor; IVF 1.0 vs 0.8) — retrieval QUALITY at the decade where
+    # the ANN family previously gated only determinism
+    "sim23_planted_exact_topk", "sim24_planted_ann_quality",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
