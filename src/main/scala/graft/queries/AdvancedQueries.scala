@@ -1031,7 +1031,14 @@ object AdvancedQueries {
       .select(col("node").as("partkey"), col("n_tri"), col("rank"))
   }
 
-  private val q45Oracle =
+  /** The TEXTBOOK a<b<c oracle q45 shipped with through r16 — kept as
+    * the chain anchor: TriangleOracleChainSpec proves the oriented
+    * oracle below equal to this one on randomized graphs and the hub
+    * pathology, and TrianglesSpec separately chains the ENGINE to a
+    * naive local scan. Retired from the gate itself because its wedge
+    * join goes through raw-degree hubs (47 s in DuckDB at sf0.1,
+    * unaffordable at 10x), which kept q45 excluded above sf0.01. */
+  private[queries] val q45NaiveOracle =
     """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |pairs AS (SELECT a.p AS pa, b.p AS pb
       |          FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
@@ -1040,6 +1047,60 @@ object AdvancedQueries {
       |        FROM edges e1
       |        JOIN edges e2 ON e2.pa = e1.pb
       |        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+      |nodes AS (SELECT a AS node FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri),
+      |cnt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1)
+      |SELECT partkey, n_tri, rank FROM (
+      |  SELECT node AS partkey, n_tri,
+      |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rank
+      |  FROM cnt) z
+      |WHERE rank <= 20""".stripMargin
+
+  /** r17: the gate oracle is the DEGREE-ORIENTED wedge join — the same
+    * O(m^1.5) bound the engine's plan carries, derived independently in
+    * SQL: orient every edge from its (degree, id)-smaller endpoint, so
+    * each triangle has exactly ONE node with out-edges to the other two
+    * (the orientation is a total order, hence acyclic) and the wedge
+    * frame is Σ outdeg² ≤ m^1.5 instead of Σ deg² through raw hubs.
+    * The closing-edge probe keys on the CANONICAL (LEAST, GREATEST)
+    * pair, i.e. the original a<b edge list. Equality with the textbook
+    * formulation is spec-pinned (TriangleOracleChainSpec), so the cheap
+    * oracle stays chained to the obviously-correct one — the q53
+    * playbook.
+    *
+    * `edges AS MATERIALIZED` is load-bearing at the blow-up tiers:
+    * the CTE feeds FOUR plan positions, and DuckDB's default inlining
+    * re-evaluates the 120M-row pairs self-join per position — measured
+    * 55.8 GB of spill (budget-fail) at 10x. Materialized once, the
+    * whole oracle is 12.3 s at sf0.1 and 19.0 s at 10x (the co-purchase
+    * GRAPH is identical at both tiers — key-shifted order replicas
+    * reproduce the same part baskets, so DISTINCT collapses them; only
+    * the pre-distinct pair volume grows). The chain spec strips the
+    * MATERIALIZED keyword when replaying this text through Spark SQL. */
+  private[queries] val q45Oracle =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb
+      |          FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      |edges AS MATERIALIZED (SELECT pa, pb FROM pairs GROUP BY 1, 2),
+      |deg AS (SELECT node, COUNT(*) AS dg FROM (
+      |          SELECT pa AS node FROM edges
+      |          UNION ALL SELECT pb FROM edges) z
+      |        GROUP BY 1),
+      |oriented AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.pa < e.pb)
+      |              THEN e.pa ELSE e.pb END AS s,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.pa < e.pb)
+      |              THEN e.pb ELSE e.pa END AS t
+      |  FROM edges e
+      |  JOIN deg da ON da.node = e.pa
+      |  JOIN deg db ON db.node = e.pb),
+      |wedge AS (SELECT w1.s AS x, w1.t AS u, w2.t AS w
+      |          FROM oriented w1
+      |          JOIN oriented w2 ON w2.s = w1.s AND w1.t < w2.t),
+      |tri AS (SELECT x AS a, u AS b, w AS c
+      |        FROM wedge
+      |        JOIN edges e ON e.pa = LEAST(u, w) AND e.pb = GREATEST(u, w)),
       |nodes AS (SELECT a AS node FROM tri
       |          UNION ALL SELECT b FROM tri
       |          UNION ALL SELECT c FROM tri),

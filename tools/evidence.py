@@ -81,13 +81,6 @@ EXCLUDE_SF01_SWEEP = {
     # closure; the split logic itself is linear and its deep-tier
     # evidence rides the same q58 planted-closure gate
     "tx50_cluster_split",
-    # q45's ORACLE closes triangles with the naive a<b<c wedge join —
-    # 47 s in DuckDB at sf0.1 (1.2M edges); the Spark side is the
-    # degree-oriented plan and stays cheap, but the gate is only as
-    # fast as its oracle. Gated at sf0.01 (413k triangles); deep-tier
-    # triangle evidence is q59's planted-clique census (r16), gated
-    # through the 100x decade against constructed truth.
-    "q45_triangles",
 }
 
 # Additional 10x-tier exclusions — wall-clock, not correctness, and
@@ -115,6 +108,14 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # sf0.1, and dq13 carries iterative integer exactness at the deep
     # tiers.
     "q43_pagerank",
+    # q45 was excluded from every tier above sf0.01 while its oracle
+    # was the textbook a<b<c wedge join (unaffordable past sf0.1); r17
+    # switched the oracle to the DEGREE-ORIENTED wedge join with a
+    # materialized edges CTE (12.3 s at sf0.1, 19.0 s at 10x —
+    # measured) and promoted it into the sf0.1 AND 10x sweeps.
+    # TriangleOracleChainSpec pins oriented ≡ textbook on the fixture
+    # and a hub pathology, so the cheap formulation stays chained to
+    # the obviously-correct one (the q53 playbook).
     # q47's oracle is a FIXED 16-round unrolled peel (fitted to the
     # base fixtures' measured 11-round worst case, Spark side throws
     # loudly past it) over the same lp self-join q45's oracle pays;
