@@ -40,10 +40,13 @@ import graft.queries.Registry
  *    and for how long it engaged;
  *  - (r16) every sample also adjudicates ITSELF in-run: a sample
  *    whose own foreign fraction exceeds 10% is recorded as dirty
- *    evidence (`samples_requeued`) and the query re-runs once after a
+ *    evidence (`samples_requeued`) and the query re-runs after a
  *    capped quiet-window wait — the between-round gate protects the
  *    start of a round, this protects its middle (BENCH_r15's load
- *    ramped 1.41 → 12 mid-run with regate_fired 0).
+ *    ramped 1.41 → 12 mid-run with regate_fired 0). (r17) a retry
+ *    that is ITSELF dirty escalates to one more re-run (max 2 per
+ *    sample — BENCH_r16 showed retries landing in the tail of the
+ *    burst they dodged); `requeue_rounds` counts the escalations.
  *    `requeued`/`requeue_waited_sec` land in the slim line; a global
  *    budget (25) keeps a permanently-shared box from doubling the
  *    run.
@@ -147,6 +150,14 @@ object Bench {
     var requeued = 0
     var requeueBudget = 25
     var requeueWaited = 0
+    // r17: a retry whose OWN foreign fraction is still dirty may
+    // escalate to one more re-run (BENCH_r16 showed st01 needing the
+    // retry on 4/5 samples — a single retry inherits the tail of the
+    // same burst it was dodging). Bounded at 2 retries per sample and
+    // by the same global budget; every escalation is counted so the
+    // artifact proves how often the second round was needed.
+    val maxRetries = 2
+    var requeueRounds = 0
     val requeuedSamples = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
 
@@ -229,12 +240,15 @@ object Bench {
             val f = foreignFrac(snap0, cpuSnap(), elapsed)
             sample = (t, l, f)
             // live per-sample re-gate: this sample's OWN foreign
-            // fraction is the trigger — one retry, after the box
-            // quiets (capped so a busy box still benches)
-            if (f > 0.10 && tries == 0 && requeueBudget > 0) {
+            // fraction is the trigger — up to `maxRetries` re-runs,
+            // each after the box quiets (capped so a busy box still
+            // benches); a dirty RETRY escalates once more, and the
+            // escalation count ships in bench_out.json
+            if (f > 0.10 && tries < maxRetries && requeueBudget > 0) {
               requeueBudget -= 1
               requeued += 1
-              tries = 1
+              if (tries > 0) requeueRounds += 1
+              tries += 1
               requeuedSamples.getOrElseUpdate(q.name,
                 scala.collection.mutable.ArrayBuffer.empty) += sample
               val w0 = System.nanoTime()
@@ -555,7 +569,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"regate_fired":$regateFired,"requeued":$requeued,"requeue_waited_sec":$requeueWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
+    val core = s""""metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"samples":$samples,"interleaved":true,"loadavg_pre":${s4(loadPre)},"idle_waited_sec":$idleWaited,"regate_waited_sec":$regateWaited,"regate_fired":$regateFired,"requeued":$requeued,"requeue_rounds":$requeueRounds,"requeue_waited_sec":$requeueWaited,"loadavg_start":${s4(loadStart)},"loadavg_mid":${s4(loadMid)},"loadavg_end":${s4(loadEnd)},"scaling_flagged":$flaggedJson"""
     // the slim stdout line must fit the driver's 2,000-char tail
     // capture, so the self-adjudication data rides as COMPACT arrays
     // aligned to the `queries` map's key order (declared by

@@ -161,6 +161,17 @@ object Bpe {
     val merges = chain(trainWords, rounds)._2.zipWithIndex
       .map { case (b, i) => b.select(lit(i + 1).as("rnd"), col("a"), col("b")) }
       .reduce(_.unionByName(_))
+    encodeWithTable(docs, textCol, merges)
+  }
+
+  /** [[encode]] against an EXPLICIT (rnd, a, b) merge table — the seam
+    * the spec uses to exercise table shapes the learner cannot emit
+    * (duplicate merged strings, where the declared first-match
+    * tie-break must hold). Production callers go through [[encode]],
+    * which derives the table from the training chain. */
+  private[text] def encodeWithTable(docs: DataFrame, textCol: Column,
+                                    mergeRows: DataFrame): DataFrame = {
+    val merges = mergeRows
       // sort_array on struct(rnd, a, b) orders by the leading rnd
       // field: the array IS the rank order, independent of union
       // evaluation order
