@@ -29,7 +29,8 @@ import graft.sources.Tables
  * The truth claim "gadget g's exact top-5 = its five neighbors" needs
  * one empirical premise: nothing OUTSIDE the gadget scores ≥ the
  * lowest planted cosine. That premise is not assumed — sim24 MEASURES
- * it every run (max cross/organic cosine < 0.95 < 0.9689) and gates
+ * it every run (max cross/organic cosine < 0.95 < 0.9950, the lowest
+ * planted cosine) and gates
  * the boolean; a fixture regeneration that violated it would fail
  * loudly, not silently corrupt the truth.
  *

@@ -58,11 +58,16 @@ class RegistrySpec extends AnyFunSuite {
       java.nio.file.Paths.get("README.md")), "UTF-8")
     val ev = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("EVIDENCE.json")), "UTF-8")
+    // real JSON parse (Jackson ships on the Spark classpath) — the
+    // previous brace-bounded regex broke whenever a string value
+    // recorded before "checked" contained '}' (r17 ADVICE)
+    val gates = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(ev).path("gates")
     def checked(tier: String): Int = {
-      val m = ("\"" + java.util.regex.Pattern.quote(tier) +
-        "\":\\s*\\{[^}]*?\"checked\":\\s*(\\d+)").r.findFirstMatchIn(ev)
-      assert(m.isDefined, s"EVIDENCE.json has no checked count for tier $tier")
-      m.get.group(1).toInt
+      val node = gates.path(tier).path("checked")
+      assert(!node.isMissingNode,
+        s"EVIDENCE.json has no checked count for tier $tier")
+      node.asInt
     }
     // \s+ everywhere a space appears: README hard-wraps at 72 cols,
     // so any of these phrases may straddle a line break

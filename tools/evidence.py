@@ -111,8 +111,12 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # q45 was excluded from every tier above sf0.01 while its oracle
     # was the textbook a<b<c wedge join (unaffordable past sf0.1); r17
     # switched the oracle to the DEGREE-ORIENTED wedge join with a
-    # materialized edges CTE (12.3 s at sf0.1, 19.0 s at 10x —
-    # measured) and promoted it into the sf0.1 AND 10x sweeps.
+    # MATERIALIZED edges CTE and promoted it into the sf0.1 AND 10x
+    # sweeps. Measured costs: 12.3 s at sf0.1, 19.0 s at 10x. The
+    # MATERIALIZED keyword is load-bearing, not style: DuckDB's
+    # default CTE inlining re-evaluated the 120M-row pairs self-join
+    # once per reference and spilled 55.8 GB at 10x before being
+    # killed; materialized once, the same query fits in memory.
     # TriangleOracleChainSpec pins oriented ≡ textbook on the fixture
     # and a hub pathology, so the cheap formulation stays chained to
     # the obviously-correct one (the q53 playbook).
