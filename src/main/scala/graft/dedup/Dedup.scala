@@ -169,6 +169,36 @@ object Dedup {
   }
 
   /**
+   * The bucket-grain half of [[nearDupPairsWithStats]]'s cap witness:
+   * the (band, band_hash, bsz) rows the `maxBucket` cut actually
+   * dropped. The aggregate witness says HOW MUCH was dropped;
+   * production triage needs WHICH buckets — e.g. to check that a known
+   * pathological cluster (boilerplate, empty-ish docs) is what got
+   * capped, rather than an organic bucket silently crossing the cap
+   * and hiding real near-dup pairs. Output is small by construction
+   * (oversized buckets are rare — the same argument that makes the
+   * anti-join in the pair path a broadcast), and the projection behind
+   * it is the same plan-cached (id, shingles, signature) base the pair
+   * run persisted, so the audit adds one narrow aggregate, not a
+   * second shingling pass.
+   */
+  def cappedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, bands: Int = 4, shingleWidth: Int = 3,
+                    maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = baseCache.persisted(docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k)))
+    base
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+  }
+
+  /**
    * Incremental near-duplicate probe: check a (small) newly-arrived
    * `delta` against the (huge) existing `corpus` WITHOUT re-clustering
    * the world — the steady-state shape of a production dedup pipeline,

@@ -267,17 +267,40 @@ object Relational {
    * (start, end); an interval starts a NEW island iff its start lies
    * strictly past the running max end of all earlier intervals; the
    * island id is the running count of such starts, and island extents
-   * are a (key, island) aggregate. Scale shape: one key-grain
-   * exchange feeds both windows (same partitioning, same sort); the
-   * (key, island) aggregate combines map-side inside the already
-   * key-clustered partitions. No self-join — the naive formulation is
-   * the quadratic interval-overlap join this operator exists to
-   * avoid.
+   * are a (key, island) aggregate.
+   *
+   * DUPLICATE intervals collapse FIRST (one (key, start, end) count
+   * aggregate), for two reasons. Correctness portability: on distinct
+   * intervals the (start, end) sort is a TOTAL order, so the running
+   * max and the island cumsum can never disagree about tie order —
+   * an engine that sorts the two window passes independently (DuckDB
+   * materializing the CTEs separately; any engine with an unstable
+   * parallel sort) produces a per-row (max_prev_end, indicator)
+   * pairing that is only well-defined when there are no ties, and a
+   * replicated fixture (the 100x blow-up repeats order rows) broke
+   * exactly there. Scale: a corpus with heavy duplication (retries,
+   * replays, CDC re-emits) pays the per-key sort on DISTINCT
+   * intervals only — the duplicate mass rides the pre-aggregate's
+   * map-side combine and re-enters as a count.
+   *
+   * Scale shape: STILL one key-grain exchange (the plan-shape spec
+   * pins it) — the explicit key repartition runs first, and every
+   * later requirement is satisfied by it: the (key, start, end) dedup
+   * aggregate needs only co-location of equal triples (key ⊂ its
+   * grouping keys), both windows cluster on key, and the (key,
+   * island) aggregate likewise. The dedup therefore costs no new
+   * shuffle; it shrinks the per-key SORT input to distinct intervals,
+   * which is where duplicate mass hurt. No self-join — the naive
+   * formulation is the quadratic interval-overlap join this operator
+   * exists to avoid.
    */
   def mergeIntervals(df: DataFrame, key: String, start: String,
                      end: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(start, end)
-    df.withColumn("__max_prev_end",
+    df.repartition(col(key))
+      .groupBy(col(key), col(start), col(end))
+      .agg(count(lit(1)).as("__dup"))
+      .withColumn("__max_prev_end",
         max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new_island",
         (col("__max_prev_end").isNull ||
@@ -287,7 +310,7 @@ object Relational {
       .groupBy(col(key), col("island"))
       .agg(min(col(start)).as("island_start"),
         max(col(end)).as("island_end"),
-        count(lit(1)).as("n_merged"))
+        sum(col("__dup")).as("n_merged"))
   }
 
   /**

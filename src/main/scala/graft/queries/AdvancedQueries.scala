@@ -1225,25 +1225,39 @@ object AdvancedQueries {
   }
 
   private val q47Oracle: String = {
-    // every round references its predecessor 3× — without MATERIALIZED
-    // the inlined references compound to 3^16 base scans (observed as
-    // fd exhaustion on the parquet), so each round pins one scan
-    def peel(k: Int): String = {
-      val base = s"e${k}_0 AS MATERIALIZED (SELECT u, v FROM sym)"
-      val rounds = (1 to Q47Rounds).map { r =>
-        val p = s"e${k}_${r - 1}"
-        s"""e${k}_$r AS MATERIALIZED (
+    // MATERIALIZED everywhere a CTE is referenced more than once — the
+    // q45 lesson applied to the whole chain, not just the rounds:
+    //  - e0 (the lp support self-join, the expensive part — the same
+    //    ~120M-row pairs join q45's oracle pays at 10x) is referenced
+    //    by both directions of sym; un-materialized, DuckDB inlined it
+    //    into sym and sym into both peels' round-0, re-evaluating the
+    //    self-join 4×. Materializing e0 AND sym pins it to one scan.
+    //  - each round's surviving-node set (deg ≥ k) was written as two
+    //    identical IN subqueries, re-aggregated per reference; it is
+    //    now its own MATERIALIZED d-CTE joined twice (a join on a
+    //    grouped key ≡ IN against the same grouped projection — the
+    //    set is distinct by GROUP BY), halving the per-round work.
+    //  - rounds themselves stay MATERIALIZED: each is referenced 3×
+    //    (by d, by the next round's join, by the final census) and the
+    //    un-materialized form compounded to 3^16 base scans (observed
+    //    as fd exhaustion on the parquet).
+    def peel(k: Int): String =
+      (1 to Q47Rounds).map { r =>
+        val p = if (r == 1) "sym" else s"e${k}_${r - 1}"
+        s"""d${k}_$r AS MATERIALIZED (
+           |  SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k),
+           |e${k}_$r AS MATERIALIZED (
            |  SELECT s.u, s.v FROM $p s
-           |  WHERE s.u IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k)
-           |    AND s.v IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k))""".stripMargin
-      }
-      (base +: rounds).mkString(",\n")
-    }
+           |  JOIN d${k}_$r a ON s.u = a.u
+           |  JOIN d${k}_$r b ON s.v = b.u)""".stripMargin
+      }.mkString(",\n")
     s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e0 AS (SELECT a.p AS pa, b.p AS pb
+       |e0 AS MATERIALIZED (
+       |       SELECT a.p AS pa, b.p AS pb
        |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |sym AS (SELECT pa AS u, pb AS v FROM e0
+       |sym AS MATERIALIZED (
+       |        SELECT pa AS u, pb AS v FROM e0
        |        UNION ALL SELECT pb, pa FROM e0),
        |${peel(2)},
        |${peel(3)}
@@ -1675,18 +1689,29 @@ object AdvancedQueries {
         col("n_merged"))
   }
 
+  // duplicates collapse BEFORE the windows (mirroring the operator):
+  // on distinct intervals the (start_d, end_d) sort is a total order,
+  // so the two window passes — which DuckDB may sort independently
+  // when it materializes the CTEs — cannot disagree about tie order.
+  // The un-deduped form broke at the 100x tier, where the blow-up
+  // replicates order rows: one pass saw a tie as (a, b), the other as
+  // (b, a), and the per-row (max_prev_end, indicator) pairing came
+  // apart.
   private val q56Oracle =
-    """WITH iv AS (
+    """WITH iv0 AS (
       |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS start_d,
       |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER) AS end_d
       |  FROM orders),
+      |iv AS (
+      |  SELECT custkey, start_d, end_d, COUNT(*) AS dup
+      |  FROM iv0 GROUP BY 1, 2, 3),
       |m AS (
-      |  SELECT custkey, start_d, end_d,
+      |  SELECT custkey, start_d, end_d, dup,
       |    MAX(end_d) OVER (PARTITION BY custkey ORDER BY start_d, end_d
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_end
       |  FROM iv),
       |i AS (
-      |  SELECT custkey, start_d, end_d,
+      |  SELECT custkey, start_d, end_d, dup,
       |    CAST(SUM(CASE WHEN max_prev_end IS NULL OR start_d > max_prev_end
       |                  THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY custkey ORDER BY start_d, end_d
@@ -1695,7 +1720,7 @@ object AdvancedQueries {
       |SELECT custkey, island,
       |  CAST(MIN(start_d) AS VARCHAR) AS island_start,
       |  CAST(MAX(end_d) AS VARCHAR) AS island_end,
-      |  COUNT(*) AS n_merged
+      |  CAST(SUM(dup) AS BIGINT) AS n_merged
       |FROM i GROUP BY 1, 2""".stripMargin
 
   // ---- q57: interval DIFFERENCE (blackout clipping) — the member of
@@ -1768,11 +1793,14 @@ object AdvancedQueries {
           .as("covered_days"))
   }
 
+  // same dedup-before-windows rule as q56 (no counts needed here —
+  // the clip consumes island extents only, so DISTINCT suffices)
   private val q57Oracle =
-    """WITH iv AS (
+    """WITH iv0 AS (
       |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS start_d,
       |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER) AS end_d
       |  FROM orders),
+      |iv AS (SELECT DISTINCT custkey, start_d, end_d FROM iv0),
       |m AS (
       |  SELECT custkey, start_d, end_d,
       |    MAX(end_d) OVER (PARTITION BY custkey ORDER BY start_d, end_d

@@ -45,13 +45,20 @@ import graft.sources.Tables
  *    verification step, not the probabilistic banding, is the gate.
  *  - MEGA-CLUSTER (1200 identical-shingle docs > maxBucket = 1000):
  *    all four of its band buckets exceed the cap, so the anti-join
- *    drops them and ZERO mega pairs may appear — the cap WITNESS
- *    ([[Dedup.nearDupPairsWithStats]]'s stats frame) must read
- *    exactly capped_buckets = 4, dropped_rows = 4·1200 at the uniform
- *    tiers (the organic corpus has no capped buckets there; the skew
- *    tiers, which plant their own mega-cluster, are gated by
- *    tx06/tx41 instead). This makes "recall 1.0 AND the cap fired
- *    honestly" one cell-exact row.
+ *    drops them and ZERO mega pairs may appear. The cap witness is
+ *    gated in a form that survives an ORGANICALLY capped corpus (the
+ *    r17 exposure: the old row pinned total capped_buckets = 4, which
+ *    held only because the organic corpus happens to have none — a
+ *    fixture regeneration growing one organic boilerplate bucket
+ *    would have failed the gate for the wrong reason): the total from
+ *    [[Dedup.nearDupPairsWithStats]]'s stats frame gates as a FLOOR
+ *    boolean (≥ 4), while the PLANTED share is cell-exact via
+ *    [[Dedup.cappedBuckets]] restricted to the mega-cluster's four
+ *    band keys — re-derived here from the mega text with the same
+ *    public shingle/signature/band machinery, so planted buckets
+ *    capped = 4 and planted rows dropped = 4·1200 stay exact pins no
+ *    matter what the organic corpus does. "Recall held AND the cap
+ *    fired honestly on the plant" remains one cell-exact row.
  *
  * Cross-family and planted-vs-organic contamination is impossible at
  * the OUTPUT: families use disjoint token alphabets (J = 0 across
@@ -74,6 +81,19 @@ object DedupTruthQueries {
   private val NegBase = 1200000000L
   private val MegaBase = 1300000000L
   private val MegaSize = 1200 // > nearDupPairs' default maxBucket = 1000
+  private val MegaText = (0 until 30).map(i => s"g52megax$i").mkString(" ")
+
+  /** The mega-cluster's four (band, band_hash) keys, re-derived from
+    * the one mega text with the production shingle/signature/band
+    * machinery (identical texts → identical signature → these exact
+    * keys). Restricting the bucket-grain cap audit to this frame is
+    * what keeps the planted cap pins cell-exact even if the ORGANIC
+    * corpus someday grows its own oversized bucket. */
+  private def megaBandKeys(spark: SparkSession): DataFrame =
+    spark.range(1).select(explode(Dedup.bandKeys(
+        Dedup.minHashSignature(Dedup.shingleSet(lit(MegaText), 3), 16),
+        bands = 4, rowsPerBand = 4)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
 
   /** Gadget-count scale knob: documents / 100, floored at 1 — the
     * 1-row count is the only data the generator reads, so each
@@ -114,19 +134,25 @@ object DedupTruthQueries {
     val mid = swapPair(MidBase, "m52g", "m52q", 29) // J = 27/29
     val neg = swapPair(NegBase, "n52g", "n52q", 20) // J = 18/38
 
-    val megaText = (0 until 30).map(i => s"g52megax$i").mkString(" ")
     val mega = spark.range(MegaSize.toLong)
-      .select((lit(MegaBase) + g).as("doc_id"), lit(megaText).as("text"))
+      .select((lit(MegaBase) + g).as("doc_id"), lit(MegaText).as("text"))
 
     pos.unionByName(mid).unionByName(neg).unionByName(mega)
   }
 
-  private def tx52(spark: SparkSession, dir: String): DataFrame = {
-    val k = scaleOf(spark, dir)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .unionByName(plantedDocs(spark, k))
+  /** The gadget report over an already-unioned docs frame — factored
+    * out so the spec can feed a corpus that ALSO contains an organic
+    * oversized bucket and assert the planted pins survive it. */
+  private[queries] def tx52Report(spark: SparkSession, docs: DataFrame,
+                                  k: Long): DataFrame = {
     val (pairs, stats) =
       Dedup.nearDupPairsWithStats(docs, "doc_id", "text", minJaccard = 0.7)
+    // bucket-grain cap audit, restricted to the plant's four band keys
+    // (4-row broadcast): exact no matter what the organic corpus caps
+    val plantedCap = Dedup.cappedBuckets(docs, "doc_id", "text")
+      .join(broadcast(megaBandKeys(spark)), Seq("band", "band_hash"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("planted_capped_buckets"),
+        coalesce(sum(col("bsz")), lit(0L)).as("planted_dropped_rows"))
     val planted = pairs.filter(col("id_a") >= PosBase)
     val midFloor = math.ceil(0.75 * k).toLong
     planted.agg(
@@ -142,21 +168,33 @@ object DedupTruthQueries {
         lit(0L)).as("neg_found"),
       coalesce(sum(when(col("id_a") >= MegaBase, 1L)), lit(0L))
         .as("mega_found"))
-      .crossJoin(stats.select(col("capped_buckets"), col("dropped_rows")))
+      .crossJoin(stats.select(col("capped_buckets")))
+      .crossJoin(plantedCap)
       .select(
         col("pos_found"), col("pos_exact"), col("pos_id_checksum"),
         (col("__mid_found") >= midFloor).cast("long").as("mid_floor_ok"),
         col("neg_found"), col("mega_found"),
-        col("capped_buckets"), col("dropped_rows"))
+        (col("capped_buckets") >= 4L).cast("long").as("cap_floor_ok"),
+        col("planted_capped_buckets"), col("planted_dropped_rows"))
+  }
+
+  private def tx52(spark: SparkSession, dir: String): DataFrame = {
+    val k = scaleOf(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(plantedDocs(spark, k))
+    tx52Report(spark, docs, k)
   }
 
   // Pure arithmetic over the plant layout: K positives found at
   // J exactly 1.0 with the closed-form id-sum
   // Σ_g (2·PosBase + 4g + 1) = 2K·PosBase + 2K(K−1) + K; zero
-  // negatives and zero mega pairs; the cap fired on exactly the 4 mega
-  // band buckets dropping 4·1200 rows; and the mid floor boolean
-  // (engine-measured recall ≥ 0.75 on J = 27/29 pairs — expected
-  // ≈ 0.996 from the band S-curve, deterministic per fixture).
+  // negatives and zero mega pairs; the cap fired on AT LEAST the 4
+  // mega band buckets (floor boolean — the total may legitimately
+  // grow if the organic corpus ever caps a bucket of its own) with
+  // the PLANTED share cell-exact: 4 buckets, 4·1200 rows; and the mid
+  // floor boolean (engine-measured recall ≥ 0.75 on J = 27/29 pairs —
+  // expected ≈ 0.996 from the band S-curve, deterministic per
+  // fixture).
   private val tx52Oracle =
     """WITH p AS (SELECT GREATEST(COUNT(*) // 100, 1) AS k FROM documents)
       |SELECT
@@ -167,8 +205,9 @@ object DedupTruthQueries {
       |  CAST(1 AS BIGINT) AS mid_floor_ok,
       |  CAST(0 AS BIGINT) AS neg_found,
       |  CAST(0 AS BIGINT) AS mega_found,
-      |  CAST(4 AS BIGINT) AS capped_buckets,
-      |  CAST(4800 AS BIGINT) AS dropped_rows
+      |  CAST(1 AS BIGINT) AS cap_floor_ok,
+      |  CAST(4 AS BIGINT) AS planted_capped_buckets,
+      |  CAST(4800 AS BIGINT) AS planted_dropped_rows
       |FROM p""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(

@@ -195,7 +195,110 @@ object SimilarityTruthQueries {
       |  CAST(q AS BIGINT) AS n_queries
       |FROM p""".stripMargin
 
+  // ---- sim25: the REMAINING retrieval compositions against the same
+  //      planted truth — PQ/ADC (sim12's pqTopK), norm-augmented
+  //      MIPS-LSH (sim19's mipsLshTopK) and the prefix-LSH funnel
+  //      (sim21's prefixRerankLshTopK) previously measured quality
+  //      only at sf0.01 (against all-pairs oracles); here each gets an
+  //      overlap@5 floor vs the constructed truth, gated through the
+  //      corpus100 decade. Leg notes:
+  //      - MIPS: the organic corpus is unit-norm (measured spread
+  //        ~1e-7), so raw-dot order = cosine order and the planted
+  //        grid IS the MIPS truth under the same separation premise
+  //        sim24 measures in-gate (margin 0.995 − 0.95·max_norm ≈
+  //        0.045 ≫ float noise). Bucket-miss probability per neighbor
+  //        is ~1e-11 (θ ≤ 0.1 rad, 4-bit planes, OR over 12 tables);
+  //        measured 1.0 everywhere incl. corpus100, floored at 0.9.
+  //      - PQ: 4-byte codes CANNOT rank inside a gadget (the query
+  //        and its 5 neighbors quantize to near-identical codes), but
+  //        the gadget-vs-corpus separation is exactly what ADC must
+  //        preserve; quantization noise + ascending-id tie-breaks on
+  //        equal-code candidates make this the lossiest leg. Floor
+  //        0.5; measured 1.0 at the base fixtures and 0.874 at the
+  //        corpus100 decade (200k organic vectors deepening the code
+  //        cells) — a breach means codebook/ADC rot, which lands
+  //        near 0, not jitter.
+  //      - funnel: stage-1 admission is OR over 9 four-bit prefix
+  //        plane families and the neighbors sit within 0.1 rad of
+  //        their query in the 16-dim prefix too, so admission is
+  //        near-certain; the risk the floor guards is the SHORTLIST
+  //        (20 per query) diluting under organic prefix-cosine
+  //        ties at depth (measured 1.0 at every tier incl. the
+  //        corpus100 decade). Queries capped at 64 gadgets for this leg:
+  //        the admitted-pair frame is Q-linear and broadcast into the
+  //        stage-1 join, so the cap bounds it at ~6M narrow rows at
+  //        the corpus100 decade while keeping 320 truth cells in the
+  //        measurement.
+  private def sim25(spark: SparkSession, dir: String): DataFrame = {
+    val q = scaleOf(spark, dir)
+    val qFunnel = math.min(q, 64L)
+    val cands = union(spark, dir, q)
+    val queries = plantedQueries(spark, q)
+    val truth = truthDf(spark, q).select(col("query_id"), col("cand_id"))
+
+    def hits(df: DataFrame, name: String): DataFrame = df
+      .join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as(name))
+
+    val pqHits = hits(Similarity.pqTopK(cands, queries, k = 5, dim = Dim,
+      subspaces = 4, nCodes = 16), "__pq_hits")
+    val mipsHits = hits(Similarity.mipsLshTopK(cands, queries, k = 5,
+      dim = Dim, bits = 4, tables = 12), "__mips_hits")
+    val funnelHits = hits(Similarity.prefixRerankLshTopK(cands,
+      queries.filter(col("id") < QBase + qFunnel),
+      prefixDim = 16, shortlist = 20, k = 5, bits = 4, tables = 9),
+      "__funnel_hits")
+
+    val pqFloor = math.ceil(0.5 * 5 * q).toLong
+    val mipsFloor = math.ceil(0.9 * 5 * q).toLong
+    val funnelFloor = math.ceil(0.8 * 5 * qFunnel).toLong
+    pqHits.crossJoin(mipsHits).crossJoin(funnelHits)
+      .select(
+        (col("__pq_hits") >= pqFloor).cast("long").as("pq_overlap_floor_ok"),
+        (col("__mips_hits") >= mipsFloor).cast("long")
+          .as("mips_overlap_floor_ok"),
+        (col("__funnel_hits") >= funnelFloor).cast("long")
+          .as("funnel_overlap_floor_ok"),
+        lit(q).as("n_queries"),
+        lit(qFunnel).as("n_funnel_queries"))
+  }
+
+  /** Raw per-leg hit counts (not floored) — the measurement behind the
+    * sim25 floors, exposed for the spec. Columns: pq, mips, funnel
+    * hits plus the two query counts. */
+  private[queries] def probeRaw(spark: SparkSession, dir: String): DataFrame = {
+    val q = scaleOf(spark, dir)
+    val qFunnel = math.min(q, 64L)
+    val cands = union(spark, dir, q)
+    val queries = plantedQueries(spark, q)
+    val truth = truthDf(spark, q).select(col("query_id"), col("cand_id"))
+    def hits(df: DataFrame, name: String): DataFrame = df
+      .join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as(name))
+    hits(Similarity.pqTopK(cands, queries, k = 5, dim = Dim,
+        subspaces = 4, nCodes = 16), "pq_hits")
+      .crossJoin(hits(Similarity.mipsLshTopK(cands, queries, k = 5,
+        dim = Dim, bits = 4, tables = 12), "mips_hits"))
+      .crossJoin(hits(Similarity.prefixRerankLshTopK(cands,
+        queries.filter(col("id") < QBase + qFunnel),
+        prefixDim = 16, shortlist = 20, k = 5, bits = 4, tables = 9),
+        "funnel_hits"))
+      .select(col("pq_hits"), col("mips_hits"), col("funnel_hits"),
+        lit(q).as("n_queries"), lit(qFunnel).as("n_funnel_queries"))
+  }
+
+  private val sim25Oracle =
+    """WITH p AS (
+      |  SELECT GREATEST(LEAST(COUNT(*) // 100, 200), 8) AS q FROM embeddings)
+      |SELECT CAST(1 AS BIGINT) AS pq_overlap_floor_ok,
+      |  CAST(1 AS BIGINT) AS mips_overlap_floor_ok,
+      |  CAST(1 AS BIGINT) AS funnel_overlap_floor_ok,
+      |  CAST(q AS BIGINT) AS n_queries,
+      |  CAST(LEAST(q, 64) AS BIGINT) AS n_funnel_queries
+      |FROM p""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim23_planted_exact_topk", sim23, Some(sim23Oracle)),
-    GraftQuery("sim24_planted_ann_quality", sim24, Some(sim24Oracle)))
+    GraftQuery("sim24_planted_ann_quality", sim24, Some(sim24Oracle)),
+    GraftQuery("sim25_planted_funnel_quality", sim25, Some(sim25Oracle)))
 }

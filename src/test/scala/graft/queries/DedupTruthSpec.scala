@@ -61,4 +61,32 @@ class DedupTruthSpec extends AnyFunSuite with SparkSpec {
     assert(st.getAs[Long]("dropped_rows") == 4L * 1200)
     Dedup.releaseCaches()
   }
+
+  test("planted cap pins survive an organically-capped corpus") {
+    // the r17 exposure: the gate pinned TOTAL capped_buckets = 4,
+    // which held only because the organic corpus has none — plant an
+    // organic-side oversized bucket (1100 identical docs, its own
+    // alphabet, ids in the organic range) and assert the gated row is
+    // unchanged: the floor boolean absorbs the extra capped buckets
+    // and the planted pins stay cell-exact
+    val k = 4L
+    val organicMega = spark.range(1100L).select(
+      (lit(500000L) + col("id")).as("doc_id"),
+      lit((0 until 30).map(i => s"o52orgx$i").mkString(" ")).as("text"))
+    val docs = planted(k).unionByName(organicMega)
+    val rep = DedupTruthQueries.tx52Report(spark, docs, k).collect().head
+    assert(rep.getAs[Long]("cap_floor_ok") == 1L)
+    assert(rep.getAs[Long]("planted_capped_buckets") == 4L)
+    assert(rep.getAs[Long]("planted_dropped_rows") == 4L * 1200)
+    // the organic mega docs are capped out, not paired, and never
+    // bleed into the planted output slice
+    assert(rep.getAs[Long]("pos_found") == k)
+    assert(rep.getAs[Long]("pos_exact") == k)
+    assert(rep.getAs[Long]("neg_found") == 0L)
+    assert(rep.getAs[Long]("mega_found") == 0L)
+    // cross-check: the audit frame itself now holds 8 capped buckets
+    // (4 mega + 4 organic), which is exactly why the total is a floor
+    assert(Dedup.cappedBuckets(docs, "doc_id", "text").count() == 8L)
+    Dedup.releaseCaches()
+  }
 }

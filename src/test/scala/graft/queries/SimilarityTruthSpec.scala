@@ -61,6 +61,29 @@ class SimilarityTruthSpec extends AnyFunSuite with SparkSpec {
     assert(cross < 0.9, s"two gadget directions nearly collinear: $cross")
   }
 
+  test("sim25's three legs sit at the measured regime on the base fixture") {
+    // the floors sim25 gates (PQ 0.5, MIPS 0.9, funnel 0.8) are
+    // calibrated from MEASURED overlaps — pin the measurement at
+    // sf0.01 (q = 8 gadgets, 40 truth cells/leg) so a construction or
+    // operator drift shows up here as an exact-count failure, not as
+    // silent floor erosion: all three legs measure 40/40 on this
+    // fixture (PQ's 4-byte codes can't rank INSIDE a gadget, but the
+    // top-5-membership the gate checks survives the equal-code ties;
+    // MIPS bucket-miss probability is ~1e-11 per neighbor; funnel
+    // admission is OR over 9 prefix plane families at <= 0.1 rad)
+    val row = SimilarityTruthQueries.probeRaw(spark, "/root/testdata/sf0.01")
+      .collect().head
+    assert(row.getAs[Long]("n_queries") == 8L)
+    assert(row.getAs[Long]("n_funnel_queries") == 8L)
+    assert(row.getAs[Long]("pq_hits") == 40L,
+      s"pq overlap drifted: ${row.getAs[Long]("pq_hits")}/40")
+    assert(row.getAs[Long]("mips_hits") == 40L,
+      s"mips overlap drifted: ${row.getAs[Long]("mips_hits")}/40")
+    assert(row.getAs[Long]("funnel_hits") == 40L,
+      s"funnel overlap drifted: ${row.getAs[Long]("funnel_hits")}/40")
+    graft.similarity.Similarity.releaseCaches()
+  }
+
   test("exact top-5 over planted-only corpus is the closed-form grid") {
     val vecs = SimilarityTruthQueries.plantedVecs(spark, 12)
     val out = Similarity.bruteForceTopK(

@@ -120,14 +120,18 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # TriangleOracleChainSpec pins oriented ≡ textbook on the fixture
     # and a hub pathology, so the cheap formulation stays chained to
     # the obviously-correct one (the q53 playbook).
-    # q47's oracle is a FIXED 16-round unrolled peel (fitted to the
-    # base fixtures' measured 11-round worst case, Spark side throws
-    # loudly past it) over the same lp self-join q45's oracle pays;
-    # the peeling operator itself is gated by KCoreSpec's adversarial
-    # cascades plus the sf0.01 (11-round) and sf0.1 gates, and (r16)
-    # by q60's planted clique/ring/pendant-cascade census through the
-    # 100x decade
-    "q47_kcore",
+    # q47 was excluded here while its oracle re-aggregated each
+    # round's degree filter twice and let DuckDB inline the e0/sym
+    # support self-join 4x; r18 restructured it (MATERIALIZED e0/sym,
+    # one MATERIALIZED d-CTE per round joined twice — equivalence with
+    # the old form checked row-exact at sf0.01 and sf0.1) and measured
+    # 61 s at this tier (2.39M directed support>=2 edges; the blow-up
+    # densifies support so the peel fixpoints in 1 round, far inside
+    # the 16-round unroll/engine bound) — promoted into the 10x sweep.
+    # It stays OUT of the 100x tier: the lp support self-join is
+    # ~1.2B pre-group rows there, the same cost wall that keeps
+    # q43/q45 out; deep-decade peel evidence rides q60's planted
+    # cascade census.
     # q53 was excluded here while its oracle was the NAIVE min-fold
     # (556 s measured at ~12M directed edges); r15 switched the oracle
     # to the LAYERED fold (each round expands only the newest layer —
@@ -205,6 +209,31 @@ INCLUDE_100X = {
     # — the iterative-graph family's first 100x-decade cell-exact
     # gates (organic-gate depth is oracle-cost-bounded; these are not)
     "q58_planted_components", "q59_planted_triangles", "q60_planted_kcore",
+    # r18 — the window/interval family joins the decade (each measured
+    # at this tier's fixture before promotion): q19's as-of fill over
+    # 10M events (oracle 2.5 s, 2M-row compare), q46's rolling
+    # 7-day distinct (oracle 1.5 s — day-grain output), and the
+    # interval islands pair over 15M orders — q56 merge (17.6 s,
+    # 14.4M-row compare) and q57 clip (92.1 s + a 15.4M-row compare,
+    # the tier's new heaviest cell; the generate_series day-unnest is
+    # bounded at 20 days/island so the cost is the linear unnest, kept
+    # in as the second row-preserving interval gate)
+    "q19_asof_join", "q46_rolling_distinct", "q56_interval_merge",
+    "q57_interval_clip",
+    # r18 — the rest of the as-of family rides the same 10M-event
+    # fixture (all measured): q50 runs q19's semantics through the
+    # CUSTOM GraftAsOfJoin LogicalPlan + strategy — the extension
+    # ladder's preference-(c) path gated at the decade (oracle 12.2 s,
+    # 2M-row compare); q51's staleness bound (10.2 s), q44's snapshot
+    # grain (9.1 s), and q33's day-spine gap fill (0.1 s — day-grain
+    # output) complete the family
+    "q50_asof_plan", "q51_asof_tolerance", "q44_asof_snapshot",
+    "q33_gap_fill",
+    # r18 — st33 joins its batch twin dq26 (already gated here): the
+    # streaming bottom-K quantile state is K=256-bounded per month
+    # shard regardless of volume, so the decade stresses the
+    # micro-batch ingest path while the oracle stays dq26's 5.5 s
+    "st33_stream_qsketch",
     # r16 — the stateful-streaming family's first 100x gate: st17
     # replays the CDC feed through the real micro-batch state store
     # (state bounded by distinct CHANGED keys, not the base; the base
@@ -289,6 +318,15 @@ INCLUDE_CORPUS100 = {
     # floor; IVF 1.0 vs 0.8) — retrieval QUALITY at the decade where
     # the ANN family previously gated only determinism
     "sim23_planted_exact_topk", "sim24_planted_ann_quality",
+    # r18 — sim24's floors extended to the three remaining retrieval
+    # compositions: PQ/ADC (sim12's path), norm-augmented MIPS-LSH
+    # (sim19's) and the prefix-LSH funnel (sim21's) each gate an
+    # overlap@5 floor vs the same planted truth (PQ 0.5, MIPS 0.9,
+    # funnel 0.8 — floors calibrated from measured values, pinned at
+    # the base fixture by SimilarityTruthSpec). The funnel leg caps at
+    # 64 gadget queries: its admitted-pair frame is Q-linear and
+    # broadcast into the stage-1 join
+    "sim25_planted_funnel_quality",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
