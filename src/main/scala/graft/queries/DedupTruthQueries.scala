@@ -66,11 +66,13 @@ import graft.sources.Tables
  * candidate, so the planted slice of the output (id ≥ 10^9, above any
  * organic doc_id at any tier) is exactly the closed-form set.
  *
- * Gated at sf0.01, sf0.1, 10x AND corpus100 — the oracle is O(1), so
- * the deep-tier exclusion logic never applies; at corpus100 the
- * planted pairs ride buckets deepened by ~500k organic docs, which is
- * precisely the regime the sf0.01-only recall measurement could not
- * see.
+ * Gated at sf0.01, sf0.1, 10x, corpus100 AND (r18) both skew tiers —
+ * the oracle is O(1), so the deep-tier exclusion logic never applies.
+ * At corpus100 the planted pairs ride buckets deepened by ~500k
+ * organic docs — precisely the regime the sf0.01-only recall
+ * measurement could not see; at the skew tiers the corpus carries its
+ * own planted hot-key near-dup cluster, the organically-capped regime
+ * the floor-plus-restricted-audit witness form exists for.
  */
 object DedupTruthQueries {
 

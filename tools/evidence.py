@@ -349,6 +349,18 @@ INCLUDE_SKEW = {
     # hot user stresses the map-side partial-agg claim directly —
     # a straggler here means the partial combine is not happening
     "dq24_cms_sketch", "dq25_kmv_setops",
+    # r18 — the as-of fill and the session-time walk ride the same
+    # per-user window partition the hot user floods (q21/q34/q41's
+    # axis); both oracles are linear window SQL, measured 0.1 s here
+    "q19_asof_join", "q48_active_time",
+    # r18 — tx52's planted-truth recall under a hot-key corpus: the
+    # skew fixture plants its own near-dup mega-cluster, which is
+    # exactly the organically-capped regime the r18 cap-witness
+    # hardening exists for (total capped buckets gates as a floor,
+    # the planted share stays cell-exact via the band-key-restricted
+    # audit). Oracle O(1); previously impossible here because the
+    # witness pinned the TOTAL cap count
+    "tx52_planted_neardup",
 }
 
 # The small skew tier: the IDENTICAL hot-key construction planted
@@ -368,6 +380,10 @@ INCLUDE_SKEW_SMALL = {
     "q54_markov_transitions",
     # r15 — the user-axis sketches, same rationale as the 10x skew set
     "dq24_cms_sketch", "dq25_kmv_setops",
+    # r18 — same three promotions as the 10x skew set (as-of fill,
+    # session-time walk, planted-truth dedup recall under the planted
+    # hot-key cluster)
+    "q19_asof_join", "q48_active_time", "tx52_planted_neardup",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
