@@ -455,7 +455,13 @@ object Dedup {
    * distinct candidates grew 173k → 17.2M (99× for 10× data, the
    * r13 decade-ratio watch item) while grouped-band candidates grew
    * 4.1k → 255k — 67× fewer absolute, sitting on the n²·C(b,2)/2¹⁶
-   * random-collision floor instead of n²/2⁸.
+   * random-collision floor instead of n²/2⁸. The floor is still n²:
+   * r18's bench measured mm09 at 16.4× wall per 10× data at the
+   * corpus100 decade (the predicted shape — collisions dominate once
+   * n² / 2¹⁶ outgrows the linear stages). The path to the NEXT decade
+   * is a deeper key (grouped triples at bands − maxHamming ≥ 3, key
+   * space 2²⁴) or the capped-bucket-with-witness treatment — not
+   * needed at current tiers, recorded so the ratio isn't rediscovered.
    * When `bands − maxHamming < 2` the single-band scheme is the only
    * exhaustive one and is kept.
    */

@@ -325,6 +325,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, 10L, 2L), (3L, 1L, 9L, 3L)))
   }
 
+  test("mergeIntervals: duplicate intervals at an island boundary count, never split") {
+    // the r18 rel100 regression shape: replicated rows produce exact
+    // (start, end) duplicates right after a gap. The operator collapses
+    // duplicates BEFORE the windows (total sort order — no tie for any
+    // engine to re-order) and re-enters them as counts; the island
+    // boundary must sit between 23 and 32, with both copies of [32,46]
+    // inside the second island
+    val iv = Seq(
+      (1L, 13L, 23L),
+      (1L, 32L, 46L), (1L, 32L, 46L),
+      // triplicated interval INSIDE an island, overlapping its tail
+      (1L, 40L, 50L), (1L, 40L, 50L), (1L, 40L, 50L)
+    ).toDF("k", "s", "e")
+    val got = Relational.mergeIntervals(iv, "k", "s", "e")
+      .select("island_start", "island_end", "n_merged")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((13L, 23L, 1L), (32L, 50L, 5L)))
+  }
+
   test("mergeIntervals matches the quadratic overlap-closure on random intervals") {
     val rnd = new scala.util.Random(41)
     val iv = (1 to 300).map(_ =>
