@@ -229,43 +229,11 @@ object SimilarityTruthQueries {
   //        stage-1 join, so the cap bounds it at ~6M narrow rows at
   //        the corpus100 decade while keeping 320 truth cells in the
   //        measurement.
-  private def sim25(spark: SparkSession, dir: String): DataFrame = {
-    val q = scaleOf(spark, dir)
-    val qFunnel = math.min(q, 64L)
-    val cands = union(spark, dir, q)
-    val queries = plantedQueries(spark, q)
-    val truth = truthDf(spark, q).select(col("query_id"), col("cand_id"))
-
-    def hits(df: DataFrame, name: String): DataFrame = df
-      .join(truth, Seq("query_id", "cand_id"), "left_semi")
-      .agg(coalesce(count(lit(1)), lit(0L)).as(name))
-
-    val pqHits = hits(Similarity.pqTopK(cands, queries, k = 5, dim = Dim,
-      subspaces = 4, nCodes = 16), "__pq_hits")
-    val mipsHits = hits(Similarity.mipsLshTopK(cands, queries, k = 5,
-      dim = Dim, bits = 4, tables = 12), "__mips_hits")
-    val funnelHits = hits(Similarity.prefixRerankLshTopK(cands,
-      queries.filter(col("id") < QBase + qFunnel),
-      prefixDim = 16, shortlist = 20, k = 5, bits = 4, tables = 9),
-      "__funnel_hits")
-
-    val pqFloor = math.ceil(0.5 * 5 * q).toLong
-    val mipsFloor = math.ceil(0.9 * 5 * q).toLong
-    val funnelFloor = math.ceil(0.8 * 5 * qFunnel).toLong
-    pqHits.crossJoin(mipsHits).crossJoin(funnelHits)
-      .select(
-        (col("__pq_hits") >= pqFloor).cast("long").as("pq_overlap_floor_ok"),
-        (col("__mips_hits") >= mipsFloor).cast("long")
-          .as("mips_overlap_floor_ok"),
-        (col("__funnel_hits") >= funnelFloor).cast("long")
-          .as("funnel_overlap_floor_ok"),
-        lit(q).as("n_queries"),
-        lit(qFunnel).as("n_funnel_queries"))
-  }
-
-  /** Raw per-leg hit counts (not floored) — the measurement behind the
-    * sim25 floors, exposed for the spec. Columns: pq, mips, funnel
-    * hits plus the two query counts. */
+  /** Raw per-leg hit counts (not floored) — the single construction of
+    * all three legs, shared by the sim25 gate and the spec's
+    * measured-regime pins so the two can never measure different
+    * machinery. Columns: pq, mips, funnel hits plus the two query
+    * counts. */
   private[queries] def probeRaw(spark: SparkSession, dir: String): DataFrame = {
     val q = scaleOf(spark, dir)
     val qFunnel = math.min(q, 64L)
@@ -285,6 +253,21 @@ object SimilarityTruthQueries {
         "funnel_hits"))
       .select(col("pq_hits"), col("mips_hits"), col("funnel_hits"),
         lit(q).as("n_queries"), lit(qFunnel).as("n_funnel_queries"))
+  }
+
+  private def sim25(spark: SparkSession, dir: String): DataFrame = {
+    val q = scaleOf(spark, dir)
+    val qFunnel = math.min(q, 64L)
+    val pqFloor = math.ceil(0.5 * 5 * q).toLong
+    val mipsFloor = math.ceil(0.9 * 5 * q).toLong
+    val funnelFloor = math.ceil(0.8 * 5 * qFunnel).toLong
+    probeRaw(spark, dir).select(
+      (col("pq_hits") >= pqFloor).cast("long").as("pq_overlap_floor_ok"),
+      (col("mips_hits") >= mipsFloor).cast("long")
+        .as("mips_overlap_floor_ok"),
+      (col("funnel_hits") >= funnelFloor).cast("long")
+        .as("funnel_overlap_floor_ok"),
+      col("n_queries"), col("n_funnel_queries"))
   }
 
   private val sim25Oracle =
