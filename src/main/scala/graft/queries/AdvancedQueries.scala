@@ -1224,7 +1224,47 @@ object AdvancedQueries {
     }.reduce(_ unionByName _)
   }
 
-  private val q47Oracle: String = {
+  /** The r17-era peel formulation, kept ONLY as the chain-spec
+    * reference (KCoreOracleChainSpec replays both FORMS through Spark
+    * SQL at a reduced unroll and asserts cell equality — the
+    * q45/TriangleOracleChainSpec playbook; form-vs-form equality is
+    * per-round, so it holds at ANY round count, and Spark cannot
+    * replay the 16-round text: it ignores MATERIALIZED, and this
+    * form's 3-references-per-round inline to 3^16 scans — the exact
+    * blow-up the shipped oracle's hints exist to stop): each round
+    * filters with two identical IN subqueries against the previous
+    * round, and e0/sym are plain CTEs. Correct but 2x the per-round
+    * work and, in DuckDB, 4x the support self-join when inlined —
+    * see q47Oracle for the shipped form. */
+  private[queries] def q47LegacyOracleAt(unroll: Int): String = {
+    def peel(k: Int): String = {
+      val base = s"e${k}_0 AS MATERIALIZED (SELECT u, v FROM sym)"
+      val rounds = (1 to unroll).map { r =>
+        val p = s"e${k}_${r - 1}"
+        s"""e${k}_$r AS MATERIALIZED (
+           |  SELECT s.u, s.v FROM $p s
+           |  WHERE s.u IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k)
+           |    AND s.v IN (SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k))""".stripMargin
+      }
+      (base +: rounds).mkString(",\n")
+    }
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT a.p AS pa, b.p AS pb
+       |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sym AS (SELECT pa AS u, pb AS v FROM e0
+       |        UNION ALL SELECT pb, pa FROM e0),
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT CAST(2 AS INT) AS k, u AS partkey, COUNT(*) AS core_degree
+       |FROM e2_$unroll GROUP BY 2
+       |UNION ALL
+       |SELECT CAST(3 AS INT), u, COUNT(*) FROM e3_$unroll GROUP BY 2""".stripMargin
+  }
+
+  private[queries] val q47Oracle: String = q47OracleAt(Q47Rounds)
+
+  private[queries] def q47OracleAt(unroll: Int): String = {
     // MATERIALIZED everywhere a CTE is referenced more than once — the
     // q45 lesson applied to the whole chain, not just the rounds:
     //  - e0 (the lp support self-join, the expensive part — the same
@@ -1242,7 +1282,7 @@ object AdvancedQueries {
     //    un-materialized form compounded to 3^16 base scans (observed
     //    as fd exhaustion on the parquet).
     def peel(k: Int): String =
-      (1 to Q47Rounds).map { r =>
+      (1 to unroll).map { r =>
         val p = if (r == 1) "sym" else s"e${k}_${r - 1}"
         s"""d${k}_$r AS MATERIALIZED (
            |  SELECT u FROM $p GROUP BY u HAVING COUNT(*) >= $k),
@@ -1262,9 +1302,9 @@ object AdvancedQueries {
        |${peel(2)},
        |${peel(3)}
        |SELECT CAST(2 AS INT) AS k, u AS partkey, COUNT(*) AS core_degree
-       |FROM e2_$Q47Rounds GROUP BY 2
+       |FROM e2_$unroll GROUP BY 2
        |UNION ALL
-       |SELECT CAST(3 AS INT), u, COUNT(*) FROM e3_$Q47Rounds GROUP BY 2""".stripMargin
+       |SELECT CAST(3 AS INT), u, COUNT(*) FROM e3_$unroll GROUP BY 2""".stripMargin
   }
 
   // ---- q48: daily active time — the engagement metric behind every
