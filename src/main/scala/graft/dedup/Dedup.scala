@@ -40,6 +40,21 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
+  /** The ONE (id, shingleSet, signature) projection behind both
+    * [[nearDupPairsWithStats]] and [[cappedBuckets]], persisted through
+    * the plan cache. A single construction site is load-bearing, not
+    * style: the cache keys on the canonicalized plan, so two textually
+    * drifted copies of this projection would silently key SEPARATE
+    * cache entries — and a cap audit built on the drifted copy would
+    * measure different banding than the pair run it claims to audit,
+    * with no error anywhere. */
+  private def signatureBase(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, shingleWidth: Int): DataFrame =
+    baseCache.persisted(docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k)))
+
   /** Token n-gram shingles (w-word windows) as an array column —
     * native expression, one pass over the token array. */
   def shingles(text: Column, w: Int = 3): Column =
@@ -123,10 +138,7 @@ object Dedup {
                             bands: Int = 4, shingleWidth: Int = 3,
                             maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
-    val base = baseCache.persisted(docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k)))
+    val base = signatureBase(docs, idCol, textCol, k, shingleWidth)
 
     val banded = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -186,10 +198,7 @@ object Dedup {
                     k: Int = 16, bands: Int = 4, shingleWidth: Int = 3,
                     maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    val base = baseCache.persisted(docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k)))
+    val base = signatureBase(docs, idCol, textCol, k, shingleWidth)
     base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
@@ -221,15 +230,11 @@ object Dedup {
                           minJaccard: Double = 0.7, k: Int = 16,
                           bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k))
     def bandedOf(base: DataFrame): DataFrame = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val corpusBase = baseCache.persisted(prep(corpus))
-    val deltaBase = baseCache.persisted(prep(delta))
+    val corpusBase = signatureBase(corpus, idCol, textCol, k, shingleWidth)
+    val deltaBase = signatureBase(delta, idCol, textCol, k, shingleWidth)
     val candidates = bandedOf(corpusBase).as("c")
       .join(broadcast(bandedOf(deltaBase).as("d")), Seq("band", "band_hash"))
       .select(col("d.id").as("delta_id"), col("c.id").as("corpus_id"))

@@ -150,7 +150,13 @@ object DedupTruthQueries {
     val (pairs, stats) =
       Dedup.nearDupPairsWithStats(docs, "doc_id", "text", minJaccard = 0.7)
     // bucket-grain cap audit, restricted to the plant's four band keys
-    // (4-row broadcast): exact no matter what the organic corpus caps
+    // (4-row broadcast): exact no matter what the organic corpus caps.
+    // `bsz` counts EVERY row in the matched (band, band_hash) bucket,
+    // so the 4·1200 pin additionally assumes no organic doc's band
+    // xxhash64-collides with one of the four mega keys (64-bit keys —
+    // astronomically unlikely); a future planted_dropped_rows drift of
+    // a few units with everything else green is triaged as a
+    // hash-collision fixture artifact, not operator rot.
     val plantedCap = Dedup.cappedBuckets(docs, "doc_id", "text")
       .join(broadcast(megaBandKeys(spark)), Seq("band", "band_hash"))
       .agg(coalesce(count(lit(1)), lit(0L)).as("planted_capped_buckets"),

@@ -22,7 +22,14 @@ import graft.SparkSpec
   * peel vs partial peel, not vs the true k-core), and Spark cannot
   * replay the legacy 16-round text at all — it ignores MATERIALIZED,
   * and that form's 3-references-per-round inline to 3^16 scans, the
-  * exact blow-up the shipped oracle's hints exist to stop. */
+  * exact blow-up the shipped oracle's hints exist to stop.
+  *
+  * Scope note: this spec pins only the ALGEBRAIC half of the r18
+  * restructure. The performance half — DuckDB honoring `AS
+  * MATERIALIZED` so e0/sym scan once instead of inlining 4× — has no
+  * standing regression here and is re-verified only by the timed
+  * sf0.1/10× evidence sweeps; a q47 sweep-time blowup with this spec
+  * still green is triaged as DuckDB CTE-hint-semantics drift first. */
 class KCoreOracleChainSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
