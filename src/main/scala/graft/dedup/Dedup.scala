@@ -439,6 +439,88 @@ object Dedup {
       docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh")),
       maxHamming, bands)
 
+  /** [[simHashNearDups]] with the banding depth picked from the corpus
+    * size ([[hammingNearDupsAuto]]) — the production entry point. */
+  def simHashNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    hammingNearDupsAuto(
+      docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh")),
+      maxHamming)
+
+  /** Chunk widths for a 64-bit fingerprint split into `bands`
+    * contiguous chunks: the first 64 mod bands chunks get one extra
+    * bit, so bands need not divide 64. Exposed for the spec, which
+    * pins Σ widths = 64 and the exhaustiveness math per (bands, r). */
+  private[graft] def bandWidths(bands: Int): Seq[Int] = {
+    val base = 64 / bands
+    val rem = 64 % bands
+    (0 until bands).map(b => if (b < rem) base + 1 else base)
+  }
+
+  /** The grouped-band group size: the pigeonhole limit
+    * r = bands − maxHamming, backed off (r decrements) only while the
+    * group COUNT C(bands, r) exceeds `maxGroups` — every decrement
+    * trades collision-floor bits for fewer banded rows, so the cap is
+    * the linear-cost guard, not a recall knob (any r ≤ slack is
+    * exhaustive). r = 1 is always feasible (C(bands, 1) = bands ≤ 64). */
+  private[graft] def groupSize(maxHamming: Int, bands: Int,
+                               maxGroups: Int): Int = {
+    val slack = bands - maxHamming
+    (slack to 1 by -1).find(r => comb(bands, r) <= maxGroups).getOrElse(1)
+  }
+
+  private def comb(n: Int, k: Int): Long = {
+    var c = 1L
+    for (i <- 1 to k) {
+      c = c * (n - k + i) / i
+      if (c > (1L << 30)) return Long.MaxValue
+    }
+    c
+  }
+
+  /** Band count chosen FROM THE FINGERPRINT COUNT — the scale knob
+    * behind [[hammingNearDupsAuto]]. Cost model, per candidate band
+    * count b (with its pigeonhole group size r):
+    *
+    *   cost(b) = C(b, r)·n  +  β · Σ_groups n²/2^(keybits+1)
+    *
+    * — the linear term is banded rows, the quadratic term is the
+    * expected random same-key candidate pairs, and β ≈ 4 is the
+    * measured candidate-row : banded-row cost ratio (r19, mm09's hash
+    * frame at the 10× tier: ~1 µs per banded row through the
+    * explode+exchange, ~4.3 µs per candidate through the
+    * distinct+re-join+verify). Picks the argmin, ties to the smaller
+    * b. For maxHamming = 6 / maxGroups = 256 the resulting ladder:
+    * b = 8 (grouped pairs, 2¹⁶ keys) below ~66k fingerprints, b = 9
+    * (triples, ≥ 2²¹) to ~2M, b = 10 (quadruples, ≥ 2²⁴) beyond —
+    * each step trades ~3× banded rows for ~10× fewer collisions, so
+    * the scheme that is fastest at a tier is also the one whose
+    * NEXT-decade ratio stays linear. */
+  private[graft] def autoBands(maxHamming: Int, n: Long,
+                               maxGroups: Int = 256): Int = {
+    val beta = 4.0
+    ((maxHamming + 1) to math.min(maxHamming + 8, 64)).minBy { b =>
+      val r = groupSize(maxHamming, b, maxGroups)
+      val widths = bandWidths(b)
+      val quad = (0 until b).combinations(r).map(g =>
+        n.toDouble * n.toDouble / math.pow(2.0, g.map(widths).sum + 1)).sum
+      comb(b, r) * n.toDouble + beta * quad
+    }
+  }
+
+  /** [[hammingNearDups]] with the band count picked from the data by
+    * [[autoBands]]: one count() over the persisted fingerprint base
+    * (which the pair join would materialize anyway) buys the banding
+    * depth that is BOTH fastest at the current scale and linear into
+    * the next decade. The pair set is banding-independent, so the
+    * adaptivity can never move a result — only the plan. */
+  def hammingNearDupsAuto(rawBase: DataFrame, maxHamming: Int,
+                          maxGroups: Int = 256): DataFrame = {
+    val base = baseCache.persisted(rawBase)
+    hammingNearDups(base, maxHamming,
+      autoBands(maxHamming, base.count(), maxGroups), maxGroups)
+  }
+
   /**
    * The bit-band LSH pair search over ANY precomputed 64-bit
    * fingerprint frame `(id, sh)` — the engine behind
@@ -448,31 +530,38 @@ object Dedup {
    * from.
    *
    * Join keys are GROUPED bands (the multi-index Hamming refinement):
-   * a pair at distance d ≤ maxHamming leaves at least
-   * `bands − maxHamming` bands intact, so when that slack is ≥ 2 the
-   * pair must agree exactly on at least one PAIR of bands — joining on
-   * all C(bands, 2) band-pair keys (2·width bits each) is still
-   * exhaustive, and the key space squares. This matters because single
-   * 64/bands-bit chunks SATURATE: with bands = 8 a band key has only
-   * 256 values, so buckets deepen linearly with corpus size and the
-   * candidate join turns quadratic around ~10⁴ fingerprints — measured
-   * on mm09's hash frame (3.3k → 33k fingerprints), single-band
-   * distinct candidates grew 173k → 17.2M (99× for 10× data, the
-   * r13 decade-ratio watch item) while grouped-band candidates grew
-   * 4.1k → 255k — 67× fewer absolute, sitting on the n²·C(b,2)/2¹⁶
-   * random-collision floor instead of n²/2⁸. The floor is still n²:
-   * r18's bench measured mm09 at 16.4× wall per 10× data at the
-   * corpus100 decade (the predicted shape — collisions dominate once
-   * n² / 2¹⁶ outgrows the linear stages). The path to the NEXT decade
-   * is a deeper key (grouped triples at bands − maxHamming ≥ 3, key
-   * space 2²⁴) or the capped-bucket-with-witness treatment — not
-   * needed at current tiers, recorded so the ratio isn't rediscovered.
-   * When `bands − maxHamming < 2` the single-band scheme is the only
-   * exhaustive one and is kept.
+   * a pair at distance d ≤ maxHamming corrupts at most `maxHamming`
+   * bands, leaving at least `slack = bands − maxHamming` intact — so
+   * for ANY group size r ≤ slack, the pair agrees exactly on at least
+   * one r-subset of bands, and joining on all C(bands, r) grouped keys
+   * is exhaustive. Bigger r is strictly better for the quadratic term:
+   * the random-collision floor is Σ_groups n²/2^(keybits+1), and
+   * keybits grows with every band added to the group, so the floor
+   * shrinks ~2^width per step while the linear cost (n·C(bands, r)
+   * banded rows) stays bounded by the `maxGroups` cap. This class of
+   * floor is what ships super-linear decades: single bands saturate at
+   * ~10⁴ fingerprints (r13 measured 99× candidate growth per 10× data
+   * on mm09's frame), grouped PAIRS (r = 2, 2¹⁶ keys, the r13 fix)
+   * saturate a decade later — r18's bench measured mm09 at 16.4× wall
+   * per 10× data at the corpus100 decade (~330k fingerprints), the
+   * predicted n²·C(b,2)/2¹⁶ shape. This version therefore takes r to
+   * the pigeonhole limit, r = slack (capped so C(bands, r) ≤
+   * `maxGroups`): mm09 at (maxHamming 6, bands 10) gets r = 4 with
+   * ≥ 24-bit keys — a ~90× lower collision floor than (6, 8) pairs —
+   * and tx09 at (6, 10) the same, while (7, 8) degrades to the only
+   * exhaustive scheme left, singles.
+   *
+   * `bands` need not divide 64: the fingerprint splits into uneven
+   * contiguous chunks (the first 64 mod bands chunks one bit wider),
+   * which is what unlocks bands = 10 for maxHamming = 6 — with 8
+   * bands the slack is 2 and the keys stop at 2¹⁶ forever. Results
+   * are banding-independent (exhaustive candidates + exact Hamming
+   * verify), so tier hashes cannot move when (bands, r) is retuned.
    */
-  def hammingNearDups(rawBase: DataFrame,
-                      maxHamming: Int, bands: Int): DataFrame = {
+  def hammingNearDups(rawBase: DataFrame, maxHamming: Int, bands: Int,
+                      maxGroups: Int = 256): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    require(bands >= 1 && bands <= 64, "bands must chunk a 64-bit fingerprint")
     // The (id, sh) projection feeds FOUR plan positions (both sides of
     // the banding self-join plus the two fingerprint re-joins). When the
     // fingerprint is expensive to compute — mm09 derives it from a full
@@ -480,21 +569,32 @@ object Dedup {
     // so persist the narrow two-column frame once through the shared
     // LRU cache. ~16 bytes/row: negligible next to what it saves.
     val base = baseCache.persisted(rawBase)
-    val width = 64 / bands
+    val widths = bandWidths(bands)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     def chunk(b: Int): Column =
-      shiftright(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1))
-    // r = group size: 2 when the pigeonhole slack allows, else 1
-    val groups: Seq[Seq[Int]] =
-      if (bands - maxHamming >= 2) (0 until bands).combinations(2).toSeq
-      else (0 until bands).map(Seq(_))
-    val banded = base.select(col("id"),
-      explode(array(groups.zipWithIndex.map { case (g, gi) =>
-        struct(lit(gi).as("band"),
-          g.zipWithIndex.map { case (b, i) =>
-            shiftleft(chunk(b), i * width): Column
-          }.reduce(_ bitwiseOR _).as("chunk"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      shiftright(col("sh"), offsets(b)).bitwiseAND(lit(mask(widths(b))))
+    val r = groupSize(maxHamming, bands, maxGroups)
+    val groups: Seq[Seq[Int]] = (0 until bands).combinations(r).toSeq
+    // pack a group's chunks contiguously: total ≤ 64 bits by
+    // construction (a group never exceeds the whole fingerprint)
+    def packedKey(g: Seq[Int]): Column =
+      g.foldLeft((lit(0L): Column, 0)) { case ((acc, off), b) =>
+        (acc.bitwiseOR(shiftleft(chunk(b), off)), off + widths(b))
+      }._1
+    // one explode per ≤48-group batch, unioned: a SINGLE array literal
+    // of all C(bands, r) packed keys blows past Janino's method-size
+    // limit (mm09's 210-key array failed whole-stage compilation and
+    // fell back to interpreted eval — correct, but measured ~1.8×
+    // slower at the 10× tier); batching keeps every generated method
+    // small, and each branch reads the same persisted base
+    val banded = groups.zipWithIndex.grouped(48).map { batch =>
+      base.select(col("id"),
+        posexplode(array(batch.map { case (g, _) => packedKey(g) }: _*))
+          .as(Seq("pos", "chunk")))
+        .select(col("id"), (col("pos") + lit(batch.head._2)).as("band"),
+          col("chunk"))
+    }.reduce(_ unionByName _)
 
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
       .filter(col("a.id") < col("b.id"))

@@ -364,9 +364,19 @@ object MultimodalQueries {
       .toDF()
     val both = media.withColumn("media_id", col("media_id") * 2)
       .unionByName(shifted.withColumn("media_id", col("media_id") * 2 + 1))
-    Dedup.hammingNearDups(
+    Dedup.hammingNearDupsAuto(
+      // count-adaptive banding, not the fixed 8-band scheme: with
+      // maxHamming = 6 the 8-band slack allows only grouped PAIRS over
+      // 2^16 keys, whose n²/2^16 collision floor r18 measured as 16.4x
+      // wall per 10x data at the corpus100 decade (~330k
+      // fingerprints). autoBands deepens to triples over >= 2^21 keys
+      // past ~66k fingerprints (and quadruples past ~2M), so the gate
+      // tiers keep the cheap index while the decade curve stays
+      // linear. The pair set is banding-independent (exhaustive
+      // pigeonhole candidates + exact Hamming verify), so tier hashes
+      // cannot move when the depth switches.
       Multimodal.imageHashes(both).withColumnRenamed("ahash", "sh"),
-      maxHamming = 6, bands = 8)
+      maxHamming = 6)
   }
 
   /** The mm09/mm10 oracle's hash relation: per-id aHashes re-derived

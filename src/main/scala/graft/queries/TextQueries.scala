@@ -2357,8 +2357,11 @@ object TextQueries {
     GraftQuery("tx07_simhash", tx07, None, oracleGen = Some(tx07OracleGen)),
     GraftQuery("tx08_ngram_jaccard", tx08, Some(tx08Oracle)),
     GraftQuery("tx09_simhash_near_dup",
-      (s, d) => Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 6, bands = 8),
+      // count-adaptive banding: grouped pairs over 2^16 keys at the
+      // gate tiers, triples/quadruples over >= 2^21 keys past ~66k
+      // docs (output is banding-independent; see hammingNearDupsAuto)
+      (s, d) => Dedup.simHashNearDupsAuto(Tables.documents(s, d), "doc_id",
+        "text", maxHamming = 6),
       None, oracleGen = Some(simhashHammingOracleGen)),
     GraftQuery("tx10_bpe_tokens", tx10, Some(tx10Oracle)),
     GraftQuery("tx11_repetition", tx11, Some(tx11Oracle)),

@@ -139,6 +139,44 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute,
       s"banding lost pairs: ${brute.diff(banded)}; invented: ${banded.diff(brute)}")
+
+    // the production (6, 10) scheme — UNEVEN chunk widths (six 6-bit +
+    // four 7-bit) and grouped quadruples — must produce the identical
+    // pair set: the banding is an index, never a semantics knob
+    val banded10 = Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 6, bands = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded10 == brute,
+      s"(6,10) banding lost pairs: ${brute.diff(banded10)}; " +
+        s"invented: ${banded10.diff(brute)}")
+  }
+
+  test("grouped-band math: widths cover 64 bits, group size hits the pigeonhole limit") {
+    // uneven split: Σ widths = 64 at every band count, wider chunks first
+    for (bands <- 1 to 64) {
+      val w = Dedup.bandWidths(bands)
+      assert(w.sum == 64 && w.length == bands, s"bands=$bands widths=$w")
+      assert(w.max - w.min <= 1 && w == w.sorted.reverse, s"bands=$bands widths=$w")
+    }
+    // r = slack whenever C(bands, slack) fits the row-fanout cap ...
+    assert(Dedup.groupSize(6, 8, 256) == 2)   // the r13 grouped-pair scheme
+    assert(Dedup.groupSize(6, 10, 256) == 4)  // mm09/tx09 production: C(10,4)=210
+    assert(Dedup.groupSize(3, 8, 256) == 5)   // C(8,5)=56, 40-bit keys
+    assert(Dedup.groupSize(7, 8, 256) == 1)   // slack 1: singles only
+    assert(Dedup.groupSize(0, 8, 256) == 8)   // exact-dup degenerate: full key
+    // ... and backs off toward fewer groups when it doesn't
+    assert(Dedup.groupSize(8, 16, 256) == 2)  // C(16,8)=12870 > 256 → r=2 (120)
+
+    // the count-adaptive ladder (maxHamming = 6, the mm09/tx09 radius):
+    // each step trades ~3× banded rows for ~10× fewer random
+    // collisions, so the crossovers sit where the measured cost model
+    // (β ≈ 4 candidate:banded row ratio) says the quadratic term
+    // overtakes — grouped pairs at the gate tiers, triples at the
+    // corpus100 decade, quadruples the decade after
+    assert(Dedup.autoBands(6, 3300L) == 8)      // sf0.1: pairs, 2^16 keys
+    assert(Dedup.autoBands(6, 33000L) == 8)     // 10x: still pairs
+    assert(Dedup.autoBands(6, 330000L) == 9)    // corpus100: triples, ≥2^21
+    assert(Dedup.autoBands(6, 3300000L) == 10)  // next decade: quads, ≥2^24
   }
 
   test("shingle-projection cache: memoized per source, flushed by releaseCaches") {
