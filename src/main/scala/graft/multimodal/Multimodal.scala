@@ -278,6 +278,34 @@ object Multimodal {
   }
 
   /**
+   * Render an 8×8 black/white PNG whose [[averageHash64]] is EXACTLY
+   * `bits` — the gadget constructor for the planted-truth image dedup
+   * gate (mm21). Why exact: at 8×8 every aHash cell is one pixel
+   * (cell (i, j) = pixel (x = j, y = i), bit c = 8·y + x), white luma
+   * is exactly 255 and black exactly 0, and the integer
+   * cross-multiplied mean compare reduces to 255·64 > 255·k for white
+   * (true iff k < 64) and 0 > 0 for black (always false) — so with
+   * 1 ≤ popcount(bits) ≤ 63 the decoded hash equals the requested
+   * pattern bit for bit, making planted Hamming distances closed-form
+   * from the patterns alone. Enforced by require, pinned by spec.
+   */
+  def renderPatternPng(bits: Long): Array[Byte] = {
+    val k = java.lang.Long.bitCount(bits)
+    require(k >= 1 && k <= 63, s"pattern must mix black and white, got $k bits")
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var c = 0
+    while (c < 64) {
+      val v = if (((bits >>> c) & 1L) == 1L) 0xffffff else 0x000000
+      img.setRGB(c % 8, c / 8, v)
+      c += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
    * Render a deterministic WAV: `nSamples` mono 16-bit PCM samples at
    * `rateHz` from an LCG seeded by `seed`, encoded with the JDK's WAVE
    * writer. Sample 0 is pinned to +32767 so the decoded peak amplitude

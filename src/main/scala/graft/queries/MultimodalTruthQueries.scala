@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/**
+ * PLANTED-TRUTH gate for the perceptual image dedup path — the
+ * [[DedupTruthQueries]]/[[SimilarityTruthQueries]] playbook applied to
+ * the multimodal family, which until r19 measured retrieval quality
+ * only against base-tier oracles (mm09's reference-aHash pair oracle
+ * cannot scale past the 10× tier, so corpus100 only TIMED the Hamming
+ * path — recall at the decade was unmeasured, exactly the pre-sim24
+ * state the text families fixed in r17/r18).
+ *
+ * mm21 runs the REAL operators — [[Multimodal.imageHashes]]' decode
+ * pass and [[Dedup.hammingNearDupsAuto]]'s grouped-band pair search,
+ * production radius maxHamming = 6 — over the ORGANIC image corpus
+ * unioned with gadget images whose pairwise aHash Hamming distances
+ * are EXACT by construction ([[Multimodal.renderPatternPng]]: at 8×8
+ * every aHash cell is one black/white pixel, so the decoded hash
+ * equals the pattern bit for bit). Per gadget g, four images:
+ *
+ *   A  = P_g                 (the anchor pattern)
+ *   V2 = P_g ⊕ bits{0,1}     d(A,V2) = 2
+ *   V6 = P_g ⊕ bits{0..5}    d(A,V6) = 6   — the radius BOUNDARY
+ *   V8 = P_g ⊕ bits{0..7}    d(A,V8) = 8   — just past it
+ *
+ * whose full pairwise census at radius 6 is closed-form: exactly five
+ * pairs — (A,V2)=2, (V6,V8)=2, (V2,V6)=4, (A,V6)=6, (V2,V8)=6 — and
+ * one absence, (A,V8)=8. Because the grouped-band index is EXHAUSTIVE
+ * (pigeonhole candidates + exact Hamming verify, spec-proven at both
+ * band counts), the planted census gates CELL-EXACT — recall here is
+ * a certainty, not an S-curve floor, so any future banding change
+ * that loses pairs (or a cap that starts dropping them silently)
+ * fails loudly; the d = 6-in / d = 8-out pair is the standing radius
+ * witness.
+ *
+ * Contamination is impossible by construction, not by luck:
+ *  - anchors are even-parity bytes repeated 8× (P_g = b_g ·
+ *    0x0101010101010101), so distinct anchors differ ≥ 2 bits PER
+ *    BYTE = ≥ 16 bits, and variants perturb byte 0 only — members of
+ *    different gadgets keep ≥ 14 bits (7 untouched bytes × ≥ 2) of
+ *    separation, far past the radius;
+ *  - popcounts stay in [8, 56], so the 1..63 white-pixel window that
+ *    makes the decoded hash exact always holds;
+ *  - gadget ids start at 10⁹, above any organic media id at any tier,
+ *    and every pinned cell filters id_a ≥ 10⁹ (pairs are ordered), so
+ *    organic-organic pairs never touch a pin. An organic aHash landing
+ *    within 6 bits of a gadget would surface as id_a < 10⁹ and is
+ *    likewise excluded; the chance is ~2⁻³⁷ per cross pair and a
+ *    fixture regeneration hitting it would be triaged as a fixture
+ *    artifact (the tx52 collision-note convention).
+ *
+ * The oracle is O(1) arithmetic over one `documents` COUNT (the
+ * gadget count scales as images/100, capped at 126 — the even-parity
+ * byte supply; the cap binds from the 10× tier up and the closed form
+ * carries it), so the gate runs at EVERY tier including corpus100,
+ * where the engine side decodes ~170k organic images and pair-searches
+ * ~170k fingerprints through the same adaptive banding mm09 is timed
+ * on.
+ */
+object MultimodalTruthQueries {
+
+  /** Gadget ids: A, V2, V6, V8 at PlantBase + 4g + {0,1,2,3} — above
+    * any organic media id at any tier (corpus100 tops out ~5·10⁵). */
+  private[queries] val PlantBase = 1000000000L
+
+  /** The even-parity bytes (excluding 0x00 and 0xFF): pairwise XOR
+    * popcount ≥ 2, the per-byte separation floor the scaladoc's ≥ 14
+    * cross-gadget bound stands on. 126 values = the gadget supply. */
+  private[queries] val ParityBytes: Array[Long] =
+    (1 to 254).filter(b => Integer.bitCount(b) % 2 == 0).map(_.toLong).toArray
+
+  /** Anchor pattern for gadget g: its parity byte repeated 8×. */
+  private[queries] def anchorPattern(g: Int): Long =
+    ParityBytes(g) * 0x0101010101010101L
+
+  /** The four member patterns of gadget g, in id order A, V2, V6, V8. */
+  private[queries] def memberPatterns(g: Int): Seq[Long] = {
+    val a = anchorPattern(g)
+    Seq(a, a ^ 0x3L, a ^ 0x3fL, a ^ 0xffL)
+  }
+
+  /** Gadget count: images/100 floored at 1, capped at the 126-byte
+    * supply (binds from the 10× tier up — documented, not silent: the
+    * oracle's closed form carries the same LEAST). */
+  private[queries] def scaleOf(spark: SparkSession, dir: String): Int =
+    math.min(126L, math.max(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0).count() / 100L,
+      1L)).toInt
+
+  /** The planted media rows for `k` gadgets — rendered on executors,
+    * same MediaRow shape the organic image table carries. */
+  private[queries] def plantedMedia(spark: SparkSession,
+                                    k: Int): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.range(k).flatMap { g =>
+      memberPatterns(g.toInt).zipWithIndex.map { case (p, i) =>
+        Multimodal.MediaRow(PlantBase + g * 4 + i, "image",
+          Multimodal.renderPatternPng(p), 8, 8, 0)
+      }
+    }
+  }
+
+  /** The gadget census over an already-built media frame — factored
+    * out so the spec can run it on a fixture-sized corpus. */
+  private[queries] def mm21Report(media: DataFrame): DataFrame = {
+    val pairs = Dedup.hammingNearDupsAuto(
+      Multimodal.imageHashes(media).withColumnRenamed("ahash", "sh"),
+      maxHamming = 6)
+    pairs.filter(col("id_a") >= PlantBase).agg(
+      coalesce(count(lit(1)), lit(0L)).as("found_total"),
+      coalesce(sum(when(col("hamming") === 2, 1L)), lit(0L)).as("h2_found"),
+      coalesce(sum(when(col("hamming") === 4, 1L)), lit(0L)).as("h4_found"),
+      coalesce(sum(when(col("hamming") === 6, 1L)), lit(0L)).as("h6_found"),
+      coalesce(sum(col("hamming").cast("long")), lit(0L)).as("hamming_sum"),
+      coalesce(sum(col("id_a") + col("id_b")), lit(0L)).as("id_checksum"))
+  }
+
+  private def mm21(spark: SparkSession, dir: String): DataFrame = {
+    val k = scaleOf(spark, dir)
+    val organic = Multimodal.mediaWithRealImages(Tables.documents(spark, dir))
+      .filter(col("kind") === "image")
+    mm21Report(organic.unionByName(plantedMedia(spark, k).toDF()))
+  }
+
+  // Pure arithmetic over the plant layout: 5 pairs per gadget (two at
+  // d=2, one at d=4, two at d=6 — the radius boundary held), Hamming
+  // mass 20k, and the id checksum
+  //   Σ_g [ (A+V2) + (A+V6) + (V2+V6) + (V2+V8) + (V6+V8) ]
+  //     = Σ_g (10·PlantBase + 40g + 15) = 10k·PB + 20k(k−1) + 15k
+  // (ids A..V8 = PB + 4g + 0..3; found pairs use offsets
+  // {0,1},{0,2},{1,2},{1,3},{2,3} → per-g id-offset sum 15, base sum
+  // 10·(PB + 4g)).
+  private val mm21Oracle =
+    """WITH c AS (
+      |  SELECT LEAST(126, GREATEST(COUNT(*) // 100, 1)) AS k
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT
+      |  CAST(5 * k AS BIGINT) AS found_total,
+      |  CAST(2 * k AS BIGINT) AS h2_found,
+      |  CAST(k AS BIGINT) AS h4_found,
+      |  CAST(2 * k AS BIGINT) AS h6_found,
+      |  CAST(20 * k AS BIGINT) AS hamming_sum,
+      |  CAST(10 * k * 1000000000 + 20 * k * (k - 1) + 15 * k AS BIGINT)
+      |    AS id_checksum
+      |FROM c""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("mm21_planted_image_neardup", mm21, Some(mm21Oracle)))
+}

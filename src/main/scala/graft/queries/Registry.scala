@@ -58,7 +58,8 @@ object Registry {
       DedupTruthQueries.all ++ MarketPulseQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++
       SimilarityTruthQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all ++ StorageQueries.all ++ QualityQueries.all
+      MultimodalQueries.all ++ MultimodalTruthQueries.all ++
+      StorageQueries.all ++ QualityQueries.all
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

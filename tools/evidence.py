@@ -327,6 +327,13 @@ INCLUDE_CORPUS100 = {
     # 64 gadget queries: its admitted-pair frame is Q-linear and
     # broadcast into the stage-1 join
     "sim25_planted_funnel_quality",
+    # r19 — planted-truth image dedup recall: gadget 8x8 images whose
+    # decoded aHashes equal their patterns exactly, so the pair census
+    # (incl. the d=6-in / d=8-out radius boundary) is closed-form and
+    # the oracle is O(1); the engine side decodes the organic image
+    # corpus and runs the adaptive grouped-band pair search at the
+    # decade where mm09's reference-aHash oracle cannot follow
+    "mm21_planted_image_neardup",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
