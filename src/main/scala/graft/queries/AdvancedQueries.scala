@@ -1911,7 +1911,14 @@ object AdvancedQueries {
     GraftQuery("q42_basket_lift", q42, Some(q42Oracle)),
     GraftQuery("q43_pagerank", q43, Some(q43Oracle)),
     GraftQuery("q44_asof_snapshot", q44, Some(q44Oracle)),
-    GraftQuery("q45_triangles", q45, Some(q45Oracle)),
+    // headline (r19): the iterative-graph family's wall-time was
+    // previously invisible between evidence runs — a regression in the
+    // oriented-wedge join+agg machinery would only surface at the next
+    // sf0.1/10x sweep. q45 is the family's cheapest-at-sf0.1 member
+    // with the most plan surface (distinct edge build, degree
+    // orientation, wedge join, closing-edge probe), so it carries the
+    // round-over-round tracking for q43/q47 too.
+    GraftQuery("q45_triangles", q45, Some(q45Oracle), headline = true),
     GraftQuery("q46_rolling_distinct", q46, Some(q46Oracle), headline = true),
     GraftQuery("q47_kcore", q47, Some(q47Oracle)),
     GraftQuery("q48_active_time", q48, Some(q48Oracle)),

@@ -214,10 +214,15 @@ object SimilarityTruthQueries {
   //        the gadget-vs-corpus separation is exactly what ADC must
   //        preserve; quantization noise + ascending-id tie-breaks on
   //        equal-code candidates make this the lossiest leg. Floor
-  //        0.5; measured 1.0 at the base fixtures and 0.874 at the
-  //        corpus100 decade (200k organic vectors deepening the code
-  //        cells) — a breach means codebook/ADC rot, which lands
-  //        near 0, not jitter.
+  //        0.7, raised from the r18 0.5 after the r19 jitter analysis:
+  //        measured across EIGHT distinct organic corpora (sf0.001/
+  //        sf0.01/sf0.1, both skew1x variants: 1.0; 10x: 0.891; skew
+  //        10x: 0.925; corpus100: 0.845) the fixture-to-fixture spread
+  //        bottoms at 0.845, so 0.7 keeps a 0.145 margin under the
+  //        worst honest measurement while closing the 0.2-0.35 dead
+  //        band where real codebook/ADC rot (which crashes the overlap
+  //        toward 0 — every neighbor lands in a stale cell) could have
+  //        passed the old floor.
   //      - funnel: stage-1 admission is OR over 9 four-bit prefix
   //        plane families and the neighbors sit within 0.1 rad of
   //        their query in the 16-dim prefix too, so admission is
@@ -258,7 +263,7 @@ object SimilarityTruthQueries {
   private def sim25(spark: SparkSession, dir: String): DataFrame = {
     val q = scaleOf(spark, dir)
     val qFunnel = math.min(q, 64L)
-    val pqFloor = math.ceil(0.5 * 5 * q).toLong
+    val pqFloor = math.ceil(0.7 * 5 * q).toLong
     val mipsFloor = math.ceil(0.9 * 5 * q).toLong
     val funnelFloor = math.ceil(0.8 * 5 * qFunnel).toLong
     probeRaw(spark, dir).select(
