@@ -368,6 +368,18 @@ INCLUDE_SKEW = {
     # audit). Oracle O(1); previously impossible here because the
     # witness pinned the TOTAL cap count
     "tx52_planted_neardup",
+    # r19 — the interval pair partitions on EXACTLY the flooded order
+    # axis (custkey 1 holds ~10% of orders): q56's r18
+    # dedup-before-windows rewrite collapses the hot key's duplicate
+    # replay rows in the pre-aggregate, so this is the fixture that
+    # proves that claim under real skew (measured oracle+compare:
+    # 8.4 s merge / 12.8 s clip at the 10x volume); q46's rolling
+    # 7-day distinct rides the hot-user event axis (0.3 s), and
+    # tx35's per-source segment strike meets the planted
+    # mega-duplicate cluster + dominant filler token on the document
+    # axis (1.7 s)
+    "q46_rolling_distinct", "q56_interval_merge", "q57_interval_clip",
+    "tx35_segment_dedup",
 }
 
 # The small skew tier: the IDENTICAL hot-key construction planted
@@ -391,6 +403,12 @@ INCLUDE_SKEW_SMALL = {
     # session-time walk, planted-truth dedup recall under the planted
     # hot-key cluster)
     "q19_asof_join", "q48_active_time", "tx52_planted_neardup",
+    # r19 — same four promotions as the 10x skew set (interval pair on
+    # the hot custkey, rolling distinct on the hot user, segment
+    # strike on the skewed corpus); all four oracles measured 0.1 s at
+    # this volume
+    "q46_rolling_distinct", "q56_interval_merge", "q57_interval_clip",
+    "tx35_segment_dedup",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
