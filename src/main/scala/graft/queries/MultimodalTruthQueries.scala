@@ -150,6 +150,97 @@ object MultimodalTruthQueries {
       |    AS id_checksum
       |FROM c""".stripMargin
 
+  // ---- mm22: planted-truth VIDEO near-dup census — the same treatment
+  //      for mm15's frame-hash-set Jaccard path, whose oracle (decode-
+  //      derived hash literals) cannot scale past the 10× tier. Per
+  //      gadget, four REAL GIFs of the same footage rendered at trim
+  //      depths 0/1/2/3 of a 4-frame base (renderGif's startFrame form,
+  //      the exact construction the organic trimmed-variant population
+  //      uses), so the distinct-frame-set relations are known by
+  //      construction and the pair census at minJaccard = 0.5 is
+  //      closed-form:
+  //        A(4 frames)–B(3): 3/4   ✓    A–D(2): 2/4 = 0.5 ✓ BOUNDARY
+  //        B–D: 2/3 ✓               D–E(1): 1/2 = 0.5 ✓ BOUNDARY
+  //        A–E: 1/4 ✗  B–E: 1/3 ✗  — both MEET in the inverted index
+  //                                   (shared frame 3) and must be
+  //                                   killed by the Jaccard verify
+  //      Four pairs per gadget with exact (n_shared, n_a, n_b), two of
+  //      them at Jaccard exactly 0.5 (0.5 and 0.75 are dyadic — exact
+  //      in double), so the inclusive-boundary witness is cell-exact.
+  //      The inverted-index plan is exhaustive (videos sharing a frame
+  //      always meet), so like mm21 the census is a certainty, not a
+  //      floor. The closed form assumes the LCG frame generator never
+  //      collides two distinct (seed, frame) contents — a fixture
+  //      regeneration hitting that ~2⁻⁶⁴ event shifts a count by one
+  //      and is triaged as a fixture artifact (the tx52 convention).
+  //      Gadget ids start at 2·10⁹, above the organic trim variants'
+  //      TrimVariantOffset range (~10⁹ + 5·10⁵ at corpus100).
+  private[queries] val VideoPlantBase = 2000000000L
+
+  /** The four trim-depth members of video gadget g, ids A,B,D,E =
+    * base + 4g + {0,1,2,3} — REAL GIF payloads of shared footage. */
+  private[queries] def plantedVideos(spark: SparkSession,
+                                     k: Int): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.range(k).flatMap { g =>
+      val seed = VideoPlantBase + g * 4
+      (0 until 4).map(s =>
+        Multimodal.MediaRow(seed + s, "video",
+          Multimodal.renderGif(seed, 8, 8, 4, s), 8, 8, 0))
+    }
+  }
+
+  /** Gadget count: videos/100 floored at 1 (no supply cap — seeds are
+    * unbounded; 10 decoded frames per gadget keep the plant linear). */
+  private[queries] def videoScaleOf(spark: SparkSession, dir: String): Int =
+    math.max(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2).count() / 100L,
+      1L).toInt
+
+  /** The gadget census over an already-built media frame — factored
+    * out for the spec. */
+  private[queries] def mm22Report(media: DataFrame): DataFrame =
+    Multimodal.videoNearDups(media, minJaccard = 0.5)
+      .filter(col("id_a") >= VideoPlantBase).agg(
+        coalesce(count(lit(1)), lit(0L)).as("found_total"),
+        coalesce(sum(when(col("n_shared") === 3 && col("n_a") === 4 &&
+          col("n_b") === 3, 1L)), lit(0L)).as("trim1_found"),
+        coalesce(sum(when(col("n_shared") === 2 && col("n_a") === 4 &&
+          col("n_b") === 2, 1L)), lit(0L)).as("trim2_boundary_found"),
+        coalesce(sum(when(col("n_shared") === 2 && col("n_a") === 3 &&
+          col("n_b") === 2, 1L)), lit(0L)).as("mid_trims_found"),
+        coalesce(sum(when(col("n_shared") === 1 && col("n_a") === 2 &&
+          col("n_b") === 1, 1L)), lit(0L)).as("deep_boundary_found"),
+        coalesce(sum(when(col("jaccard") === 0.5, 1L)), lit(0L))
+          .as("at_boundary_found"),
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L)).as("id_checksum"))
+
+  private def mm22(spark: SparkSession, dir: String): DataFrame = {
+    val k = videoScaleOf(spark, dir)
+    val organic = Multimodal.mediaWithTrimmedVideos(Tables.documents(spark, dir))
+    mm22Report(organic.unionByName(plantedVideos(spark, k).toDF()))
+  }
+
+  // Closed form: 4 pairs per gadget, one per (n_shared, n_a, n_b)
+  // shape, two at Jaccard exactly 0.5; id checksum over found-pair
+  // offsets {0,1},{0,2},{1,2},{2,3} of base + 4g:
+  //   Σ_g (8·(PB + 4g) + 11) = 8k·PB + 16k(k−1) + 11k
+  private val mm22Oracle =
+    """WITH c AS (
+      |  SELECT GREATEST(COUNT(*) // 100, 1) AS k
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT
+      |  CAST(4 * k AS BIGINT) AS found_total,
+      |  CAST(k AS BIGINT) AS trim1_found,
+      |  CAST(k AS BIGINT) AS trim2_boundary_found,
+      |  CAST(k AS BIGINT) AS mid_trims_found,
+      |  CAST(k AS BIGINT) AS deep_boundary_found,
+      |  CAST(2 * k AS BIGINT) AS at_boundary_found,
+      |  CAST(8 * k * 2000000000 + 16 * k * (k - 1) + 11 * k AS BIGINT)
+      |    AS id_checksum
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("mm21_planted_image_neardup", mm21, Some(mm21Oracle)))
+    GraftQuery("mm21_planted_image_neardup", mm21, Some(mm21Oracle)),
+    GraftQuery("mm22_planted_video_neardup", mm22, Some(mm22Oracle)))
 }

@@ -58,6 +58,43 @@ class MultimodalTruthSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mm22 video census over the sf0.001 corpus + plant matches the closed form") {
+    val k = MultimodalTruthQueries.videoScaleOf(spark, "/root/testdata/sf0.001")
+    val organic = Multimodal.mediaWithTrimmedVideos(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val r = MultimodalTruthQueries.mm22Report(
+      organic.unionByName(
+        MultimodalTruthQueries.plantedVideos(spark, k).toDF())).collect().head
+    val pb = MultimodalTruthQueries.VideoPlantBase
+    assert(r.getAs[Long]("found_total") == 4L * k)
+    assert(r.getAs[Long]("trim1_found") == k.toLong)
+    assert(r.getAs[Long]("trim2_boundary_found") == k.toLong)
+    assert(r.getAs[Long]("mid_trims_found") == k.toLong)
+    assert(r.getAs[Long]("deep_boundary_found") == k.toLong)
+    assert(r.getAs[Long]("at_boundary_found") == 2L * k)
+    assert(r.getAs[Long]("id_checksum") ==
+      8L * k * pb + 16L * k * (k - 1) + 11L * k)
+    Multimodal.releaseCaches()
+  }
+
+  test("mm22 plant: four real GIFs per gadget whose frame sets nest by trim depth") {
+    // decode one gadget's members with the REAL frame-hash pass and
+    // re-derive the census relations from the decoded sets — the
+    // construction claim (trims keep base frame numbering, so sets
+    // nest) proven on bytes, not asserted from renderGif's scaladoc
+    val rows = Multimodal.videoFrameHashes(
+        MultimodalTruthQueries.plantedVideos(spark, 1).toDF())
+      .select(col("media_id"), col("frame_hash")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pb = MultimodalTruthQueries.VideoPlantBase
+    val Seq(a, b, d, e) = (0 to 3).map(i => rows(pb + i))
+    assert(a.size == 4 && b.size == 3 && d.size == 2 && e.size == 1,
+      s"frame sets lost distinctness: ${rows.view.mapValues(_.size).toMap}")
+    assert(b.subsetOf(a) && d.subsetOf(b) && e.subsetOf(d),
+      "trimmed frame sets must nest")
+    Multimodal.releaseCaches()
+  }
+
   test("mm21 census over the sf0.001 corpus + plant matches the closed form") {
     val k = MultimodalTruthQueries.scaleOf(spark, "/root/testdata/sf0.001")
     val organic = Multimodal.mediaWithRealImages(

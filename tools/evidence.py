@@ -334,6 +334,13 @@ INCLUDE_CORPUS100 = {
     # corpus and runs the adaptive grouped-band pair search at the
     # decade where mm09's reference-aHash oracle cannot follow
     "mm21_planted_image_neardup",
+    # r19 — the video twin: trim-depth gadget GIFs make the frame-set
+    # Jaccard census closed-form (incl. two pairs at exactly the 0.5
+    # inclusive boundary and two index-met verify-killed negatives);
+    # the engine decodes the organic video corpus through the real
+    # inverted-index plan at the decade where mm15's decode-literal
+    # oracle cannot follow
+    "mm22_planted_video_neardup",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
