@@ -195,6 +195,22 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.cachedBaseCount == 0)
   }
 
+  test("cap audit and pair run share ONE cached projection (the r19 single-site pin)") {
+    // the cache keys on the canonicalized plan, so if cappedBuckets'
+    // projection ever drifts from nearDupPairsWithStats' (the verbatim
+    // duplication the r18 ADVICE flagged), the audit silently measures
+    // DIFFERENT banding than the pairs it audits — the only observable
+    // symptom is a second cache entry. Refuse it here.
+    Dedup.releaseCaches()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    Dedup.cappedBuckets(docs, "doc_id", "text").count()
+    assert(Dedup.cachedBaseCount == 1,
+      "cappedBuckets keyed a second projection — the audit no longer " +
+        "measures the banding the pair run used")
+    Dedup.releaseCaches()
+  }
+
   test("Caches.releaseAll flushes every operator-level plan cache") {
     // the bench's cold-cost mode depends on this being a FULL flush —
     // a straggler cache keeps multi-GB persisted frames crowding the
