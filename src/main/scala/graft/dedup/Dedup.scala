@@ -546,10 +546,12 @@ object Dedup {
    * per 10× data at the corpus100 decade (~330k fingerprints), the
    * predicted n²·C(b,2)/2¹⁶ shape. This version therefore takes r to
    * the pigeonhole limit, r = slack (capped so C(bands, r) ≤
-   * `maxGroups`): mm09 at (maxHamming 6, bands 10) gets r = 4 with
-   * ≥ 24-bit keys — a ~90× lower collision floor than (6, 8) pairs —
-   * and tx09 at (6, 10) the same, while (7, 8) degrades to the only
-   * exhaustive scheme left, singles.
+   * `maxGroups`): at maxHamming 6, bands 10 buys r = 4 with ≥ 24-bit
+   * keys — a ~90× lower collision floor than (6, 8) pairs — while
+   * (7, 8) degrades to the only exhaustive scheme left, singles. The
+   * production callers (mm09, tx09) don't pick `bands` by hand: they
+   * ride [[hammingNearDupsAuto]], whose cost model deepens the index
+   * as the fingerprint count grows (pairs → triples → quadruples).
    *
    * `bands` need not divide 64: the fingerprint splits into uneven
    * contiguous chunks (the first 64 mod bands chunks one bit wider),
