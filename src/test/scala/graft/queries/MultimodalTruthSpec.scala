@@ -58,6 +58,23 @@ class MultimodalTruthSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mm21 census holds at the full 126-gadget supply (the deep-tier cap)") {
+    // from the 10× tier up, scaleOf caps at the even-parity byte
+    // supply — run the whole 504-image plant (no organic corpus: the
+    // planted slice is organic-independent by the id filter) through
+    // the REAL decode + banding and demand the closed form at k = 126,
+    // where every cross-gadget separation claim is simultaneously live
+    val k = 126
+    val r = MultimodalTruthQueries.mm21Report(
+      MultimodalTruthQueries.plantedMedia(spark, k).toDF()).collect().head
+    val pb = MultimodalTruthQueries.PlantBase
+    assert(r.getAs[Long]("found_total") == 5L * k)
+    assert(r.getAs[Long]("hamming_sum") == 20L * k)
+    assert(r.getAs[Long]("id_checksum") ==
+      10L * k * pb + 20L * k * (k - 1) + 15L * k)
+    graft.dedup.Dedup.releaseCaches()
+  }
+
   test("mm22 video census over the sf0.001 corpus + plant matches the closed form") {
     val k = MultimodalTruthQueries.videoScaleOf(spark, "/root/testdata/sf0.001")
     val organic = Multimodal.mediaWithTrimmedVideos(
