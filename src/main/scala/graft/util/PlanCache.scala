@@ -67,6 +67,33 @@ final class PlanCache(val maxEntries: Int) {
     }
   }
 
+  // Row counts are deterministic per canonicalized plan (sources are
+  // immutable fixtures), so the memo survives frame eviction: an
+  // evicted-and-rebuilt frame has the same count. Bounded at 4x the
+  // frame cap — counts are 8 bytes, frames are gigabytes.
+  private val counts = new java.util.LinkedHashMap[LogicalPlan, java.lang.Long](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[LogicalPlan, java.lang.Long]): Boolean =
+      size() > math.max(maxEntries * 4, 16)
+  }
+
+  /** `df.count()` memoized by canonicalized plan — callers that size a
+    * plan from its input cardinality (e.g. adaptive banding depth) pay
+    * the counting job once per distinct source, not once per call. */
+  def memoizedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = counts.synchronized(counts.get(key))
+    if (hit != null) hit.longValue()
+    else {
+      // count OUTSIDE the lock: a Spark job under `counts.synchronized`
+      // would serialize unrelated callers behind one action
+      val n = df.count()
+      counts.synchronized(counts.put(key, n))
+      n
+    }
+  }
+
   def size: Int = cache.synchronized(cache.size)
 
   /** Unpersist and drop every cached frame — the full flush. */

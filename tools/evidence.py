@@ -128,10 +128,15 @@ EXCLUDE_10X = EXCLUDE_SF01_SWEEP | {
     # 61 s at this tier (2.39M directed support>=2 edges; the blow-up
     # densifies support so the peel fixpoints in 1 round, far inside
     # the 16-round unroll/engine bound) — promoted into the 10x sweep.
-    # It stays OUT of the 100x tier: the lp support self-join is
-    # ~1.2B pre-group rows there, the same cost wall that keeps
-    # q43/q45 out; deep-decade peel evidence rides q60's planted
-    # cascade census.
+    # r20: the presumed 100x wall ("the lp support self-join is ~1.2B
+    # pre-group rows there") was MEASURED rather than assumed and fell:
+    # the 1.2B pre-group pairs STREAM into the hash aggregate (whose
+    # output — the collapsed co-purchase graph — is tier-invariant, so
+    # the super-linear wedge/peel work never grows with the decade);
+    # q45 and q47 are both gated at 100x now — see INCLUDE_100X.
+    # Deep-decade evidence for q43's pagerank recurrence still rides
+    # dq13 (its oracle's 10 unrolled full-edge-list CTEs genuinely
+    # out-spill the box — measured ENOSPC past 77 GB).
     # q53 was excluded here while its oracle was the NAIVE min-fold
     # (556 s measured at ~12M directed edges); r15 switched the oracle
     # to the LAYERED fold (each round expands only the newest layer —
@@ -209,6 +214,21 @@ INCLUDE_100X = {
     # — the iterative-graph family's first 100x-decade cell-exact
     # gates (organic-gate depth is oracle-cost-bounded; these are not)
     "q58_planted_components", "q59_planted_triangles", "q60_planted_kcore",
+    # r20 — the ORGANIC iterative-graph gates break through to this
+    # tier (the r19 verdict's top item): the assumed ~1.2B-pre-group-
+    # row wall was measured and is not a wall — the pairs CTE streams
+    # into a hash aggregate whose output (the collapsed co-purchase
+    # graph: key-shifted order replicas reproduce identical part
+    # baskets, so GROUP BY collapses them) is TIER-INVARIANT, leaving
+    # the super-linear wedge join / 16-round peel at base-graph size
+    # while only the linear lp-distinct + pair stream scale with the
+    # decade. Measured on this tier's 60M-row lineitem: q45's degree-
+    # oriented oracle 59.4 s / 20-row compare; q47's MATERIALIZED
+    # d-CTE peel 80.4 s / 40k-row compare. q43 remains the one
+    # oracle-cost exclusion (iteration-unrolled full-edge-list CTEs,
+    # measured ENOSPC) — its deep-decade recurrence evidence stays on
+    # dq13 + the planted q58-60 censuses.
+    "q45_triangles", "q47_kcore",
     # r18 — the window/interval family joins the decade (each measured
     # at this tier's fixture before promotion): q19's as-of fill over
     # 10M events (oracle 2.5 s, 2M-row compare), q46's rolling
@@ -387,6 +407,15 @@ INCLUDE_SKEW = {
     # axis (1.7 s)
     "q46_rolling_distinct", "q56_interval_merge", "q57_interval_clip",
     "tx35_segment_dedup",
+    # r20 — the update-heavy merge pair joins the skew rows (the r19
+    # verdict's named candidates): q55's bitemporal snapshot runs its
+    # two key-grain window exchanges on exactly the flooded custkey
+    # axis (custkey 1 holds ~10% of orders — the hot key floods one
+    # version-chain partition), and st17 replays the CDC feed through
+    # the real micro-batch state store with the hot key dominating the
+    # changed-key state. Measured at this tier: oracle 1.6 s / 910k-row
+    # compare (q55), 3.1 s / 1.41M-row compare (st17).
+    "q55_bitemporal", "st17_stream_cdc_apply",
 }
 
 # The small skew tier: the IDENTICAL hot-key construction planted
@@ -416,6 +445,10 @@ INCLUDE_SKEW_SMALL = {
     # this volume
     "q46_rolling_distinct", "q56_interval_merge", "q57_interval_clip",
     "tx35_segment_dedup",
+    # r20 — same two promotions as the 10x skew set (bitemporal
+    # windows + CDC apply under the planted hot key); both oracles
+    # measured 0.1 s at this volume
+    "q55_bitemporal", "st17_stream_cdc_apply",
 }
 
 SELFCHECK_TAIL = re.compile(r"(\d+) oracle-backed checked, (\d+) failures")
