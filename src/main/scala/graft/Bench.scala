@@ -271,7 +271,31 @@ object Bench {
     def minOf(ts: Seq[Double]): Double =
       if (ts.exists(_.isNaN)) -1.0 else ts.min
 
-    val headSamples = timeAll(headline, sfDir)
+    // r20 (heavy/light block split): interleaving q45's five ~6.8 s
+    // samples among the sub-second headliners pushed the r19 driver
+    // run's loadavg to 12 by the tail and put a phantom 1.45× min
+    // ratio on q56 — the bench's own heavy queries keep the box hot
+    // through every light query's samples. Round 1 stays one full
+    // interleaved pass (it IS the probe); queries whose first sample
+    // reaches 2 s then take their remaining rounds in a SEPARATE
+    // exclusive block after the light block finishes, so sub-second
+    // minima are measured on a box the bench itself isn't heating.
+    // Per-query sample count, re-gates, and the per-sample
+    // (loadavg, foreign) fields are unchanged in both blocks.
+    val headProbe = timeAll(headline, sfDir, rounds = 1)
+    val heavyNames = headProbe.collect {
+      case (n, s) if s.headOption.exists(_._1 >= 2.0) => n
+    }.toSet
+    val lightRest = timeAll(
+      headline.filterNot(q => heavyNames(q.name)), sfDir, rounds = samples - 1)
+    val heavyRest = timeAll(
+      headline.filter(q => heavyNames(q.name)), sfDir, rounds = samples - 1)
+    val headSamples: Map[String, Seq[(Double, Double, Double)]] =
+      headline.map { q =>
+        q.name -> (headProbe.getOrElse(q.name, Seq.empty) ++
+          lightRest.getOrElse(q.name, Seq.empty) ++
+          heavyRest.getOrElse(q.name, Seq.empty))
+      }.toMap
     val results = headline.map(q =>
       q.name -> medianOf(headSamples(q.name).map(_._1)))
     // per-query mean foreign-CPU fraction over the 5 samples: the
@@ -606,7 +630,9 @@ object Bench {
     val deepJson =
       if (!deepTiers) ""
       else s""","queries_100x":${jmap(rel100.map { case (k, v) => k -> s4(v) })},"scaling_100x_vs_10x":${jmap(ratios100v10.map { case (k, v) => k -> s2(v) })},"scaling_100x_vs_sf0.1":${jmap(ratios100vSf.map { case (k, v) => k -> s2(v) })},"blowup_100x":$rel100Info,"queries_skew":${jmap(skew.map { case (k, v) => k -> s4(v) })},"skew_vs_10x":${jmap(ratiosSkew.map { case (k, v) => k -> s2(v) })},"skew_vs_10x_median":${jmap(ratiosSkewMed.map { case (k, v) => k -> s2(v) })},"skew_flagged":${skewFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skew_rule":$skewRule,"samples_100x":${jsamples(rel100Samples)},"samples_skew":${jsamples(skewSamples)},"samples_skew_base":${jsamples(skewBaseSamples)},"queries_corpus100":${jmap(corpus100.map { case (k, v) => k -> s4(v) })},"corpus_cold_min_sf0.1":${jmap(corpusQueries.flatMap(n => corpusColdSfMins.get(n).map(v => n -> s4(v))))},"corpus_cold_min_10x":${jmap(corpusQueries.flatMap(n => corpusCold10Mins.get(n).map(v => n -> s4(v))))},"scaling_cold_10x_vs_sf0.1":${jmap(ratiosCold10vSf.map { case (k, v) => k -> s2(v) })},"scaling_corpus100_vs_10x":${jmap(ratiosC100v10.map { case (k, v) => k -> s2(v) })},"blowup_corpus100":$corpus100Info,"bench_cold":$benchCold,"samples_corpus100":${jsamples(corpus100Samples)},"samples_corpus_cold_10x":${jsamples(corpusCold10)},"samples_corpus_cold_sf0.1":${jsamples(corpusColdSf)}"""
-    val full = s"""{$core,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_requeued":${jsamples(requeuedSamples.view.mapValues(_.toSeq).toMap)},"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}$deepJson}"""
+    val heavyJson =
+      heavyNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{$core,"heavy_block":$heavyJson,"queries_min":$minJson,"scaling_vs_sf0.01":$ratioJson,"queries_10x":$tenxJson,"scaling_10x_vs_sf0.1":$ratio10Json,"blowup":$blowUpInfo,"samples_requeued":${jsamples(requeuedSamples.view.mapValues(_.toSeq).toMap)},"samples_headline":${jsamples(headSamples)},"samples_sweep":${jsamples(sweepSamples)},"samples_10x":${jsamples(tenxSamples)}$deepJson}"""
     // full diagnostics as a file, immune to tail capture — written FIRST
     // so an oversized stdout line can never lose a completed run
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

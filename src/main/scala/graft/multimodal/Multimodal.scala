@@ -319,6 +319,33 @@ object Multimodal {
   }
 
   /**
+   * Render a solid-color `w`×`h` PNG — the gadget constructor for the
+   * planted-truth media-ANN gate (mm23). Why solid colors: the decoded
+   * CONTENT vector ([[contentVector]]) of a solid-color image is a
+   * closed-form function of (r, g, b) ALONE — channel means are
+   * exactly r/255, g/255, b/255 (the per-cell sum is value·n, and
+   * value·n / n / 255 rounds to the same float at every n) and the
+   * luma histogram is the single indicator bit of bin
+   * ⌊luma·bins/256⌋ — so members of one gadget rendered at DIFFERENT
+   * sizes decode to bitwise-IDENTICAL content vectors: the
+   * scale-invariance the content embedding claims, exercised as a
+   * planted certainty.
+   */
+  def renderSolidPng(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+    require(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /**
    * Render a deterministic WAV: `nSamples` mono 16-bit PCM samples at
    * `rateHz` from an LCG seeded by `seed`, encoded with the JDK's WAVE
    * writer. Sample 0 is pinned to +32767 so the decoded peak amplitude
@@ -1121,5 +1148,60 @@ object Multimodal {
         else Option(averageHash64(r.payload)).map(h => (r.media_id, h.longValue()))
       })
       .toDF("id", "ahash")
+  }
+
+  /**
+   * Scale-invariant CONTENT embedding of an [[ImageIoDecoder]] feature
+   * vector — the retrieval space for media ANN (mm02/mm23). The raw
+   * 16-dim decode vector is cosine-DEGENERATE for retrieval: its
+   * size/format dims dwarf every content dim (images: w, h and w·h up
+   * to hundreds vs 0–1 channel means; audio: 16000 Hz sample rate and
+   * raw-int16 peak ≈ 32767 vs unit-scale everything else), so every
+   * vector of a kind pointed in nearly the same direction and top-k
+   * measured tie-breaking, not content. This map keeps ONLY per-unit
+   * content moments, every output dimension in [0, 1]-scale:
+   *
+   *  - image  (layout w, h, w·h, means r/g/b, luma hist ×10):
+   *    → [mean_r, mean_g, mean_b, hist_0..hist_9]         (dims 3..15)
+   *  - audio  (layout rate, ch, frames, peak, meanAbs, rms, zc,
+   *    |amp| hist ×9):
+   *    → [peak, meanAbs, rms]/32768, zc/frames (the crossing RATE —
+   *      duration-free), hist_0..hist_8                   (13 dims)
+   *  - video/degraded (StubDecoder rolling-hash fingerprint — no size
+   *    axis dominates a direction): first 13 dims unchanged (cosine is
+   *    already scale-free in the vector's global magnitude).
+   *
+   * Always `featureDim − 3` output dims, so all kinds share one space.
+   */
+  def contentVector(kind: String, f: Array[Float]): Array[Float] = {
+    val out = new Array[Float](math.max(f.length - 3, 0))
+    kind match {
+      case "image" =>
+        var i = 3
+        while (i < f.length) { out(i - 3) = f(i); i += 1 }
+      case "audio" =>
+        if (f.length > 3) out(0) = f(3) / 32768.0f
+        if (f.length > 4) out(1) = f(4) / 32768.0f
+        if (f.length > 5) out(2) = f(5) / 32768.0f
+        if (f.length > 6) out(3) = f(6) / math.max(f(2), 1.0f)
+        var i = 7
+        while (i < f.length) { out(i - 3) = f(i); i += 1 }
+      case _ =>
+        var i = 0
+        while (i < out.length) { out(i) = f(i); i += 1 }
+    }
+    out
+  }
+
+  /** [[contentVector]] over a decoded-features frame (the
+    * [[extractFeatures]] output): (media_id, kind, cvec). A pure
+    * per-row map — no decode re-run, no shuffle. */
+  def contentFeatures(features: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select("media_id", "kind", "features")
+      .as[(Long, String, Array[Float])]
+      .map { case (id, kind, f) => (id, kind, contentVector(kind, f)) }
+      .toDF("media_id", "kind", "cvec")
   }
 }

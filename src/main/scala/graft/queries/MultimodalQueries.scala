@@ -34,7 +34,7 @@ object MultimodalQueries {
   private val featureCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def features(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def features(spark: SparkSession, dir: String): DataFrame = {
     // a cached frame is only valid while its session lives — a second
     // main in the same JVM (Verify then Bench) must rebuild, not hand
     // back a frame bound to a stopped SparkContext
@@ -183,22 +183,45 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
   }
 
-  // ---- mm02: similarity search over decoded features — oracle-gated.
-  //      Feature vectors render as VALUES literals recomputed
-  //      driver-side from re-rendered payloads ([[referenceFeatures]]);
-  //      DuckDB then re-derives the ENTIRE ANN independently — norms,
-  //      dot products, cosine rounding, top-3 ranking — the sim01
-  //      oracle shape applied to decoded-media vectors. ----
+  // ---- mm02: similarity search over decoded CONTENT features —
+  //      oracle-gated. Retrieval runs in [[Multimodal.contentVector]]'s
+  //      scale-invariant embedding (r20): the raw 16-dim decode vector
+  //      was cosine-degenerate — its size/format dims (w/h/pixel-count;
+  //      sample rate/raw peak) dominated every direction, so top-k
+  //      measured tie-breaking, not content. Content vectors render as
+  //      VALUES literals: the 16-dim reference vectors are recomputed
+  //      driver-side FROM THE FIXTURE FORMULAS ([[referenceFeatures]]),
+  //      the content transform is re-applied by an INDEPENDENT
+  //      implementation ([[refContentVector]]), and DuckDB then
+  //      re-derives the ENTIRE ANN — norms, dot products, cosine
+  //      rounding, top-3 ranking — the sim01 oracle shape applied to
+  //      decoded-media embeddings. ----
   private def mm02(spark: SparkSession, dir: String): DataFrame = {
-    val feats = features(spark, dir).toDF()
-      .select(col("media_id").as("id"), col("features").as("vec"))
+    val feats = Multimodal.contentFeatures(features(spark, dir))
+      .select(col("media_id").as("id"), col("cvec").as("vec"))
     Similarity.bruteForceTopK(feats, feats.filter(col("id") < 5), k = 3)
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** The content transform, re-implemented for the oracle side (same
+    * Float arithmetic so literals are exact; structurally independent
+    * of [[Multimodal.contentVector]] — the engine's version maps a
+    * Dataset per kind, this one indexes the reference vectors the
+    * generator just derived from the fixture formulas). */
+  private[queries] def refContentVector(kind: String,
+                                        f: Array[Float]): Array[Float] =
+    kind match {
+      case "image" => f.drop(3)
+      case "audio" =>
+        Array(f(3) / 32768.0f, f(4) / 32768.0f, f(5) / 32768.0f,
+          f(6) / math.max(f(2), 1.0f)) ++ f.drop(7)
+      case _ => f.dropRight(3)
+    }
+
   private def mm02OracleGen(spark: SparkSession, dir: String): String = {
     val rows = referenceFeatures(spark, dir)
-      .map { case (id, _, f) =>
+      .map { case (id, kind, raw) =>
+        val f = refContentVector(kind, raw)
         // CAST pins the list to DOUBLE[] — bare numeric literals type
         // as DECIMAL in DuckDB and overflow in the x*x products
         s"($id, CAST([${f.map(x => x.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"

@@ -242,7 +242,142 @@ object MultimodalTruthQueries {
       |    AS id_checksum
       |FROM c""".stripMargin
 
+  // ---- mm23: planted-truth media-ANN census — the sim23/sim24
+  //      playbook applied to mm02's retrieval path, possible only after
+  //      r20 made the media embedding non-degenerate
+  //      ([[Multimodal.contentVector]]): a planted top-k floor over the
+  //      old size-dominated vectors would have measured tie-breaking.
+  //      Per gadget g, FOUR solid-color images of the SAME color at
+  //      four different sizes (9² … 12²): a solid color's content
+  //      vector is a function of (r, g, b) alone, so the four members
+  //      decode to bitwise-IDENTICAL vectors — cosine exactly 1 (up to
+  //      one ulp in the norm product; rounds to 1.0 at the pipeline's
+  //      4 dp) — which is simultaneously the scale-invariance claim of
+  //      the embedding exercised as a planted certainty ("same content,
+  //      re-encoded at another size, retrieves itself"). Queries are
+  //      the gadget anchors; the true top-3 of each is its three
+  //      siblings, and the census is closed-form:
+  //        found_total = sibling_hits = at_unit = 3k,
+  //        organic_intruders = 0,
+  //        id_checksum = Σ_g [3·(B+4g) + Σ_{i=1..3}(B+4g+i)]
+  //                    = 6k·B + 12k(k−1) + 6k.
+  //      Separation is engineered AND measured: gadget colors come from
+  //      a deterministic greedy pass over the 5³ channel grid keeping
+  //      pairwise content-cosine ≤ 0.98 (supply = 71, spec-pinned), so
+  //      no cross-gadget pair can reach the 0.99995 rounding boundary;
+  //      organic LCG images (channel means ≈ 0.5, near-uniform luma
+  //      histogram) sit ≈ 0.85 from every gadget direction, and the
+  //      census MEASURES the claim — any organic or cross-gadget
+  //      vector outranking a sibling drops sibling_hits / raises
+  //      organic_intruders and fails the cell compare. An organic
+  //      content vector landing within 5e-5 of a gadget direction
+  //      would be triaged as a fixture artifact (the tx52 convention).
+  //      The exact brute-force path is EXHAUSTIVE, so like mm21/mm22
+  //      this gates cell-exact at every tier including corpus100 —
+  //      where retrieval quality for media was previously unmeasured.
+  private[queries] val MediaAnnPlantBase = 3000000000L
+
+  /** Gadget color supply: deterministic greedy over the
+    * {0,64,128,192,255}³ grid (r-major order), keeping a color iff its
+    * content-vector cosine to every kept color is ≤ 0.98. 71 colors —
+    * pinned here and by spec, and carried by the oracle's closed form. */
+  private[queries] val GadgetColors: Seq[(Int, Int, Int)] = {
+    def content(r: Int, g: Int, b: Int): Array[Double] = {
+      val v = new Array[Double](13)
+      v(0) = r / 255.0; v(1) = g / 255.0; v(2) = b / 255.0
+      v(3 + ((r * 299 + g * 587 + b * 114) / 1000) * 10 / 256) = 1.0
+      v
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val grid = Seq(0, 64, 128, 192, 255)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[((Int, Int, Int), Array[Double])]
+    for (r <- grid; g <- grid; b <- grid) {
+      val v = content(r, g, b)
+      if (kept.forall { case (_, w) => cos(v, w) <= 0.98 })
+        kept += (((r, g, b), v))
+    }
+    val colors = kept.map(_._1).toSeq
+    require(colors.size == 71, s"gadget color supply drifted: ${colors.size}")
+    colors
+  }
+
+  /** The four same-color members of media-ANN gadget g, ids
+    * base + 4g + {0,1,2,3}, rendered at sizes 9²..12² — REAL PNGs whose
+    * decoded content vectors are bitwise identical. */
+  private[queries] def plantedSolidMedia(spark: SparkSession,
+                                         k: Int): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.range(k).flatMap { g =>
+      val (r, gg, b) = GadgetColors(g.toInt)
+      (0 until 4).map { i =>
+        val s = 9 + i
+        Multimodal.MediaRow(MediaAnnPlantBase + g * 4 + i, "image",
+          Multimodal.renderSolidPng(r, gg, b, s, s), s, s, 0)
+      }
+    }
+  }
+
+  /** Gadget count: images/100 floored at 1, capped at the 71-color
+    * supply (binds from the sf0.1 tier up — documented, not silent:
+    * the oracle's closed form carries the same LEAST). */
+  private[queries] def annScaleOf(spark: SparkSession, dir: String): Int =
+    math.min(GadgetColors.size.toLong, math.max(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0).count() / 100L,
+      1L)).toInt
+
+  /** The gadget census over an already-built CONTENT-vector frame —
+    * factored out for the spec. `cvecs` must carry (media_id, cvec)
+    * for organic + planted rows together. */
+  private[queries] def mm23Report(cvecs: DataFrame): DataFrame = {
+    val base = MediaAnnPlantBase
+    val vecs = cvecs.select(col("media_id").as("id"), col("cvec").as("vec"))
+    val queries = vecs.filter(
+      col("id") >= base && (col("id") - base) % 4 === 0)
+    val top = graft.similarity.Similarity.bruteForceTopK(vecs, queries, k = 3)
+    top.agg(
+      coalesce(count(lit(1)), lit(0L)).as("found_total"),
+      coalesce(sum(when(col("cand_id") >= base &&
+        (col("cand_id") - base).divide(4).cast("long") ===
+          (col("query_id") - base).divide(4).cast("long"), 1L)), lit(0L))
+        .as("sibling_hits"),
+      coalesce(sum(when(col("cosine") === 1.0, 1L)), lit(0L)).as("at_unit"),
+      coalesce(sum(when(col("cand_id") < base, 1L)), lit(0L))
+        .as("organic_intruders"),
+      coalesce(sum(col("query_id") + col("cand_id")), lit(0L)).as("id_checksum"))
+  }
+
+  private def mm23(spark: SparkSession, dir: String): DataFrame = {
+    val k = annScaleOf(spark, dir)
+    val organic = Multimodal.contentFeatures(
+      MultimodalQueries.features(spark, dir))
+    val planted = Multimodal.contentFeatures(
+      Multimodal.extractFeatures(
+        plantedSolidMedia(spark, k).toDF(), Multimodal.ImageIoDecoder).toDF())
+    mm23Report(organic.unionByName(planted))
+  }
+
+  // Closed form over the plant layout (see the mm23 comment): 3 found
+  // rows per gadget, all siblings, all at rounded cosine 1.0, none
+  // organic; checksum 6k·B + 12k(k−1) + 6k with B interpolated.
+  private val mm23Oracle =
+    s"""WITH c AS (
+      |  SELECT LEAST(71, GREATEST(COUNT(*) // 100, 1)) AS k
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT
+      |  CAST(3 * k AS BIGINT) AS found_total,
+      |  CAST(3 * k AS BIGINT) AS sibling_hits,
+      |  CAST(3 * k AS BIGINT) AS at_unit,
+      |  CAST(0 AS BIGINT) AS organic_intruders,
+      |  CAST(6 * k * $MediaAnnPlantBase + 12 * k * (k - 1) + 6 * k AS BIGINT)
+      |    AS id_checksum
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm21_planted_image_neardup", mm21, Some(mm21Oracle)),
-    GraftQuery("mm22_planted_video_neardup", mm22, Some(mm22Oracle)))
+    GraftQuery("mm22_planted_video_neardup", mm22, Some(mm22Oracle)),
+    GraftQuery("mm23_planted_media_ann", mm23, Some(mm23Oracle)))
 }

@@ -112,6 +112,69 @@ class MultimodalTruthSpec extends AnyFunSuite with SparkSpec {
     Multimodal.releaseCaches()
   }
 
+  test("mm23 gadget colors: decoded content vectors match the closed form, " +
+       "pairwise cosine ≤ 0.98, size-invariant across member sizes") {
+    def decodedContent(payload: Array[Byte]): Array[Float] =
+      Multimodal.contentVector("image",
+        Multimodal.ImageIoDecoder.decode("image", payload, 16).features)
+    val colors = MultimodalTruthQueries.GadgetColors
+    assert(colors.size == 71, s"supply drifted: ${colors.size}")
+    // (a) the REAL decode realizes the construction's closed form,
+    // and (b) the four member sizes decode to bitwise-identical
+    // vectors — the scale-invariance the census turns into certainty
+    val decoded = colors.map { case (r, g, b) =>
+      val members = (9 to 12).map(s =>
+        decodedContent(Multimodal.renderSolidPng(r, g, b, s, s)))
+      members.tail.foreach(m =>
+        assert(java.util.Arrays.equals(m, members.head),
+          s"color ($r,$g,$b): content vector moved across sizes"))
+      val v = members.head
+      assert(math.abs(v(0) - r / 255.0f) < 1e-7 &&
+        math.abs(v(1) - g / 255.0f) < 1e-7 &&
+        math.abs(v(2) - b / 255.0f) < 1e-7, s"($r,$g,$b) means drifted")
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      assert(v(3 + lum * 10 / 256) == 1.0f, s"($r,$g,$b) hist bin drifted")
+      v
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    var mx = 0.0
+    for (i <- decoded.indices; j <- decoded.indices if i < j)
+      mx = math.max(mx, cos(decoded(i), decoded(j)))
+    // the greedy bound, re-measured over DECODED vectors: far below
+    // the 0.99995 rounding boundary where a cross-gadget pair could
+    // tie a sibling's 1.0
+    assert(mx <= 0.9801, s"cross-gadget cosine reached $mx")
+  }
+
+  test("mm23 census over the sf0.001 corpus + plant matches the closed form") {
+    val dir = "/root/testdata/sf0.001"
+    val k = MultimodalTruthQueries.annScaleOf(spark, dir)
+    val organic = Multimodal.contentFeatures(
+      Multimodal.extractFeatures(
+        Multimodal.mediaWithRealImages(spark.read.parquet(s"$dir/documents.parquet")),
+        Multimodal.ImageIoDecoder).toDF())
+    val planted = Multimodal.contentFeatures(
+      Multimodal.extractFeatures(
+        MultimodalTruthQueries.plantedSolidMedia(spark, k).toDF(),
+        Multimodal.ImageIoDecoder).toDF())
+    val r = MultimodalTruthQueries.mm23Report(
+      organic.unionByName(planted)).collect().head
+    val base = MultimodalTruthQueries.MediaAnnPlantBase
+    assert(r.getAs[Long]("found_total") == 3L * k)
+    assert(r.getAs[Long]("sibling_hits") == 3L * k)
+    assert(r.getAs[Long]("at_unit") == 3L * k)
+    assert(r.getAs[Long]("organic_intruders") == 0L)
+    assert(r.getAs[Long]("id_checksum") ==
+      6L * k * base + 12L * k * (k - 1) + 6L * k)
+  }
+
   test("mm21 census over the sf0.001 corpus + plant matches the closed form") {
     val k = MultimodalTruthQueries.scaleOf(spark, "/root/testdata/sf0.001")
     val organic = Multimodal.mediaWithRealImages(

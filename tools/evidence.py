@@ -361,6 +361,14 @@ INCLUDE_CORPUS100 = {
     # inverted-index plan at the decade where mm15's decode-literal
     # oracle cannot follow
     "mm22_planted_video_neardup",
+    # r20 — planted-truth media ANN: solid-color gadgets whose content
+    # vectors are bitwise identical across member sizes, so the exact
+    # brute-force top-3 census is closed-form (O(1) oracle); the
+    # engine side decodes the organic media corpus into the r20
+    # scale-invariant content embedding and retrieves through the real
+    # bruteForceTopK at the decade where media retrieval quality was
+    # previously unmeasured (the r19 verdict's mm02 item)
+    "mm23_planted_media_ann",
 }
 
 # The hot-key skew tier (10x volume, one key holding 10%+ of rows per
