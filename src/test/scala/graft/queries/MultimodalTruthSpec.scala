@@ -153,6 +153,27 @@ class MultimodalTruthSpec extends AnyFunSuite with SparkSpec {
     assert(mx <= 0.9801, s"cross-gadget cosine reached $mx")
   }
 
+  test("mm23 census holds at the full 71-color supply (the deep-tier cap)") {
+    // from the sf0.1 tier up, annScaleOf caps at the greedy color
+    // supply — run the whole 284-image plant (organic-independent by
+    // the query-id filter) through the REAL decode + content embedding
+    // + brute-force top-3 and demand the closed form at k = 71, where
+    // every pairwise-separation claim is simultaneously live
+    val k = 71
+    val planted = Multimodal.contentFeatures(
+      Multimodal.extractFeatures(
+        MultimodalTruthQueries.plantedSolidMedia(spark, k).toDF(),
+        Multimodal.ImageIoDecoder).toDF())
+    val r = MultimodalTruthQueries.mm23Report(planted).collect().head
+    val base = MultimodalTruthQueries.MediaAnnPlantBase
+    assert(r.getAs[Long]("found_total") == 3L * k)
+    assert(r.getAs[Long]("sibling_hits") == 3L * k)
+    assert(r.getAs[Long]("at_unit") == 3L * k)
+    assert(r.getAs[Long]("organic_intruders") == 0L)
+    assert(r.getAs[Long]("id_checksum") ==
+      6L * k * base + 12L * k * (k - 1) + 6L * k)
+  }
+
   test("mm23 census over the sf0.001 corpus + plant matches the closed form") {
     val dir = "/root/testdata/sf0.001"
     val k = MultimodalTruthQueries.annScaleOf(spark, dir)
