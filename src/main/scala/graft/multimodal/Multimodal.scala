@@ -182,16 +182,15 @@ object Multimodal {
         while (f < n && 3 + f < featureDim) {
           val img = if (f == 0) first else reader.read(f)
           var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
+          val fw = img.getWidth
+          rgbRows(img) { (_, row) =>
             var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
+            while (x < fw) {
+              val rgb = row(x)
               sum += ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                 (rgb & 0xff) * 114
               x += 1
             }
-            y += 1
           }
           features(3 + f) =
             (sum / 1000.0 / (img.getWidth.toLong * img.getHeight) / 255.0).toFloat
@@ -220,11 +219,10 @@ object Multimodal {
       var sr = 0L; var sg = 0L; var sb = 0L
       val histBins = math.max(featureDim - 6, 0)
       val hist = new Array[Long](math.max(histBins, 1))
-      var y = 0
-      while (y < h) {
+      rgbRows(img) { (_, row) =>
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
           sr += r; sg += g; sb += b
           if (histBins > 0) {
@@ -233,7 +231,6 @@ object Multimodal {
           }
           x += 1
         }
-        y += 1
       }
       val n = (w.toLong * h).toFloat
       if (featureDim > 3) features(3) = sr / n / 255.0f
@@ -539,6 +536,119 @@ object Multimodal {
   }
 
   /**
+   * Row-bulk pixel access (r21): streams a frame's default-RGB pixels
+   * one scanline at a time into a reused buffer and invokes
+   * `f(y, row)` per row — exactly `BufferedImage.getRGB(x, y)`'s
+   * values for every pixel, without its per-pixel cost. Per-pixel
+   * `getRGB` allocates a fresh data-elements object per call
+   * (`raster.getDataElements(x, y, null)`), which dominates the decode
+   * paths on fixture-sized frames. Three layouts read the raster's
+   * DataBuffer directly because their ColorModel conversion is a pure
+   * byte shuffle / table lookup with no color math:
+   *
+   *  - 8-bit sRGB interleaved bytes, no alpha (the JDK PNG reader's
+   *    RGB output and `TYPE_3BYTE_BGR`): `getRGB` packs the three
+   *    samples verbatim — band offsets honored, 0xFF alpha;
+   *  - `TYPE_INT_RGB` packed ints (this object's own synthesized
+   *    frames): `getRGB` is the stored int with 0xFF alpha;
+   *  - 8-bit indexed (decoded GIF frames): `IndexColorModel.getRGB`
+   *    is a lookup into the palette table `getRGBs` exposes verbatim.
+   *
+   * Anything else (gray — whose conversion applies real colorspace
+   * math — alpha variants, custom models) takes the scanline-bulk
+   * `getRGB(0, y, w, 1, row, 0, w)` call: the same per-pixel
+   * ColorModel conversion as `getRGB(x, y)`, minus the per-pixel
+   * allocation. The spec pins all four paths pixel-identical to
+   * per-pixel `getRGB`, and every downstream consumer (aHash, channel
+   * stats, luma histograms) stays gated by codec-free oracles.
+   */
+  private[multimodal] def rgbRows(img: java.awt.image.BufferedImage)
+                                 (f: (Int, Array[Int]) => Unit): Unit = {
+    import java.awt.image.{BufferedImage, ComponentColorModel, ComponentSampleModel,
+      DataBufferByte, DataBufferInt, IndexColorModel, PixelInterleavedSampleModel,
+      SinglePixelPackedSampleModel}
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    val raster = img.getRaster
+    val cm = img.getColorModel
+    val db = raster.getDataBuffer
+    // the fast paths index the DataBuffer bank directly, so they only
+    // apply when the raster starts at the bank's origin (always true
+    // for freshly decoded / constructed frames; subimages fall back)
+    val aligned = raster.getMinX == 0 && raster.getMinY == 0 &&
+      raster.getSampleModelTranslateX == 0 &&
+      raster.getSampleModelTranslateY == 0 &&
+      db.getNumBanks == 1 && db.getOffset == 0
+    (raster.getSampleModel, db) match {
+      case (sm: PixelInterleavedSampleModel, bytes: DataBufferByte)
+          if aligned && cm.isInstanceOf[ComponentColorModel] &&
+            !cm.hasAlpha && cm.getColorSpace.isCS_sRGB &&
+            cm.getNumComponents == 3 && cm.getComponentSize.forall(_ == 8) =>
+        val data = bytes.getData
+        val stride = sm.getScanlineStride
+        val ps = sm.getPixelStride
+        val offs = sm.getBandOffsets // (r, g, b) offsets within a pixel
+        var y = 0
+        while (y < h) {
+          var x = 0
+          var p = y * stride
+          while (x < w) {
+            row(x) = 0xff000000 |
+              ((data(p + offs(0)) & 0xff) << 16) |
+              ((data(p + offs(1)) & 0xff) << 8) |
+              (data(p + offs(2)) & 0xff)
+            p += ps
+            x += 1
+          }
+          f(y, row)
+          y += 1
+        }
+      case (sm: SinglePixelPackedSampleModel, ints: DataBufferInt)
+          if aligned && img.getType == BufferedImage.TYPE_INT_RGB =>
+        val data = ints.getData
+        val stride = sm.getScanlineStride
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val base = y * stride
+          while (x < w) {
+            row(x) = 0xff000000 | (data(base + x) & 0xffffff)
+            x += 1
+          }
+          f(y, row)
+          y += 1
+        }
+      case (sm: PixelInterleavedSampleModel, bytes: DataBufferByte)
+          if aligned && cm.isInstanceOf[IndexColorModel] &&
+            sm.getNumBands == 1 && sm.getPixelStride == 1 &&
+            cm.getPixelSize == 8 =>
+        val icm = cm.asInstanceOf[IndexColorModel]
+        val table = new Array[Int](icm.getMapSize)
+        icm.getRGBs(table) // the exact ARGB values getRGB returns
+        val data = bytes.getData
+        val stride = sm.getScanlineStride
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val base = y * stride
+          while (x < w) {
+            row(x) = table(data(base + x) & 0xff)
+            x += 1
+          }
+          f(y, row)
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          f(y, row)
+          y += 1
+        }
+    }
+  }
+
+  /**
    * 64-bit perceptual average-hash (aHash) of an image payload, the
    * standard image-dedup fingerprint: re-encodes, exposure shifts, and
    * (approximately) rescales of the same picture land within a few
@@ -579,12 +689,11 @@ object Multimodal {
     // the binning and the area can then never disagree
     val cellCnt = new Array[Long](64)
     var total = 0L
-    var y = 0
-    while (y < h) {
+    rgbRows(img) { (y, row) =>
       val i = y * 8 / h
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
           (rgb & 0xff) * 114) / 1000
         val c = i * 8 + (x * 8 / w)
@@ -593,7 +702,6 @@ object Multimodal {
         total += lum
         x += 1
       }
-      y += 1
     }
     var bits = 0L
     var c = 0
@@ -625,21 +733,24 @@ object Multimodal {
   def shiftBrightness(payload: Array[Byte], delta: Int): Array[Byte] = {
     val img = decodeImage(payload)
     if (img == null) return payload
+    val w = img.getWidth
     val out = new java.awt.image.BufferedImage(
-      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.getHeight) {
+      w, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val shifted = new Array[Int](w)
+    rgbRows(img) { (y, row) =>
       var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
+      while (x < w) {
+        val rgb = row(x)
         def clamp(v: Int): Int = math.min(255, math.max(0, v))
         val r = clamp(((rgb >> 16) & 0xff) + delta)
         val g = clamp(((rgb >> 8) & 0xff) + delta)
         val b = clamp((rgb & 0xff) + delta)
-        out.setRGB(x, y, (r << 16) | (g << 8) | b)
+        shifted(x) = (r << 16) | (g << 8) | b
         x += 1
       }
-      y += 1
+      // row-bulk setRGB: same stored pixels as per-pixel setRGB on a
+      // TYPE_INT_RGB frame, without its per-pixel data-elements churn
+      out.setRGB(0, y, w, 1, shifted, 0, w)
     }
     encodePng(out)
   }
@@ -1116,17 +1227,16 @@ object Multimodal {
           if (img == null) None
           else {
             var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < img.getHeight) {
+            val w = img.getWidth
+            rgbRows(img) { (_, row) =>
               var x = 0
-              while (x < img.getWidth) {
-                val v = img.getRGB(x, y)
+              while (x < w) {
+                val v = row(x)
                 sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
                 x += 1
               }
-              y += 1
             }
-            Some((r.media_id, img.getWidth, img.getHeight, sr, sg, sb))
+            Some((r.media_id, w, img.getHeight, sr, sg, sb))
           }
         }
       })
@@ -1167,9 +1277,16 @@ object Multimodal {
    *    |amp| hist ×9):
    *    → [peak, meanAbs, rms]/32768, zc/frames (the crossing RATE —
    *      duration-free), hist_0..hist_8                   (13 dims)
-   *  - video/degraded (StubDecoder rolling-hash fingerprint — no size
-   *    axis dominates a direction): first 13 dims unchanged (cosine is
+   *  - video (StubDecoder rolling-hash fingerprint — no size axis
+   *    dominates a direction): first 13 dims unchanged (cosine is
    *    already scale-free in the vector's global magnitude).
+   *
+   * The branch keys on the row's KIND, not on whether the decode
+   * succeeded: a corrupt/non-PCM AUDIO payload degrades to the
+   * StubDecoder fingerprint but still takes the audio branch, so its
+   * stub dims get the PCM normalization applied (harmless — a uniform
+   * rescale of 3 dims plus one ratio, still deterministic and mirrored
+   * exactly by the oracle's refContentVector, which keys the same way).
    *
    * Always `featureDim − 3` output dims, so all kinds share one space.
    */
@@ -1194,14 +1311,38 @@ object Multimodal {
   }
 
   /** [[contentVector]] over a decoded-features frame (the
-    * [[extractFeatures]] output): (media_id, kind, cvec). A pure
-    * per-row map — no decode re-run, no shuffle. */
+    * [[extractFeatures]] output): (media_id, kind, cvec) — no decode
+    * re-run, no shuffle. Pure Catalyst expressions (r21): the former
+    * typed `Dataset.map` paid an object-encoder round-trip per row —
+    * the one custom-code-where-an-expression-fits instance in a gated
+    * plan, and BENCH_r20's only regression (mm02 1.47× min). The
+    * per-kind transform is `slice`/`element_at`/arithmetic inside
+    * whole-stage codegen. Divisions run in DOUBLE (Spark's `Divide`
+    * accepts only double/decimal) and cast back to FLOAT, which is
+    * bit-identical to [[contentVector]]'s Float math: `/32768` is an
+    * exponent shift (exact in both widths), and for `x / max(y, 1)`
+    * the double quotient rounded to float equals direct float division
+    * (53 ≥ 2·24+2 significand bits, so the double rounding is
+    * innocuous for division — Figueroa's bound). `greatest` and
+    * `math.max` agree on NaN (both propagate it). Requires the
+    * fixed-length vectors [[extractFeatures]] emits (≥ 8 dims for the
+    * audio branch's `element_at`s); [[contentVector]] remains the
+    * any-length row-level reference, and the spec pins this plan
+    * bitwise-equal to it over every kind including degraded rows. */
   def contentFeatures(features: DataFrame): DataFrame = {
-    val spark = features.sparkSession
-    import spark.implicits._
-    features.select("media_id", "kind", "features")
-      .as[(Long, String, Array[Float])]
-      .map { case (id, kind, f) => (id, kind, contentVector(kind, f)) }
-      .toDF("media_id", "kind", "cvec")
+    val f = col("features")
+    val audio = concat(
+      array(
+        (element_at(f, 4) / 32768.0).cast(FloatType),
+        (element_at(f, 5) / 32768.0).cast(FloatType),
+        (element_at(f, 6) / 32768.0).cast(FloatType),
+        (element_at(f, 7) / greatest(element_at(f, 3), lit(1.0f)))
+          .cast(FloatType)),
+      slice(f, lit(8), size(f) - 7))
+    features.select(col("media_id"), col("kind"),
+      when(col("kind") === "image", slice(f, lit(4), size(f) - 3))
+        .when(col("kind") === "audio", audio)
+        .otherwise(slice(f, lit(1), size(f) - 3))
+        .as("cvec"))
   }
 }

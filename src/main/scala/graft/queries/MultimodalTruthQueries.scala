@@ -340,9 +340,14 @@ object MultimodalTruthQueries {
     val top = graft.similarity.Similarity.bruteForceTopK(vecs, queries, k = 3)
     top.agg(
       coalesce(count(lit(1)), lit(0L)).as("found_total"),
+      // gadget index = (id - base) / 4 as INTEGER floor-division via a
+      // bit shift — exact by construction at any plant base/stride
+      // (r21; the former Column.divide ran double division + truncate,
+      // exact only while offsets stayed under 2^52). Non-negative on
+      // both sides: cand_id is guarded here, query_id by the filter.
       coalesce(sum(when(col("cand_id") >= base &&
-        (col("cand_id") - base).divide(4).cast("long") ===
-          (col("query_id") - base).divide(4).cast("long"), 1L)), lit(0L))
+        shiftright(col("cand_id") - base, 2) ===
+          shiftright(col("query_id") - base, 2), 1L)), lit(0L))
         .as("sibling_hits"),
       coalesce(sum(when(col("cosine") === 1.0, 1L)), lit(0L)).as("at_unit"),
       coalesce(sum(when(col("cand_id") < base, 1L)), lit(0L))

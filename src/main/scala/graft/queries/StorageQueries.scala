@@ -503,7 +503,15 @@ object StorageQueries {
         max(col("event_id")).as("close_eid"),
         count(lit(1)).as("volume"))
     val lastDay = ev.agg(max(col("day")).as("last_day"))
+    // cluster by the partition key before the partitioned write (r21,
+    // guide §6): the partials aggregate leaves rows hash-scattered
+    // over shuffle partitions, so partitionBy("day") wrote one
+    // row-sized file per (task, day) pair (~150 files at sf0.1, one
+    // create+commit each). One exchange on `day` makes it one file
+    // per day — the hash write.distribution-mode every partitioned
+    // sink wants at any scale. Same rows, same view.
     partials(ev.join(broadcast(lastDay), col("day") < col("last_day")).drop("last_day"))
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(tmp)
     val delta =
       partials(ev.join(broadcast(lastDay), col("day") === col("last_day")).drop("last_day"))

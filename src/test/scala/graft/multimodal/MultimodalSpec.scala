@@ -300,6 +300,97 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(perMedia.size < 20) // 60 docs → 20 audio; at least one silent
   }
 
+  test("rgbRows: every fast path and the fallback are pixel-identical to getRGB") {
+    def perPixel(img: java.awt.image.BufferedImage): Seq[Int] =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y)
+    def viaRows(img: java.awt.image.BufferedImage): Seq[Int] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      Multimodal.rgbRows(img)((_, row) => buf ++= row.take(img.getWidth))
+      buf.toSeq
+    }
+    // decoded fixture PNG: the JDK PNG reader's interleaved-byte sRGB
+    // layout — the decode-path fast lane
+    val png = Multimodal.decodeImage(Multimodal.renderPng(7L, 12, 9))
+    assert(viaRows(png) == perPixel(png), "PNG (interleaved byte)")
+    // decoded GIF frame: 8-bit IndexColorModel — the palette fast lane
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.renderGif(5L, 10, 11, 2)))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val gifFrame = reader.read(1)
+    reader.dispose(); iis.close()
+    assert(viaRows(gifFrame) == perPixel(gifFrame), "GIF (indexed)")
+    // synthesized packed-int frame — the TYPE_INT_RGB fast lane
+    val rgbImg = new java.awt.image.BufferedImage(
+      9, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 9)
+      rgbImg.setRGB(x, y, (x * 37 + y * 101) * 7919)
+    assert(viaRows(rgbImg) == perPixel(rgbImg), "TYPE_INT_RGB")
+    // gray and alpha layouts must take the ColorModel fallback (gray's
+    // conversion is real colorspace math, not a byte shuffle) and
+    // still match exactly
+    for (t <- Seq(java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      java.awt.image.BufferedImage.TYPE_4BYTE_ABGR,
+      java.awt.image.BufferedImage.TYPE_USHORT_565_RGB)) {
+      val img = new java.awt.image.BufferedImage(7, 6, t)
+      for (y <- 0 until 6; x <- 0 until 7)
+        img.setRGB(x, y, (x * 53 + y * 131) * 104729)
+      assert(viaRows(img) == perPixel(img), s"fallback type $t")
+    }
+    // a subimage breaks the zero-translate alignment precondition and
+    // must fall back — values still exact
+    val sub = png.getSubimage(2, 1, 8, 7)
+    assert(viaRows(sub) == perPixel(sub), "subimage (unaligned fallback)")
+  }
+
+  test("contentFeatures (Catalyst) is bitwise-equal to contentVector on every kind") {
+    import spark.implicits._
+    // real decodes for image/audio/video plus a DEGRADED audio row
+    // (corrupt payload, kind=audio): the branch keys on kind, so the
+    // stub dims get the PCM normalization — pinned here so the plan
+    // and the row-level reference can never drift apart on it
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", Multimodal.renderPng(0L, 8, 8), 8, 8, 0),
+      Multimodal.MediaRow(3L, "image", Multimodal.renderPng(3L, 11, 10), 11, 10, 0),
+      Multimodal.MediaRow(1L, "audio", Multimodal.renderWav(1L, 320, 16000), 0, 0, 16000),
+      Multimodal.MediaRow(4L, "audio", "not a wav".getBytes("UTF-8"), 0, 0, 16000),
+      Multimodal.MediaRow(2L, "video", "plain text payload".getBytes("UTF-8"), 0, 0, 0))
+      .toDF()
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder).toDF()
+    val got = Multimodal.contentFeatures(feats)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Float](2)))
+      .toMap
+    val want = feats.select("media_id", "kind", "features")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1),
+          Multimodal.contentVector(r.getString(1), r.getSeq[Float](2).toArray).toSeq)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    // bitwise: floatToIntBits catches a -0.0/0.0 or NaN-payload drift
+    // that plain == would wave through
+    got.foreach { case (id, (kind, vec)) =>
+      val (wKind, wVec) = want(id)
+      assert(kind == wKind)
+      assert(vec.length == 13, s"id=$id dims")
+      assert(vec.map(java.lang.Float.floatToIntBits) ==
+        wVec.map(java.lang.Float.floatToIntBits), s"id=$id ($kind)")
+    }
+    // and the transform is expression-only: the input's decode stage
+    // is the plan's ONLY object boundary — contentFeatures adds no
+    // object-encoder round trip of its own (r20's typed map added a
+    // MapElements + a second Deserialize/Serialize pair)
+    def objNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      val s = df.queryExecution.optimizedPlan.toString
+      Seq("DeserializeToObject", "SerializeFromObject", "MapElements")
+        .map(n => s.sliding(n.length).count(_ == n)).sum
+    }
+    assert(objNodes(Multimodal.contentFeatures(feats)) == objNodes(feats),
+      "contentFeatures added an object-encoder round trip")
+  }
+
   test("channelStats: decoded channel sums equal the codec-free formula") {
     import spark.implicits._
     val docs = Seq((0L, "img a"), (3L, "img b"), (6L, "img c"),
