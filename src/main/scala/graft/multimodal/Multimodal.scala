@@ -275,16 +275,21 @@ object Multimodal {
   def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // direct raster fill (r21): per-pixel setRGB allocates a
+    // data-elements array per call; a fresh TYPE_INT_RGB frame is one
+    // int bank with stride == w, so the row-major LCG stream writes
+    // straight into it — setRGB stores exactly rgb & 0xffffff here, so
+    // the stored raster (and the encoded PNG, which mm01's byte-total
+    // oracle gates) is identical
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var s = seed * 6364136223846793005L + 1442695040888963407L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      data(i) = ((s >>> 40) & 0xffffff).toInt
+      i += 1
     }
     encodePng(img)
   }
@@ -333,12 +338,9 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (r << 16) | (g << 8) | b
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    // direct raster fill — see renderPng; stored value identical
+    java.util.Arrays.fill(img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
     encodePng(img)
   }
 
@@ -516,20 +518,54 @@ object Multimodal {
     new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
 
+  /** Per-thread PNG reader for [[decodeImage]]'s magic-byte fast path
+    * (r21): `ImageIO.getImageReaders` re-walks the service registry —
+    * iterator + provider `canDecodeInput` sniffs — and instantiates +
+    * disposes a fresh `PNGImageReader` PER PAYLOAD; on the 8–16 px
+    * fixture frames that setup is a large share of the measured
+    * ~17 µs/decode. `ImageReader`s are documented reusable via
+    * repeated `setInput` (state fully resets), and executor threads
+    * are pooled, so one reader per thread amortizes construction to
+    * zero. Identical decode: the registry's discovery would select
+    * this same PNGImageReader for any PNG-magic payload; a corrupt
+    * body still throws `IIOException → null`, and the next `setInput`
+    * resets the reader. Non-PNG payloads keep the full discovery
+    * path. */
+  private val pngReaderTl = new ThreadLocal[javax.imageio.ImageReader]
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte && p(4) == 0x0d.toByte &&
+      p(5) == 0x0a.toByte && p(6) == 0x1a.toByte && p(7) == 0x0a.toByte
+
   /** Decode an image payload to its first frame — `ImageIO.read`
     * semantics (same reader-discovery order, null when no registered
     * reader matches or the payload is corrupt) minus the temp-file
-    * stream cache; see [[memoryIis]]. The codec fast path for every
-    * single-frame decode site in this object. */
+    * stream cache; see [[memoryIis]]. PNG-magic payloads reuse the
+    * per-thread reader ([[pngReaderTl]]); everything else runs full
+    * registry discovery. The codec fast path for every single-frame
+    * decode site in this object. */
   def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = memoryIis(payload)
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) null
-      else {
-        val reader = readers.next()
-        try { reader.setInput(iis); reader.read(0) }
-        finally reader.dispose()
+      if (isPng(payload)) {
+        var reader = pngReaderTl.get
+        if (reader == null) {
+          val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+          if (!rs.hasNext) return null
+          reader = rs.next()
+          pngReaderTl.set(reader)
+        }
+        reader.setInput(iis)
+        reader.read(0)
+      } else {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis); reader.read(0) }
+          finally reader.dispose()
+        }
       }
     } catch { case _: java.io.IOException => null }
     finally iis.close()
@@ -802,17 +838,20 @@ object Multimodal {
       while (f < endFrame) {
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val raster = img.getRaster
+        // direct raster fill (r21): a fresh TYPE_BYTE_INDEXED frame is
+        // one byte bank with stride == w; setSample stored the same
+        // byte per pixel with per-call dispatch — the stored raster
+        // (and the encoded GIF, whose lossless round trip the mm11
+        // oracle gates) is identical
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var s = gifFrameSeed(seed, f)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            s = s * 6364136223846793005L + 1442695040888963407L
-            raster.setSample(x, y, 0, ((s >>> 40) & 0xff).toInt)
-            x += 1
-          }
-          y += 1
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          data(i) = ((s >>> 40) & 0xff).toByte
+          i += 1
         }
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         f += 1
