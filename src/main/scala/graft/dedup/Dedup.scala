@@ -159,8 +159,12 @@ object Dedup {
       .select(col("band"), col("band_hash"))
     val capped = banded.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
 
+    // SHUFFLE_HASH (r21, guide §3.1) — same reasoning as the Hamming
+    // engine's self-join below: sort-merge SORTS the banded frame on
+    // both sides; hashing one side per partition streams the other
+    // unsorted, and the build side is (bands·n)/P rows per task.
     val candidates = capped.as("a")
-      .join(capped.as("b"), Seq("band", "band_hash"))
+      .join(capped.as("b").hint("shuffle_hash"), Seq("band", "band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -598,13 +602,17 @@ object Dedup {
       g.foldLeft((lit(0L): Column, 0)) { case ((acc, off), b) =>
         (acc.bitwiseOR(shiftleft(chunk(b), off)), off + widths(b))
       }._1
-    // one explode per ≤48-group batch, unioned: a SINGLE array literal
+    // one explode per ≤24-group batch, unioned: a SINGLE array literal
     // of all C(bands, r) packed keys blows past Janino's method-size
     // limit (mm09's 210-key array failed whole-stage compilation and
     // fell back to interpreted eval — correct, but measured ~1.8×
-    // slower at the 10× tier); batching keeps every generated method
-    // small, and each branch reads the same persisted base
-    val banded = groups.zipWithIndex.grouped(48).map { batch =>
+    // slower at the 10× tier). r21 lowered the batch 48 → 24: Janino's
+    // 64KB ceiling is not the binding one — HotSpot refuses to JIT any
+    // method past ~8000 bytecodes, so the 48-key Generate method ran
+    // compiled-but-never-JITted (measured 2.6 s vs 0.45 s for the same
+    // 28M-row explode at the corpus100 shape). Each branch reads the
+    // same persisted base.
+    val banded = groups.zipWithIndex.grouped(24).map { batch =>
       base.select(col("id"),
         posexplode(array(batch.map { case (g, _) => packedKey(g) }: _*))
           .as(Seq("pos", "chunk")))
@@ -612,7 +620,17 @@ object Dedup {
           col("chunk"))
     }.reduce(_ unionByName _)
 
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
+    // SHUFFLE_HASH on the self-join (r21, guide §3.1): the banded frame
+    // is C(bands, r)·n rows — the planner's default sort-merge SORTED it
+    // on both sides (measured at the corpus100 decade: two ~28M-row
+    // sorts dominated the whole pair search). Hashing one side per
+    // partition instead streams the other unsorted; the build side is
+    // (C·n)/P rows per task — linear in n and divided by the partition
+    // count, so the choice survives scale. Hint only HERE: the two
+    // fingerprint re-joins below stay eligible for broadcast. Inner
+    // equi-join — strategy changes the plan, never the pair set.
+    val candidates = banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"), Seq("band", "chunk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

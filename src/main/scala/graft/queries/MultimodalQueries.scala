@@ -375,18 +375,27 @@ object MultimodalQueries {
   //      with its own xor + bit_count arithmetic — the tx16 recipe
   //      pointed at pixels. ----
   private def mm09(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaWithRealImages(Tables.documents(spark, dir))
+    // One synthesis pass (r21, guide §2.1): pre-filter the doc spine to
+    // image ids (kind == image ⟺ doc_id % 3 == 0 — the same fixture
+    // formula mm11's oracle reads for video), so the render map never
+    // builds the audio/video payloads this query immediately drops, and
+    // emit the original AND its exposure-shifted twin from a single
+    // flatMap over the rendered row instead of two branches that each
+    // re-render the corpus. Same rows out: (2k, payload) ∪
+    // (2k+1, shifted(payload)) — the oracle gate re-proves identity.
+    val media = Multimodal.mediaWithRealImages(
+        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0))
       .filter(col("kind") === "image")
     val spark2 = spark
     import spark2.implicits._
-    val shifted = media.select("media_id", "kind", "payload", "width", "height",
+    val both = media.select("media_id", "kind", "payload", "width", "height",
         "sample_rate_hz")
       .as[Multimodal.MediaRow]
-      .mapPartitions(_.map(r =>
-        r.copy(payload = Multimodal.shiftBrightness(r.payload, 16))))
+      .mapPartitions(_.flatMap(r => Iterator(
+        r.copy(media_id = r.media_id * 2),
+        r.copy(media_id = r.media_id * 2 + 1,
+          payload = Multimodal.shiftBrightness(r.payload, 16)))))
       .toDF()
-    val both = media.withColumn("media_id", col("media_id") * 2)
-      .unionByName(shifted.withColumn("media_id", col("media_id") * 2 + 1))
     Dedup.hammingNearDupsAuto(
       // count-adaptive banding, not the fixed 8-band scheme: with
       // maxHamming = 6 the 8-band slack allows only grouped PAIRS over

@@ -132,8 +132,14 @@ object Similarity {
     * so recall is 1 − Π(1 − pᵇ) instead of a single pᵇ). */
   private def multiSignatures(vec: Column, dim: Int, bits: Int,
                               tables: Int): Column =
-    array((0 until tables).map(t =>
-      hyperplaneSignature(vec, dim, bits, seed = 42L + t)): _*)
+    // one fused native expression, NOT array(hyperplaneSignature(t)…):
+    // the expression-tree form inlines tables×bits dot loops into the
+    // consuming Generate's codegen, whose method crosses the JVM JIT
+    // size ceiling at 12 tables and drops the stage to interpreted
+    // bytecode (r21, measured 35 s → 0.3 s at corpus100; guide §4).
+    // Bit-identity with the per-table column is spec-pinned.
+    graft.expressions.HashExpressions.hyperplaneSignatures(
+      vec, dim, bits, (0 until tables).map(t => 42L + t))
 
   /**
    * Multi-table LSH admission: the DISTINCT (query_id, cand_id) pairs
@@ -392,10 +398,9 @@ object Similarity {
   /** The seeded ±1 plane family behind [[hyperplaneSignature]] —
     * exposed so an independent engine (the DuckDB oracle) can compute
     * the identical signatures from the same literals. */
-  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Array[Double]] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      graft.expressions.HashExpressions.planeFamily(dim, bits, seed))
 
   /**
    * Embedding-cosine near-duplicate pairs. Exact mode: all pairs with

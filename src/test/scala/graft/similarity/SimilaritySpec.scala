@@ -25,6 +25,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("fused multi-table signatures are bit-identical to the per-table column (r21)") {
+    // the native HyperplaneSignatures expression must equal
+    // array(hyperplaneSignature(seed_t)…) on every row — random vectors,
+    // a shorter-than-dim vector (dot folds min(|vec|, dim) elements),
+    // an all-zero vector (no dot can exceed 0) and a NULL vector (the
+    // when/otherwise formulation yields the all-zero signature)
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Array[Double])] =
+      (0L until 40L).map(i => (i, Array.fill(9)(rnd.nextGaussian()))) ++
+        Seq((40L, Array.fill(5)(1.0)), (41L, Array.fill(9)(0.0)),
+          (42L, null.asInstanceOf[Array[Double]]))
+    val df = rows.toDF("id", "vec")
+    val dim = 9; val bits = 6; val tables = 12
+    val seeds = (0 until tables).map(t => 42L + t)
+    val fused = graft.expressions.HashExpressions
+      .hyperplaneSignatures(col("vec"), dim, bits, seeds)
+    val perTable = array(seeds.map(s =>
+      Similarity.hyperplaneSignature(col("vec"), dim, bits, s)): _*)
+    val bad = df.select(col("id"), fused.as("f"), perTable.as("p"))
+      .filter(not(col("f") <=> col("p")))
+      .collect()
+    assert(bad.isEmpty, s"fused != per-table on: ${bad.mkString(", ")}")
+  }
+
   test("brute-force top-k ranks by cosine with id tiebreak, excludes self") {
     val df = vecs.toDF("id", "vec")
     val q = df.filter(col("id") === 0L)

@@ -98,6 +98,21 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.85, f"recall $recall%.3f below the seeded floor 0.85")
   }
 
+  test("MinHash banded self-join stays a hash join (r21: never a sort of the banded frame)") {
+    Dedup.releaseCaches()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .queryExecution.executedPlan.toString
+    // same scale shape the Hamming engine pins: the C(bands)·n banded
+    // rows meet in a shuffled HASH join — sort-merge would sort the
+    // frame on both sides, the most expensive step of the whole plan
+    // at corpus scale (measured at the corpus100 decade on mm09's
+    // sibling join: two ~28M-row sorts dominated the pair search)
+    assert(!plan.contains("SortMergeJoin"),
+      s"banded self-join must hash, not sort:\n$plan")
+    Dedup.releaseCaches()
+  }
+
   test("maxBucket cap witness: zero on the fixture corpus, fires on boilerplate") {
     // the recall measurement above is only honest if nothing was capped —
     // assert the witness says so on the same corpus
