@@ -33,8 +33,12 @@ object KCore {
     * degree. Empty when the k-core is empty. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    // both orientations from ONE pass over the edge subtree (r21,
+    // guide §2.4): the old select-union-select planted the caller's
+    // edge lineage twice in the checkpoint job
+    var sym = edges.select(inline(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))))
       .localCheckpoint()
     var rounds = 0
     var converged = false

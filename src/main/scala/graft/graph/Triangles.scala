@@ -35,14 +35,22 @@ object Triangles {
     * expensive to recompute. */
   def perNodeCounts(edges: DataFrame,
                     persist: DataFrame => DataFrame = identity): DataFrame = {
-    val deg = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node")))
+    // persist the EDGE subtree itself, not just the oriented frame
+    // (r21, guide §2.4): the degree aggregate and the orientation join
+    // both consume it, and when the subtree is expensive (q45's
+    // co-purchase graph is a distinct-of-self-join aggregate) each
+    // extra plan position re-runs it. The explode below also replaces
+    // the old select(a)-union-select(b), which planted the subtree
+    // TWICE inside the degree job alone — edges went from 3
+    // evaluations per run to 1 evaluation + cached scans.
+    val base = persist(edges)
+    val deg = base.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     // degree frame is |V|-sized — broadcast both annotation joins so
     // the edge list is never shuffled to learn its endpoint degrees
-    val oriented = persist(edges
+    val oriented = persist(base
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
       .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
       .select(

@@ -975,10 +975,13 @@ object AdvancedQueries {
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-    val edges = pairs
-      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    // both edge orientations from ONE pass over the (expensive)
+    // orders⋈lineitem DISTINCT pair subtree (r21, guide §2.4): the
+    // union-of-selects shape planted that subtree twice, and the
+    // graph loop's deg/withDeg/nodes builds each re-evaluated it
+    val edges = pairs.select(inline(array(
+      struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+      struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))))
     graft.graph.PageRank.run(edges, iters = 10).select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("kind"),
@@ -1561,10 +1564,13 @@ object AdvancedQueries {
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-    val edges = pairs
-      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    // both edge orientations from ONE pass over the (expensive)
+    // orders⋈lineitem DISTINCT pair subtree (r21, guide §2.4): the
+    // union-of-selects shape planted that subtree twice, and the
+    // graph loop's deg/withDeg/nodes builds each re-evaluated it
+    val edges = pairs.select(inline(array(
+      struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+      struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))))
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"))
