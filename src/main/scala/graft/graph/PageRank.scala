@@ -41,10 +41,16 @@ object PageRank {
    */
   def run(edges: DataFrame, iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // persist the caller's edge subtree (r21, guide §2.4): the degree
+    // aggregate, the degree-annotation join and the node extraction
+    // below are three separate plan positions — unpersisted, each
+    // re-evaluated the edge lineage (q43's orders⋈lineitem DISTINCT
+    // pair join, ~1/3 of the query's warm wall per evaluation)
+    val e = edges.persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
       .repartition(col("src")).persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
     val n = nodes.count() // one metadata-sized scalar, not a data loop
     val init = Scale / n
     val base = (15L * init) / 100L
@@ -62,7 +68,12 @@ object PageRank {
       // embeds rounds 1..i-1 and analysis time grows superlinearly
       if (i % 3 == 0) pr = pr.localCheckpoint()
     }
-    val out = pr
+    // materialize the final ranks before dropping the caches: the
+    // returned frame otherwise carries the last 1-2 un-checkpointed
+    // rounds' lineage, whose withDeg scan the consumer's action would
+    // re-derive from the (by then unpersisted) edge subtree
+    val out = if (iters % 3 == 0) pr else pr.localCheckpoint(true)
+    e.unpersist()
     withDeg.unpersist()
     nodes.unpersist()
     out
