@@ -116,24 +116,42 @@ object AsOf {
     // UNIQUE resolution, enforcing the "unambiguous names" contract the
     // docs state: find(_.name == ...) on a side carrying duplicate
     // column names would silently bind the first match.
-    def attr(df: DataFrame, name: String): Attribute = {
-      val matches = df.queryExecution.analyzed.output.filter(_.name == name)
+    def unique[A](matches: Seq[A], name: String, columns: Seq[String]): A = {
       if (matches.isEmpty)
         throw new IllegalArgumentException(
-          s"column $name not found in ${df.columns.mkString(", ")}")
+          s"column $name not found in ${columns.mkString(", ")}")
       if (matches.size > 1)
         throw new IllegalArgumentException(
           s"column $name is ambiguous (${matches.size} matches) — as-of " +
             "join requires unambiguous column names on each side")
       matches.head
     }
+    def attr(df: DataFrame, name: String): Attribute =
+      unique(df.queryExecution.analyzed.output.filter(_.name == name),
+        name, df.columns.toSeq)
+    // SELF-JOIN SAFETY (r21): when both sides derive from the same base
+    // relation (q50 joins purchases to clicks of ONE events table), the
+    // children's outputs share exprIds wherever a column passes through
+    // un-aliased — the node's right-side attribute fields then bind
+    // ambiguously, and a RE-analysis of the already-analyzed tree (any
+    // .count()/.groupBy() wraps one) resolves them against the wrong
+    // side and fails with UNRESOLVED_COLUMN. Re-alias every right
+    // column behind a Project of fresh Aliases so the right child's
+    // output ids are disjoint from the left's by construction — the
+    // same discipline Spark's own self-join handling applies.
+    val analyzedRight = right.queryExecution.analyzed
+    val freshAliases = analyzedRight.output.map(a => Alias(a, a.name)())
+    val freshRight = Project(freshAliases, analyzedRight)
+    def rattr(name: String): Attribute =
+      unique(freshAliases.filter(_.name == name), name, right.columns.toSeq)
+        .toAttribute
     val leftOut = left.queryExecution.analyzed.output.map(_.name).toSet
     rightValues.foreach(v => require(!leftOut.contains(v),
       s"right value column $v collides with a left column"))
     GraftPlanBridge.ofRows(spark, GraftAsOfJoin(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      keys.map(attr(left, _)), keys.map(attr(right, _)),
-      attr(left, leftOrder), attr(right, rightOrder),
-      rightValues.map(attr(right, _))))
+      left.queryExecution.analyzed, freshRight,
+      keys.map(attr(left, _)), keys.map(rattr),
+      attr(left, leftOrder), rattr(rightOrder),
+      rightValues.map(rattr)))
   }
 }

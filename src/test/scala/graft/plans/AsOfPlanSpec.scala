@@ -77,6 +77,30 @@ class AsOfPlanSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == trades.count())
   }
 
+  test("self-join inputs survive re-analysis (r21: shared-lineage exprId trap)") {
+    // q50's shape: BOTH sides filter/project the SAME base frame, so an
+    // un-aliased passthrough column (k here, user_id there) carries the
+    // same exprId on both sides. The node's right-side attributes must
+    // not bind ambiguously: before the fresh-alias Project in AsOf.join,
+    // the DataFrame constructed fine and .write worked, but ANY action
+    // that wraps the plan in a new operator and re-analyzes (.count(),
+    // .groupBy()) failed with UNRESOLVED_COLUMN on the left key.
+    val base = Seq((1L, "p", 10L, 100.0), (1L, "c", 5L, 99.0),
+      (1L, "c", 8L, 101.0), (2L, "p", 15L, 50.0))
+      .toDF("k", "side", "t", "v")
+    val l = base.filter(col("side") === "p")
+      .select(col("k"), col("t"), col("v").as("pv"))
+    val r = base.filter(col("side") === "c")
+      .select(col("k"), col("t").as("ct"), col("v").as("cv"))
+    val j = AsOf.join(l, r, Seq("k"), "t", "ct", Seq("ct", "cv"))
+      .select("k", "t", "pv", "ct", "cv")
+    assert(j.count() == 2, "re-analysis under count() must bind")
+    val rows = j.collect().map(x => (x.getLong(0), x.getLong(1)) ->
+      Option(x.get(3))).toMap
+    assert(rows((1L, 10L)) == Some(8L), "k=1 purchase takes latest prior click")
+    assert(rows((2L, 15L)) == None, "k=2 has no clicks → NULL")
+  }
+
   test("name collisions refuse loudly instead of silently shadowing") {
     intercept[IllegalArgumentException] {
       AsOf.join(trades, quotes.withColumnRenamed("bid", "px"),
